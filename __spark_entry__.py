@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship pipeline smoke on sf0.001.
+`queries()` — one entry per implemented operator from SURVEY.md §2.
+`oracle_sql()` — DuckDB-dialect equivalents for the correctness gate.
+
+Parity rules used throughout (see plans/argo_views.py):
+- every aggregate / computed column is aliased identically on both sides;
+- double sums are over exactly-representable values where possible,
+  otherwise rounded on both sides;
+- DuckDB regexp_replace gets the 'g' flag to match Spark's replace-all.
 """
 
 from __future__ import annotations
@@ -12,27 +16,44 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from floatchat_datapipeline_spark.catalog import load_table
+from floatchat_datapipeline_spark.operators import cleaning
+from floatchat_datapipeline_spark.operators.aggregate import float_metadata_agg
+from floatchat_datapipeline_spark.operators.reshape import melt_profiles_eav
+from floatchat_datapipeline_spark.plans.argo_views import (
+    ARGO_RAW_SQL,
+    argo_raw_df,
+)
+from floatchat_datapipeline_spark.queries import registry
+
+# ---------------------------------------------------------------------------
+# entry — flagship pipeline smoke (sf0.001)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's core pipeline as one lazy plan —
+    derive raw measurements → clean (F1-F7) → per-float metadata (A1)."""
+    sf_dir = "/root/testdata/sf0.001"
+    raw = argo_raw_df(spark, sf_dir)
+    cleaned = cleaning.clean_argo(raw)
+    return float_metadata_agg(cleaned)
+
+
+# ---------------------------------------------------------------------------
+# queries / oracles — delegated to the registry module
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.spark for name, spec in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec.oracle
+        for name, spec in registry().items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,42 @@
+"""Table catalog over the parquet lakehouse test tables.
+
+``load_table`` is the single scan entry point — every query plan starts
+here, so predicate pushdown and column pruning reach the parquet reader
+through one choke point. At cluster scale the same function would resolve
+to a real catalog (Hive/Glue/Unity) table; the parquet-directory layout is
+the local stand-in.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+EXTRA_TABLES = ("events", "documents", "embeddings")
+ALL_TABLES = TPCH_TABLES + EXTRA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one test table. Lazy — filters/projections placed on the result
+    are pushed into the parquet scan by Catalyst."""
+    if name not in ALL_TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {ALL_TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for spark.sql() plans."""
+    for name in ALL_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,73 @@
+"""Vector expressions — dot product, norms, cosine — as JVM-side builtins.
+
+The reference computes cosine similarity in NumPy on the driver
+(embeddings/embed.py:386-397) and delegates ANN to ChromaDB's HNSW. Here
+similarity is a column expression (`aggregate(zip_with(...))`) so it runs
+distributed, inside codegen, with no Python in the loop.
+
+Determinism note: the fold is sequential over array positions, which makes
+the floating-point sum order-identical across engines (the DuckDB oracle's
+list_dot_product also folds left-to-right) — similarity scores compare
+exactly, not approximately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Σ a_i·b_i in double precision (V3)."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    """L2 norm in double precision."""
+    return F.sqrt(
+        F.aggregate(
+            _c(a),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """V3 — dot(a,b) / (‖a‖·‖b‖) (reference embeddings/embed.py:386-397)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Pre-normalize vectors at write time so search-time similarity is a
+    bare dot product (halves the flops of every query scan)."""
+    n = norm(a)
+    return F.transform(_c(a), lambda v: (v.cast("double") / n))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """O3/O4 — exact brute-force cosine top-k against a literal query vector.
+
+    The query vector is a literal array (broadcast by value into the plan);
+    ORDER BY + LIMIT compiles to TakeOrderedAndProject — per-partition
+    top-k heaps + a k-row driver merge, NO global sort shuffle. This is the
+    exact-parity baseline; the LSH variant (operators/similarity.py) is the
+    100 TB path.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.withColumn("score", F.round(cosine(F.col(vec_col), q), 6))
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)

@@ -1,0 +1,180 @@
+"""Aggregation operators — per-float metadata, global stats, profile rollups.
+
+Re-expresses reference ingest/preprocess.py:295-357 (A1), fastapi_app.py:
+279-372 (A3), embeddings/embed.py:305-361 (A4) and the counting/verification
+aggs (A5-A8) as single groupBy().agg() plans.
+
+Scale notes: every aggregate here is a Spark built-in, so partial (map-side)
+aggregation applies — the shuffle carries one row per (group, agg) not one
+row per input. `countDistinct(profile_id)` is the only shuffle-heavy
+aggregate; for 100 TB rollups `approx_count_distinct` is the documented
+escape hatch (exact form kept as default for reference parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEASUREMENT_COLS = ("temperature", "salinity", "pressure", "depth")
+
+
+def float_metadata_agg(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
+    """A1 — per-float aggregate metadata (reference preprocess.py:295-357).
+
+    One row per float_id with: deploy/end dates (min/max time), bounding box
+    (min/max lat/lon), total_profiles (distinct profile_id), and per-variable
+    count/min/max/mean. Nulls are skipped by Spark aggregates exactly as
+    pandas skips NaN, so the null-out cleaning semantics (F3) compose
+    correctly with this operator.
+    """
+    n_profiles = (
+        F.approx_count_distinct("profile_id")
+        if approx_distinct
+        else F.countDistinct("profile_id")
+    )
+    aggs = [
+        F.min("time").alias("deploy_date"),
+        F.max("time").alias("end_date"),
+        F.min("latitude").alias("lat_min"),
+        F.max("latitude").alias("lat_max"),
+        F.min("longitude").alias("lon_min"),
+        F.max("longitude").alias("lon_max"),
+        n_profiles.alias("total_profiles"),
+    ]
+    for c in MEASUREMENT_COLS:
+        if c in df.columns:
+            aggs += [
+                F.count(c).alias(f"{c}_count"),
+                F.min(c).alias(f"{c}_min"),
+                F.max(c).alias(f"{c}_max"),
+                F.avg(c).alias(f"{c}_mean"),
+            ]
+    return df.groupBy("float_id").agg(*aggs)
+
+
+def float_properties(df: DataFrame) -> DataFrame:
+    """A1+R4 — per-float nested `properties` document
+    (reference preprocess.py:315-348, schema FIXTURES.md §3).
+
+    Builds the struct from the flat aggregate in one pass; variables whose
+    values are all-null for a float are omitted from `measurements`
+    (reference preprocess.py:333) by map_filter on the count.
+    """
+    flat = float_metadata_agg(df)
+    meas_entries = []
+    for c in MEASUREMENT_COLS:
+        if f"{c}_count" in flat.columns:
+            meas_entries.append(
+                F.struct(
+                    F.lit(c).alias("key"),
+                    F.struct(
+                        F.col(f"{c}_count").alias("count"),
+                        F.col(f"{c}_min").alias("min"),
+                        F.col(f"{c}_max").alias("max"),
+                        F.col(f"{c}_mean").alias("mean"),
+                    ).alias("value"),
+                )
+            )
+    measurements = F.map_filter(
+        F.map_from_entries(F.array(*meas_entries)),
+        lambda _, v: v["count"] > 0,
+    )
+    return flat.select(
+        "float_id",
+        F.col("float_id").alias("platform_number"),  # preprocess.py:343
+        F.col("deploy_date"),
+        F.struct(
+            F.col("total_profiles"),
+            F.struct(
+                F.date_format("deploy_date", "yyyy-MM-dd'T'HH:mm:ss").alias("start"),
+                F.date_format("end_date", "yyyy-MM-dd'T'HH:mm:ss").alias("end"),
+            ).alias("date_range"),
+            F.struct(
+                F.col("lat_min"), F.col("lat_max"), F.col("lon_min"), F.col("lon_max")
+            ).alias("location_range"),
+            measurements.alias("measurements"),
+        ).alias("properties"),
+    )
+
+
+def profile_grouping(df: DataFrame) -> DataFrame:
+    """A2 — one row per (float_id, profile_id): first time/lat/lon plus
+    level count (reference preprocess.py:373-385).
+
+    `first` over an explicit ordering (min over struct ordered by level)
+    keeps the result deterministic under partition parallelism — plain
+    first() in Spark is order-dependent.
+    """
+    return df.groupBy("float_id", "profile_id").agg(
+        F.min(F.struct("level", "time")).getField("time").alias("profile_time"),
+        F.min(F.struct("level", "latitude")).getField("latitude").alias("lat"),
+        F.min(F.struct("level", "longitude")).getField("longitude").alias("lon"),
+        F.count(F.lit(1)).alias("n_levels"),
+    )
+
+
+def global_stats(df: DataFrame) -> DataFrame:
+    """A3 — whole-dataset measurement stats (reference fastapi_app.py:279-372):
+    per variable min/max/mean/count + global time/space extent + profile count.
+    A single partial-aggregable global agg — one reduce, no groupBy shuffle.
+    """
+    aggs = [
+        F.min("time").alias("time_min"),
+        F.max("time").alias("time_max"),
+        F.min("latitude").alias("lat_min"),
+        F.max("latitude").alias("lat_max"),
+        F.min("longitude").alias("lon_min"),
+        F.max("longitude").alias("lon_max"),
+        F.countDistinct("float_id", "profile_id").alias("total_profiles"),
+    ]
+    for c in MEASUREMENT_COLS:
+        if c in df.columns:
+            aggs += [
+                F.count(c).alias(f"{c}_count"),
+                F.min(c).alias(f"{c}_min"),
+                F.max(c).alias(f"{c}_max"),
+                F.avg(c).alias(f"{c}_mean"),
+            ]
+    return df.agg(*aggs)
+
+
+def profile_summary(df: DataFrame) -> DataFrame:
+    """A4 — per-(float, profile_time) variable rollup over the EAV profiles
+    table (reference embeddings/embed.py:305-361): pivot TEMP/PSAL to
+    min/max columns plus max depth/pressure.
+
+    Expects the R2 melt output (variable_name/variable_value columns).
+    Pivot values are declared explicitly — with them, Spark skips the extra
+    distinct-scan job and the plan is a single hash aggregate.
+    """
+    pivoted = (
+        df.groupBy("float_id", "profile_time")
+        .pivot("variable_name", ["TEMP", "PSAL"])
+        .agg(
+            F.min("variable_value").alias("min"),
+            F.max("variable_value").alias("max"),
+        )
+    )
+    extremes = df.groupBy("float_id", "profile_time").agg(
+        F.max("pressure").alias("max_pressure"),
+        F.max("depth").alias("max_depth"),
+    )
+    return pivoted.join(extremes, ["float_id", "profile_time"])
+
+
+def table_counts(df: DataFrame, key: str = "float_id") -> DataFrame:
+    """A6 — per-key row counts (reference db_handler.py:346-381)."""
+    return df.groupBy(key).count()
+
+
+def presence_counts(df: DataFrame, flag_cols: tuple[str, ...]) -> DataFrame:
+    """A7/A8 — presence/verification counts (reference export_chromadb_to_
+    text.py:195-245, update_chromadb_measurements.py:313-350): total rows
+    plus how many rows have each flag/stat populated."""
+    aggs = [F.count(F.lit(1)).alias("total")]
+    for c in flag_cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0)).alias(f"has_{c}")
+        )
+    return df.agg(*aggs)
