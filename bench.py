@@ -1,0 +1,76 @@
+"""Benchmark harness — runs the headline queries and prints ONE JSON line.
+
+Usage: python bench.py
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+
+Per-query wall time includes plan + execution to a count/collect, matching
+how the reference pipeline would be timed end-to-end. The metric is total
+seconds across headline queries (lower is better).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from floatchat_datapipeline_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family — scan+filter, group-agg, melt,
+# join+topk, vector search. Kept in sync with __spark_entry__.queries().
+HEADLINE = (
+    "argo_clean",
+    "argo_float_metadata",
+    "argo_profiles_eav",
+    "tpch_pricing_summary",
+    "top_revenue_orders",
+    "cosine_topk",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark(
+        app_name="floatchat-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in sorted(qs) if n not in HEADLINE
+    ]
+
+    # Warm the JVM/readers once so per-query numbers measure the queries,
+    # not session startup.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        # Execute the full plan exactly once, without driver materialization.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     are pushed into the parquet scan by Catalyst."""
     if name not in ALL_TABLES:
         raise KeyError(f"unknown table {name!r}; known: {ALL_TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long nanos
+    # (session.py sets nanosAsLong); surface it as a microsecond timestamp.
+    # Values are microsecond-aligned, so the truncation is lossless.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # `div` = integer division: double division would round 19-digit
+        # nano values (> 2^53) and corrupt the microsecond component.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -102,14 +102,15 @@ def profile_grouping(df: DataFrame) -> DataFrame:
     """A2 — one row per (float_id, profile_id): first time/lat/lon plus
     level count (reference preprocess.py:373-385).
 
-    `first` over an explicit ordering (min over struct ordered by level)
-    keeps the result deterministic under partition parallelism — plain
-    first() in Spark is order-dependent.
+    `first` in Spark is partition-order-dependent; a min over ONE totally
+    ordered struct picks a single consistent row deterministically (ties on
+    level cannot split fields across rows).
     """
+    picked = F.min(F.struct("level", "time", "latitude", "longitude"))
     return df.groupBy("float_id", "profile_id").agg(
-        F.min(F.struct("level", "time")).getField("time").alias("profile_time"),
-        F.min(F.struct("level", "latitude")).getField("latitude").alias("lat"),
-        F.min(F.struct("level", "longitude")).getField("longitude").alias("lon"),
+        picked.getField("time").alias("profile_time"),
+        picked.getField("latitude").alias("lat"),
+        picked.getField("longitude").alias("lon"),
         F.count(F.lit(1)).alias("n_levels"),
     )
 

@@ -1,0 +1,94 @@
+"""Join operators — existence anti-join, fuzzy containment theta join.
+
+J1: the reference checks float existence row-by-row (SELECT 1 ... LIMIT 1
+per float, db_handler.py:326-344 driven from main.py:265-297) — O(N) round
+trips. Set-at-a-time form: one left_anti join, broadcast when the existing-
+keys side is a dim.
+
+J2: the reference's fuzzy id match is a Python nested loop over
+(ChromaDB docs × Supabase floats) with mutual-containment predicate and
+first-match-wins (update_chromadb_measurements.py:181-237). Containment
+defeats hash joins, so the physical strategy is a broadcast nested-loop —
+correct and cheap while one side is dim-sized (guard rail: require the
+build side to be small enough to broadcast). First-match is made
+deterministic with an explicit min() tie-break instead of loop order
+(SURVEY.md §7.4.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from floatchat_datapipeline_spark.operators.cleaning import clean_float_id
+
+
+def anti_join_new_keys(
+    new_df: DataFrame, existing_df: DataFrame, key: str = "float_id"
+) -> DataFrame:
+    """J1/D2 — rows of `new_df` whose key is absent from `existing_df`.
+    The existing side is broadcast (dim-sized in the reference: the floats
+    table); no shuffle of the fact side."""
+    return new_df.join(
+        F.broadcast(existing_df.select(key).distinct()), key, "left_anti"
+    )
+
+
+def fuzzy_id_join(
+    docs: DataFrame,
+    floats: DataFrame,
+    doc_id_col: str = "doc_float_id",
+    float_id_col: str = "float_id",
+) -> DataFrame:
+    """J2 — containment theta join: match after cleaning if ids are equal
+    or either contains the other; first match wins deterministically
+    (min float_id per doc, replacing the reference's loop-order tie-break).
+
+    Physical plan: BroadcastNestedLoopJoin with `floats` as the build side.
+    """
+    d = docs.withColumn("_clean_doc_id", clean_float_id(doc_id_col))
+    f = floats.select(
+        clean_float_id(float_id_col).alias("_clean_float_id")
+    ).distinct()
+    cond = (
+        (F.col("_clean_doc_id") == F.col("_clean_float_id"))
+        | F.col("_clean_doc_id").contains(F.col("_clean_float_id"))
+        | F.col("_clean_float_id").contains(F.col("_clean_doc_id"))
+    )
+    matched = d.join(F.broadcast(f), cond, "left")
+    return (
+        matched.groupBy(doc_id_col, "_clean_doc_id")
+        .agg(F.min("_clean_float_id").alias("matched_float_id"))
+        .withColumnRenamed("_clean_doc_id", "clean_doc_id")
+    )
+
+
+def unmatched_both_sides(
+    docs: DataFrame,
+    floats: DataFrame,
+    doc_id_col: str = "doc_float_id",
+    float_id_col: str = "float_id",
+) -> DataFrame:
+    """D3 — ids unmatched in each direction after the fuzzy join
+    (reference update_chromadb_measurements.py:196-231 reports both).
+    Output: (id, side) rows; side ∈ {'docs','floats'}."""
+    m = fuzzy_id_join(docs, floats, doc_id_col, float_id_col)
+    unmatched_docs = (
+        m.filter(F.col("matched_float_id").isNull())
+        .select(F.col("clean_doc_id").alias("id"))
+        .withColumn("side", F.lit("docs"))
+    )
+    matched_floats = m.filter(F.col("matched_float_id").isNotNull()).select(
+        F.col("matched_float_id").alias("_mf")
+    )
+    unmatched_floats = (
+        floats.select(clean_float_id(float_id_col).alias("id"))
+        .distinct()
+        .join(
+            F.broadcast(matched_floats.distinct()),
+            F.col("id") == F.col("_mf"),
+            "left_anti",
+        )
+        .withColumn("side", F.lit("floats"))
+    )
+    return unmatched_docs.unionByName(unmatched_floats).distinct()

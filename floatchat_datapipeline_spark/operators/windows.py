@@ -1,0 +1,110 @@
+"""Event-stream operators (batch form) — rollups, sessionization, dedup.
+
+The reference has no streaming engine; its incremental surface is
+event-at-a-time HTTP ingest (reference fastapi_app.py:614-778, SURVEY.md
+§2.12). These operators give that surface proper set-at-a-time semantics on
+the `events` table. Each has an identical streaming twin in
+streaming/windows.py (same expressions over readStream + watermark);
+keeping the batch form separate makes the logic oracle-checkable.
+
+Scale notes: the tumbling rollup is a plain partial-aggregable groupBy.
+Sessionization uses a window over (user_id, ts) — partitions by user, so
+skew only if one user dominates; the session_window streaming twin handles
+the unbounded case with state eviction by watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_MIN = 30
+
+
+def hourly_rollup(df: DataFrame) -> DataFrame:
+    """Tumbling 1-hour rollup per event_type: count, distinct users,
+    sum/avg(value). date_trunc keys the window — identical semantics to
+    window('1 hour') but with a plain column key (oracle-friendly and
+    partition-prunable when the sink is date-partitioned)."""
+    return (
+        df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            # avg derived from the rounded sum: double sums are partition-
+            # order dependent in the last bits, and round(avg, 4) can land
+            # exactly on a rounding boundary; rounding the sum first makes
+            # the result order-independent (and engine-independent).
+            F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
+def sessionize(df: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the gap
+    from the previous event of the same user exceeds `gap_minutes`.
+
+    Output: one row per session with start/end, event count, total value.
+    The cumulative-sum-of-boundaries pattern is the deterministic batch
+    equivalent of Structured Streaming's session_window (streaming twin in
+    streaming/windows.py).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = gap_minutes * 60
+    with_boundary = df.withColumn(
+        "_new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > gap_sec,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    with_id = with_boundary.withColumn(
+        "session_seq", F.sum("_new_session").over(w) + F.lit(1)
+    )
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    order_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """D1-style dedup: keep the latest row per key (the reference's
+    ON CONFLICT DO UPDATE upsert semantics, db_handler.py:180-187, as a
+    set-at-a-time operator). row_number over (ts desc, tiebreak desc) —
+    deterministic under ties, single shuffle on the key."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(order_col), F.desc(tiebreak)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def parse_props(df: DataFrame, field: str = "k") -> DataFrame:
+    """P7 — JSON property extraction (reference json.loads of `properties`,
+    db_handler.py:171-177) as a JVM-side path expression, no Python."""
+    return df.withColumn(
+        f"prop_{field}",
+        F.get_json_object(F.col("props"), f"$.{field}").cast("int"),
+    )

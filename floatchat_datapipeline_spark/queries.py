@@ -179,9 +179,15 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # avgs derived from rounded sums — order/engine independent
+            # (see operators/windows.py hourly_rollup note)
+            F.round(F.sum("l_quantity") / F.count(F.lit(1)), 2).alias("avg_qty"),
+            F.round(
+                F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 2
+            ).alias("avg_price"),
+            F.round(
+                F.round(F.sum("l_discount"), 4) / F.count(F.lit(1)), 4
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -194,9 +200,9 @@ SELECT
   round(sum(l_extendedprice), 2) AS sum_base_price,
   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  round(avg(l_quantity), 2) AS avg_qty,
-  round(avg(l_extendedprice), 2) AS avg_price,
-  round(avg(l_discount), 4) AS avg_disc,
+  round(sum(l_quantity) / count(*), 2) AS avg_qty,
+  round(round(sum(l_extendedprice), 2) / count(*), 2) AS avg_price,
+  round(round(sum(l_discount), 4) / count(*), 4) AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -271,6 +277,322 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# Events: rollups, sessionization, dedup, JSON props (SURVEY §2.12 batch form)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.operators.windows import hourly_rollup
+
+    return hourly_rollup(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS sum_value,
+       round(round(sum(value), 2) / count(*), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.operators.windows import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts)::BIGINT
+                   - lag(epoch(ts)::BIGINT) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER w + 1 AS session_seq
+  FROM flagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+def q_events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.operators.windows import latest_per_key
+
+    return latest_per_key(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_LATEST_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type
+    ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_events_props_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.operators.windows import parse_props
+
+    ev = parse_props(load_table(spark, sf_dir, "events"))
+    return ev.groupBy("event_type").agg(
+        F.count("prop_k").alias("n_with_k"),
+        F.round(F.avg("prop_k"), 4).alias("avg_k"),
+    )
+
+
+_EVENTS_PROPS_ORACLE = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins: existence anti-join (J1), fuzzy containment theta join (J2/D3)
+# ---------------------------------------------------------------------------
+
+
+def _existing_floats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Already in the DB' float set: supplier ids divisible by 3."""
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 3 == 0)
+        .select(F.col("s_suppkey").cast("string").alias("float_id"))
+    )
+
+
+def q_argo_new_floats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.operators.joins import anti_join_new_keys
+
+    new = _argo_clean_df(spark, sf_dir).select("float_id").distinct()
+    return anti_join_new_keys(new, _existing_floats(spark, sf_dir))
+
+
+_ARGO_NEW_FLOATS_ORACLE = _argo_oracle(
+    """
+SELECT DISTINCT float_id FROM argo_clean
+WHERE float_id NOT IN (
+  SELECT CAST(s_suppkey AS STRING) FROM supplier WHERE s_suppkey % 3 = 0
+)
+"""
+)
+
+
+def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty document-side ids: zero-padded inside b'...' wrappers for even
+    suppkeys (containment-match fixture), plain ids otherwise."""
+    s = load_table(spark, sf_dir, "supplier")
+    padded = F.lpad(F.col("s_suppkey").cast("string"), 4, "0")
+    return s.select(
+        F.when(
+            F.col("s_suppkey") % 2 == 0,
+            F.concat(F.lit("b'"), padded, F.lit(" '")),
+        )
+        .otherwise(F.col("s_suppkey").cast("string"))
+        .alias("doc_float_id")
+    ).distinct()
+
+
+def q_argo_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.operators.joins import fuzzy_id_join
+
+    return fuzzy_id_join(
+        _doc_ids(spark, sf_dir),
+        load_table(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").cast("string").alias("float_id")
+        ),
+    )
+
+
+_ARGO_FUZZY_ORACLE = """
+WITH docs AS (
+  SELECT DISTINCT
+    CASE WHEN s_suppkey % 2 = 0
+         THEN concat('b''', lpad(CAST(s_suppkey AS STRING), 4, '0'), ' ''')
+         ELSE CAST(s_suppkey AS STRING) END AS doc_float_id
+  FROM supplier
+), d AS (
+  SELECT doc_float_id,
+         trim(regexp_replace(doc_float_id, '^b''|''$', '', 'g')) AS clean_doc_id
+  FROM docs
+), f AS (
+  SELECT DISTINCT CAST(s_suppkey AS STRING) AS clean_float_id FROM supplier
+)
+SELECT doc_float_id, clean_doc_id, min(clean_float_id) AS matched_float_id
+FROM d LEFT JOIN f
+  ON clean_doc_id = clean_float_id
+  OR strpos(clean_doc_id, clean_float_id) > 0
+  OR strpos(clean_float_id, clean_doc_id) > 0
+GROUP BY doc_float_id, clean_doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Argo: global stats (A3), profile grouping (A2), classification (C5-C7)
+# ---------------------------------------------------------------------------
+
+
+def q_argo_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return global_stats(_argo_clean_df(spark, sf_dir))
+
+
+_ARGO_GLOBAL_STATS_ORACLE = _argo_oracle(
+    """
+SELECT
+  min(time) AS time_min, max(time) AS time_max,
+  min(latitude) AS lat_min, max(latitude) AS lat_max,
+  min(longitude) AS lon_min, max(longitude) AS lon_max,
+  count(DISTINCT CASE WHEN profile_id IS NOT NULL
+                      THEN (float_id, profile_id) END) AS total_profiles,
+  count(temperature) AS temperature_count, min(temperature) AS temperature_min,
+  max(temperature) AS temperature_max, avg(temperature) AS temperature_mean,
+  count(salinity) AS salinity_count, min(salinity) AS salinity_min,
+  max(salinity) AS salinity_max, avg(salinity) AS salinity_mean,
+  count(pressure) AS pressure_count, min(pressure) AS pressure_min,
+  max(pressure) AS pressure_max, avg(pressure) AS pressure_mean,
+  count(depth) AS depth_count, min(depth) AS depth_min,
+  max(depth) AS depth_max, avg(depth) AS depth_mean
+FROM argo_clean
+"""
+)
+
+
+def q_argo_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.operators.aggregate import profile_grouping
+
+    return profile_grouping(_argo_clean_df(spark, sf_dir))
+
+
+_ARGO_PROFILE_STATS_ORACLE = _argo_oracle(
+    """
+SELECT float_id, profile_id, time AS profile_time, latitude AS lat,
+       longitude AS lon, n_levels
+FROM (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY float_id, profile_id
+           ORDER BY level, time, latitude, longitude) AS rn,
+         count(*) OVER (PARTITION BY float_id, profile_id) AS n_levels
+  FROM argo_clean
+) WHERE rn = 1
+"""
+)
+
+
+def q_argo_region_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.functions.geo import (
+        hemisphere_zone,
+        ocean_region,
+        season_from_month,
+    )
+
+    cl = _argo_clean_df(spark, sf_dir)
+    return (
+        cl.select(
+            ocean_region("latitude", "longitude").alias("region"),
+            hemisphere_zone("latitude").alias("zone"),
+            season_from_month("time").alias("season"),
+        )
+        .groupBy("region", "zone", "season")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_ARGO_REGION_CLASS_ORACLE = _argo_oracle(
+    """
+SELECT
+  CASE WHEN latitude < -60 THEN 'Southern Ocean'
+       WHEN latitude > 66 THEN 'Arctic Ocean'
+       WHEN longitude >= 20 AND longitude < 120 THEN 'Indian Ocean'
+       WHEN longitude >= 120 OR longitude < -70 THEN 'Pacific Ocean'
+       ELSE 'Atlantic Ocean' END AS region,
+  CASE WHEN latitude < -30 THEN 'southern'
+       WHEN latitude > 30 THEN 'northern'
+       ELSE 'tropical' END AS zone,
+  CASE WHEN month(time) BETWEEN 3 AND 5 THEN 'spring'
+       WHEN month(time) BETWEEN 6 AND 8 THEN 'summer'
+       WHEN month(time) BETWEEN 9 AND 11 THEN 'autumn'
+       ELSE 'winter' END AS season,
+  count(*) AS n_rows
+FROM argo_clean
+GROUP BY 1, 2, 3
+"""
+)
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — 5-way join with broadcast dims, revenue by nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_REGION_REVENUE_ORACLE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_customer_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function top-N per key: 3 biggest orders per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank_in_customer", F.row_number().over(w))
+        .filter(F.col("rank_in_customer") <= 3)
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice", "rank_in_customer"
+        )
+    )
+
+
+_CUSTOMER_TOP_ORDERS_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_customer FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_customer
+  FROM orders
+) WHERE rank_in_customer <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -298,5 +620,38 @@ def registry() -> dict[str, QuerySpec]:
         ),
         "cosine_topk": QuerySpec(
             q_cosine_topk, _COSINE_TOPK_ORACLE, ("O3", "O4", "V3")
+        ),
+        "events_hourly": QuerySpec(
+            q_events_hourly, _EVENTS_HOURLY_ORACLE, ("A7", "streaming-window")
+        ),
+        "events_sessions": QuerySpec(
+            q_events_sessions, _EVENTS_SESSIONS_ORACLE, ("streaming-session",)
+        ),
+        "events_latest": QuerySpec(
+            q_events_latest, _EVENTS_LATEST_ORACLE, ("D1", "K1")
+        ),
+        "events_props_avg": QuerySpec(
+            q_events_props_avg, _EVENTS_PROPS_ORACLE, ("P7",)
+        ),
+        "argo_new_floats": QuerySpec(
+            q_argo_new_floats, _ARGO_NEW_FLOATS_ORACLE, ("J1", "D2")
+        ),
+        "argo_fuzzy_match": QuerySpec(
+            q_argo_fuzzy_match, _ARGO_FUZZY_ORACLE, ("J2", "J3")
+        ),
+        "argo_global_stats": QuerySpec(
+            q_argo_global_stats, _ARGO_GLOBAL_STATS_ORACLE, ("A3",)
+        ),
+        "argo_profile_stats": QuerySpec(
+            q_argo_profile_stats, _ARGO_PROFILE_STATS_ORACLE, ("A2",)
+        ),
+        "argo_region_class": QuerySpec(
+            q_argo_region_class, _ARGO_REGION_CLASS_ORACLE, ("C5", "C6", "C7")
+        ),
+        "region_revenue": QuerySpec(
+            q_region_revenue, _REGION_REVENUE_ORACLE, ("J4",)
+        ),
+        "customer_top_orders": QuerySpec(
+            q_customer_top_orders, _CUSTOMER_TOP_ORDERS_ORACLE, ("O2",)
         ),
     }
