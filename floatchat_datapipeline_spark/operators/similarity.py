@@ -1,0 +1,124 @@
+"""Similarity-search operators over embedding columns.
+
+V4/O3 north-star: brute-force exact cosine is the baseline (correct at any
+recall); sign-bucket LSH is the scale path — random-hyperplane LSH where
+the hyperplanes are the coordinate axes of the leading dimensions. Both
+are pure DataFrame plans (no UDFs); the scored-pairs shape feeds the
+embedding near-dup stage of an LLM data pipeline.
+
+Scale design: bucketing by an 8-bit sign pattern cuts candidate pairs
+~256× for centered embeddings; real deployments raise bits / add rotations
+as the corpus grows, trading recall for shuffle volume. The bucket join
+shuffles by bucket key — never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from floatchat_datapipeline_spark.functions.vector import cosine
+
+SIGN_BITS = 8
+
+
+def sign_bucket(vec: Column | str, bits: int = SIGN_BITS) -> Column:
+    """Random-hyperplane LSH key: sign pattern of the first `bits` dims."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.concat(
+        *[
+            F.when(F.element_at(v, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(bits)
+        ]
+    )
+
+
+def bucketed_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+    bits: int = SIGN_BITS,
+) -> DataFrame:
+    """Embedding near-dup candidates: same sign-bucket, cosine ≥ threshold.
+    Output (id_a, id_b, score) with id_a < id_b."""
+    keyed = df.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(vec_col, bits).alias("bucket")
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def knn_within_label(
+    df: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-vector k nearest neighbors within its label partition —
+    the grouped form of similarity join (metadata pre-filter F10 composed
+    with top-k O4). Window row_number over (score desc, neighbor id) keeps
+    ties deterministic."""
+    from pyspark.sql import Window
+
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col(label_col).alias("label"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col(label_col).alias("label"),
+    )
+    scored = (
+        a.join(b, "label")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "label",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("score"), F.col("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("label", "id_a", "id_b", "score", "rank")
+    )
+
+
+def embedding_audit(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """V6 — embedding presence/dimension/norm audit: one row with corpus
+    counts and norm stats (the reference audits sample-by-sample,
+    test_chromadb_embeddings.py:81-159; this is the set-at-a-time form)."""
+    from floatchat_datapipeline_spark.functions.vector import norm
+
+    n = F.round(norm(F.col(vec_col)), 6)
+    return df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col(vec_col).isNotNull(), 1).otherwise(0)).alias(
+            "with_embedding"
+        ),
+        F.sum(F.when(F.size(F.col(vec_col)) == dim, 1).otherwise(0)).alias(
+            "with_expected_dim"
+        ),
+        F.round(F.min(n), 6).alias("norm_min"),
+        F.round(F.max(n), 6).alias("norm_max"),
+    )

@@ -312,7 +312,9 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
-  SELECT *, sum(new_session) OVER w + 1 AS session_seq
+  -- CAST: DuckDB sum(int) is HUGEINT which lands in pandas as float64;
+  -- Spark's is BIGINT. Align for value-hash stability.
+  SELECT *, CAST(sum(new_session) OVER w + 1 AS BIGINT) AS session_seq
   FROM flagged
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
@@ -593,6 +595,318 @@ SELECT o_custkey, o_orderkey, o_totalprice, rank_in_customer FROM (
 
 
 # ---------------------------------------------------------------------------
+# Documents: text analysis (north-star LLM-pipeline operators)
+# ---------------------------------------------------------------------------
+
+# DuckDB rendering of the 3-word-shingle set (list comprehension); the
+# Spark twin is functions/textstats.word_shingles.
+_SHINGLES_3_SQL = """
+list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               for i in generate_series(1, len(t)-2)])
+"""
+_MD5_LONG_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.functions import textstats as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        T.token_count("text").cast("long").alias("n_tokens"),
+        T.distinct_token_count("text").cast("long").alias("n_distinct_tokens"),
+        T.avg_token_len("text").alias("avg_token_len"),
+        T.type_token_ratio("text").alias("type_token_ratio"),
+    )
+
+
+_DOC_TOKEN_STATS_ORACLE = """
+SELECT doc_id, lang, source,
+  CAST(length(text) AS BIGINT) AS n_chars_calc,
+  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+  round(length(replace(text, ' ', ''))::DOUBLE
+        / (length(text) - length(replace(text, ' ', '')) + 1), 4) AS avg_token_len,
+  round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+        / (length(text) - length(replace(text, ' ', '')) + 1), 4) AS type_token_ratio
+FROM documents
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.functions import textstats as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.stopword_ratio("text").alias("stopword_ratio"),
+        T.quality_score("text").alias("quality_score"),
+    )
+
+
+_DOC_QUALITY_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+    string_split(text, ' ') AS toks,
+    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n
+  FROM documents
+), scored AS (
+  SELECT doc_id, n,
+    round(len(list_filter(toks, x -> x IN ('a','the','of','and','is')))::DOUBLE
+          / n, 4) AS stopword_ratio,
+    round(len(list_distinct(toks))::DOUBLE / n, 4) AS ttr
+  FROM base
+)
+SELECT doc_id, stopword_ratio,
+  round((least(n / 50e0, 1e0)
+         + ttr
+         + CASE WHEN stopword_ratio > 0.01 AND stopword_ratio < 0.5
+                THEN 1e0 ELSE 0.5e0 END) / 3e0, 4) AS quality_score
+FROM scored
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.functions import textstats as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        "doc_id", "lang", T.lang_id("text").alias("predicted_lang")
+    )
+    return pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+_DOC_LANG_ID_ORACLE = """
+WITH scores AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+    len(list_filter(toks, x -> x IN ('la','el','de','que','y'))) AS s_es,
+    len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+    len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+    len(list_filter(toks, x -> x IN ('de','le','shi','he','zai'))) AS s_zh
+  FROM (SELECT doc_id, lang, string_split(text, ' ') toks FROM documents)
+), pred AS (
+  SELECT doc_id, lang,
+    CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'unknown'
+         WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+         WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+         WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+         WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+         ELSE 'zh' END AS predicted_lang
+  FROM scores
+)
+SELECT lang, predicted_lang, count(*) AS n_docs
+FROM pred GROUP BY lang, predicted_lang
+"""
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+_DOC_EXACT_DEDUP_ORACLE = """
+SELECT md5(lower(trim(text))) AS content_hash,
+       min(doc_id) AS keeper_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.functions import textstats as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+
+
+_DOC_FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+  list_aggregate(
+    list_transform(
+      [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+       for i in generate_series(1, len(t)-4)],
+      s -> {_MD5_LONG_SQL.format(x='s')}),
+    'min') AS fingerprint
+FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)
+"""
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_DOC_NGRAM_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_3_SQL}) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.05
+"""
+
+
+def q_doc_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(load_table(spark, sf_dir, "documents"), spark)
+
+
+_MINHASH_SIG_SQL = f"""
+sh AS (
+  SELECT doc_id, unnest({_SHINGLES_3_SQL}) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)
+), seeds AS (
+  SELECT CAST(unnest(generate_series(0, 15)) AS INT) AS seed
+), sig AS (
+  SELECT doc_id, seed,
+         min({_MD5_LONG_SQL.format(x="CAST(seed AS STRING) || '|' || tok")}) AS minhash
+  FROM sh, seeds
+  GROUP BY doc_id, seed
+)
+"""
+
+_DOC_MINHASH_SIGS_ORACLE = f"WITH {_MINHASH_SIG_SQL} SELECT doc_id, seed, minhash FROM sig"
+
+
+def q_doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), spark)
+
+
+_DOC_MINHASH_LSH_ORACLE = f"""
+WITH {_MINHASH_SIG_SQL},
+keys AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         md5(string_agg(CAST(minhash AS STRING), ',' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM keys a JOIN keys b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.operators.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"), spark)
+
+
+_DOC_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_MD5_LONG_SQL.format(x='tok')} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+), bits AS (
+  SELECT CAST(unnest(generate_series(0, 47)) AS INT) AS bit
+), per_bit AS (
+  SELECT doc_id, bit, CAST(1 AS BIGINT) << bit AS pow2,
+         CAST(sum(((h // (CAST(1 AS BIGINT) << bit)) % 2) * 2 - 1) AS BIGINT) AS s
+  FROM toks, bits
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: near-dup, grouped knn, audit (V4/V6 north-star)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
+)
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.operators.similarity import (
+        bucketed_near_dup_pairs,
+    )
+
+    return bucketed_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+_EMB_NEAR_DUP_ORACLE = f"""
+WITH keyed AS (
+  SELECT vec_id, embedding,
+    list_aggregate([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END
+                    for i in generate_series(1, 8)], 'string_agg', '') AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS score
+FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.3
+"""
+
+
+def q_emb_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.operators.similarity import knn_within_label
+
+    return knn_within_label(load_table(spark, sf_dir, "embeddings"))
+
+
+_EMB_KNN_ORACLE = f"""
+WITH scored AS (
+  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS score
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT label, id_a, id_b, score, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def q_emb_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from floatchat_datapipeline_spark.operators.similarity import embedding_audit
+
+    return embedding_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+_EMB_AUDIT_ORACLE = """
+WITH norms AS (
+  SELECT embedding,
+         round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))), 6) AS nrm
+  FROM embeddings
+)
+SELECT count(*) AS total,
+       CAST(sum(CASE WHEN embedding IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS with_embedding,
+       CAST(sum(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END) AS BIGINT)
+         AS with_expected_dim,
+       round(min(nrm), 6) AS norm_min,
+       round(max(nrm), 6) AS norm_max
+FROM norms
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -653,5 +967,41 @@ def registry() -> dict[str, QuerySpec]:
         ),
         "customer_top_orders": QuerySpec(
             q_customer_top_orders, _CUSTOMER_TOP_ORDERS_ORACLE, ("O2",)
+        ),
+        "doc_token_stats": QuerySpec(
+            q_doc_token_stats, _DOC_TOKEN_STATS_ORACLE, ("text-analysis",)
+        ),
+        "doc_quality": QuerySpec(
+            q_doc_quality, _DOC_QUALITY_ORACLE, ("text-quality",)
+        ),
+        "doc_lang_id": QuerySpec(
+            q_doc_lang_id, _DOC_LANG_ID_ORACLE, ("lang-id",)
+        ),
+        "doc_exact_dedup": QuerySpec(
+            q_doc_exact_dedup, _DOC_EXACT_DEDUP_ORACLE, ("D1", "dedup-exact")
+        ),
+        "doc_fingerprint": QuerySpec(
+            q_doc_fingerprint, _DOC_FINGERPRINT_ORACLE, ("fingerprint",)
+        ),
+        "doc_ngram_jaccard": QuerySpec(
+            q_doc_ngram_jaccard, _DOC_NGRAM_JACCARD_ORACLE, ("dedup-jaccard",)
+        ),
+        "doc_minhash_sigs": QuerySpec(
+            q_doc_minhash_sigs, _DOC_MINHASH_SIGS_ORACLE, ("dedup-minhash",)
+        ),
+        "doc_minhash_lsh_pairs": QuerySpec(
+            q_doc_minhash_lsh_pairs, _DOC_MINHASH_LSH_ORACLE, ("dedup-lsh",)
+        ),
+        "doc_simhash": QuerySpec(
+            q_doc_simhash, _DOC_SIMHASH_ORACLE, ("dedup-simhash",)
+        ),
+        "emb_near_dup": QuerySpec(
+            q_emb_near_dup, _EMB_NEAR_DUP_ORACLE, ("V4", "dedup-embedding")
+        ),
+        "emb_knn_label": QuerySpec(
+            q_emb_knn_label, _EMB_KNN_ORACLE, ("O4", "F10", "V4")
+        ),
+        "emb_audit": QuerySpec(
+            q_emb_audit, _EMB_AUDIT_ORACLE, ("V6", "A8")
         ),
     }
