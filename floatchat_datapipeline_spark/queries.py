@@ -907,6 +907,289 @@ FROM norms
 
 
 # ---------------------------------------------------------------------------
+# Argo text summaries (C1/C2), explode roundtrip (R1), pivot (A4),
+# flatten (P9), filename ids (P8), filtered ANN (F10)
+# ---------------------------------------------------------------------------
+
+# Spark formats doubles in (0, 1e-3) scientifically; rounded 1-3dp values
+# can't land there except exact ±0.0 — "+ 0e0" kills the -0.0 edge.
+
+
+def q_argo_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — production NL summary per float over the A1 aggregate."""
+    from floatchat_datapipeline_spark.functions.text import float_summary_v2
+
+    flat = float_metadata_agg(_argo_clean_df(spark, sf_dir))
+    cols = {c: (F.col(c) + F.lit(0.0)) if c.endswith(("_min", "_max")) else F.col(c) for c in flat.columns}
+    return flat.select(
+        "float_id", float_summary_v2(cols).alias("document")
+    )
+
+
+_ARGO_SUMMARIES_ORACLE = _argo_oracle(
+    """
+, agg AS (
+  SELECT float_id,
+    min(time) AS deploy_date,
+    min(latitude) + 0e0 AS lat_min, max(latitude) + 0e0 AS lat_max,
+    min(longitude) + 0e0 AS lon_min, max(longitude) + 0e0 AS lon_max,
+    count(DISTINCT profile_id) AS total_profiles,
+    count(temperature) AS temperature_count,
+    min(temperature) + 0e0 AS temperature_min, max(temperature) + 0e0 AS temperature_max,
+    count(salinity) AS salinity_count,
+    min(salinity) + 0e0 AS salinity_min, max(salinity) + 0e0 AS salinity_max,
+    count(pressure) AS pressure_count,
+    min(pressure) + 0e0 AS pressure_min, max(pressure) + 0e0 AS pressure_max
+  FROM argo_clean GROUP BY float_id
+)
+SELECT float_id,
+  concat(
+    'On ', strftime(deploy_date, '%d'), 'th ', strftime(deploy_date, '%b %Y'),
+    ', Argo float ', float_id, ' (platform ', float_id, ') recorded ',
+    CAST(total_profiles AS STRING), ' profiles near latitude ',
+    CAST(abs(round((lat_min + lat_max) / 2e0, 3) + 0e0) AS STRING), '°',
+    CASE WHEN round((lat_min + lat_max) / 2e0, 3) >= 0 THEN 'N' ELSE 'S' END,
+    ' and longitude ',
+    CAST(abs(round((lon_min + lon_max) / 2e0, 3) + 0e0) AS STRING), '°',
+    CASE WHEN round((lon_min + lon_max) / 2e0, 3) >= 0 THEN 'E' ELSE 'W' END,
+    '. Pressure ranged from ',
+    coalesce(CAST(round(pressure_min, 1) AS STRING), 'unknown'), ' to ',
+    coalesce(CAST(round(pressure_max, 1) AS STRING), 'unknown'),
+    ' dbar. Temperature ranged from ',
+    coalesce(CAST(round(temperature_min, 1) AS STRING), 'unknown'), ' to ',
+    coalesce(CAST(round(temperature_max, 1) AS STRING), 'unknown'),
+    '°C. Salinity ranged from ',
+    coalesce(CAST(round(salinity_min, 1) AS STRING), 'unknown'), ' to ',
+    coalesce(CAST(round(salinity_max, 1) AS STRING), 'unknown'),
+    ' PSU. A total of ',
+    CAST(coalesce(temperature_count, 0) + coalesce(salinity_count, 0)
+         + coalesce(pressure_count, 0) AS STRING),
+    ' measurements were taken.') AS document
+FROM agg
+"""
+)
+
+
+def q_argo_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 — build per-profile measurement arrays, posexplode back to long
+    rows. Row set must equal the (complete-measurement) cleaned input."""
+    from floatchat_datapipeline_spark.operators.reshape import (
+        explode_profile_matrix,
+    )
+
+    cl = (
+        _argo_clean_df(spark, sf_dir)
+        .filter(
+            F.col("profile_id").isNotNull()
+            & F.col("temperature").isNotNull()
+            & F.col("salinity").isNotNull()
+            & F.col("pressure").isNotNull()
+        )
+    )
+    matrix = cl.groupBy("float_id", "profile_id").agg(
+        F.min("time").alias("time"),
+        F.sort_array(
+            F.collect_list(F.struct("pressure", "temperature", "salinity"))
+        ).alias("_rows"),
+    )
+    arrays = matrix.select(
+        "float_id",
+        "profile_id",
+        "time",
+        F.col("_rows.pressure").alias("pres"),
+        F.col("_rows.temperature").alias("temp"),
+        F.col("_rows.salinity").alias("psal"),
+    )
+    return explode_profile_matrix(arrays)
+
+
+_ARGO_EXPLODE_ORACLE = _argo_oracle(
+    """
+, complete AS (
+  SELECT * FROM argo_clean
+  WHERE profile_id IS NOT NULL AND temperature IS NOT NULL
+    AND salinity IS NOT NULL AND pressure IS NOT NULL
+), matrix AS (
+  SELECT float_id, profile_id, min(time) AS time,
+         list((pressure, temperature, salinity)
+              ORDER BY pressure, temperature, salinity) AS rows_
+  FROM complete GROUP BY float_id, profile_id
+)
+SELECT float_id, profile_id, time,
+       CAST(u.i - 1 AS INT) AS level,
+       u.r[1] AS pressure, u.r[2] AS temperature, u.r[3] AS salinity
+FROM matrix,
+LATERAL (SELECT unnest(rows_) AS r,
+                unnest(generate_series(1, len(rows_))) AS i) u
+"""
+)
+
+
+def q_argo_profile_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — per-(float, profile_time) TEMP/PSAL min/max pivot over the EAV
+    melt + max depth/pressure (reference embed.py:305-361)."""
+    from floatchat_datapipeline_spark.operators.aggregate import profile_summary
+
+    eav = melt_profiles_eav(_argo_clean_df(spark, sf_dir))
+    return profile_summary(eav)
+
+
+_ARGO_PROFILE_PIVOT_ORACLE = _argo_oracle(
+    """
+, keyed AS (
+  SELECT *, strftime(time, '%Y%m%d_%H%M%S') AS ts_key FROM argo_clean
+), melted AS (
+  SELECT float_id, time AS profile_time, pressure, depth,
+         'TEMP' AS variable_name, temperature AS variable_value
+  FROM keyed WHERE temperature IS NOT NULL
+  UNION ALL
+  SELECT float_id, time, pressure, depth, 'PSAL', salinity
+  FROM keyed WHERE salinity IS NOT NULL
+)
+SELECT float_id, profile_time,
+  min(variable_value) FILTER (variable_name = 'TEMP') AS TEMP_min,
+  max(variable_value) FILTER (variable_name = 'TEMP') AS TEMP_max,
+  min(variable_value) FILTER (variable_name = 'PSAL') AS PSAL_min,
+  max(variable_value) FILTER (variable_name = 'PSAL') AS PSAL_max,
+  max(pressure) AS max_pressure,
+  max(depth) AS max_depth
+FROM melted
+GROUP BY float_id, profile_time
+"""
+)
+
+
+def q_argo_properties_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4+P9 — build the nested `properties` struct (A1 output) then flatten
+    measurements.temperature.min → temperature_min etc. (reference
+    fastapi_app.py:418-446). The oracle computes the flat form directly —
+    equal output proves the nest/flatten roundtrip."""
+    from floatchat_datapipeline_spark.operators.aggregate import float_properties
+
+    props = float_properties(_argo_clean_df(spark, sf_dir))
+    m = F.col("properties.measurements")
+    return props.select(
+        "float_id",
+        "platform_number",
+        F.col("properties.total_profiles").alias("total_profiles"),
+        F.col("properties.date_range.start").alias("date_start"),
+        F.col("properties.date_range.end").alias("date_end"),
+        F.col("properties.location_range.lat_min").alias("lat_min"),
+        F.col("properties.location_range.lat_max").alias("lat_max"),
+        m["temperature"]["min"].alias("temperature_min"),
+        m["temperature"]["max"].alias("temperature_max"),
+        m["temperature"]["mean"].alias("temperature_mean"),
+        m["salinity"]["count"].alias("salinity_count"),
+    )
+
+
+_ARGO_PROPERTIES_FLAT_ORACLE = _argo_oracle(
+    """
+SELECT float_id,
+  float_id AS platform_number,
+  count(DISTINCT profile_id) AS total_profiles,
+  strftime(min(time), '%Y-%m-%dT%H:%M:%S') AS date_start,
+  strftime(max(time), '%Y-%m-%dT%H:%M:%S') AS date_end,
+  min(latitude) AS lat_min, max(latitude) AS lat_max,
+  CASE WHEN count(temperature) > 0 THEN min(temperature) END AS temperature_min,
+  CASE WHEN count(temperature) > 0 THEN max(temperature) END AS temperature_max,
+  CASE WHEN count(temperature) > 0 THEN avg(temperature) END AS temperature_mean,
+  CASE WHEN count(salinity) > 0 THEN count(salinity) END AS salinity_count
+FROM argo_clean GROUP BY float_id
+"""
+)
+
+
+def q_filename_float_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — extract float ids from NetCDF-style filenames synthesized from
+    the part table (nodc_D{key}_{cycle}.nc, reference fastapi_app.py:660-675)."""
+    from floatchat_datapipeline_spark.functions.ids import float_id_from_filename
+
+    part = load_table(spark, sf_dir, "part")
+    files = part.select(
+        F.concat(
+            F.lit("nodc_D"),
+            F.col("p_partkey").cast("string"),
+            F.lit("_"),
+            (F.col("p_size") % 400).cast("string"),
+            F.lit(".nc"),
+        ).alias("file_name")
+    )
+    return files.select(
+        "file_name", float_id_from_filename("file_name").alias("float_id")
+    )
+
+
+_FILENAME_FLOAT_IDS_ORACLE = """
+SELECT file_name,
+       regexp_extract(file_name, '_[DR]?([0-9]+)_', 1) AS float_id
+FROM (
+  SELECT concat('nodc_D', CAST(p_partkey AS STRING), '_',
+                CAST(p_size % 400 AS STRING), '.nc') AS file_name
+  FROM part
+)
+"""
+
+
+def q_emb_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10+O4 — metadata-filtered ANN: cosine top-k restricted to a label
+    predicate BEFORE ranking (pre-filter, the cheap order)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("qvec"))
+    return (
+        emb.filter((F.col("label") % 2 == 0) & (F.col("vec_id") != 1))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+_EMB_FILTERED_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 1
+)
+SELECT vec_id, label,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), qvec)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qvec, qvec))), 6) AS score
+FROM embeddings, q
+WHERE label % 2 = 0 AND vec_id <> 1
+ORDER BY score DESC, vec_id
+LIMIT 5
+"""
+
+
+def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/K8 — per-source collection stats over documents (the reference's
+    export report aggregates, export_chromadb_to_text.py:195-245)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_english"),
+    )
+
+
+_COLLECTION_STATS_ORACLE = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_english
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1003,5 +1286,26 @@ def registry() -> dict[str, QuerySpec]:
         ),
         "emb_audit": QuerySpec(
             q_emb_audit, _EMB_AUDIT_ORACLE, ("V6", "A8")
+        ),
+        "argo_summaries": QuerySpec(
+            q_argo_summaries, _ARGO_SUMMARIES_ORACLE, ("C1", "C2", "C8", "C9")
+        ),
+        "argo_explode_roundtrip": QuerySpec(
+            q_argo_explode_roundtrip, _ARGO_EXPLODE_ORACLE, ("R1",)
+        ),
+        "argo_profile_pivot": QuerySpec(
+            q_argo_profile_pivot, _ARGO_PROFILE_PIVOT_ORACLE, ("A4",)
+        ),
+        "argo_properties_flat": QuerySpec(
+            q_argo_properties_flat, _ARGO_PROPERTIES_FLAT_ORACLE, ("R4", "P9")
+        ),
+        "filename_float_ids": QuerySpec(
+            q_filename_float_ids, _FILENAME_FLOAT_IDS_ORACLE, ("P8",)
+        ),
+        "emb_filtered_topk": QuerySpec(
+            q_emb_filtered_topk, _EMB_FILTERED_TOPK_ORACLE, ("F10", "O4")
+        ),
+        "collection_stats": QuerySpec(
+            q_collection_stats, _COLLECTION_STATS_ORACLE, ("A7", "K8")
         ),
     }
