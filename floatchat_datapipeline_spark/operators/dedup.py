@@ -29,6 +29,7 @@ from floatchat_datapipeline_spark.functions.textstats import (
     tokens,
     word_shingles,
 )
+from floatchat_datapipeline_spark.plans.scale import rebalance
 
 N_MINHASH = 16
 LSH_BAND_SIZE = 4
@@ -71,7 +72,7 @@ def minhash_signatures(
     (p99 = 0.025 vs 0.99 for actual duplicates). The explode +
     broadcast-seeds + groupBy plan is fully partial-aggregable.
     """
-    toks = df.select(
+    toks = rebalance(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(text_col, 3))).alias("tok"),
     )
@@ -123,14 +124,23 @@ def minhash_lsh_pairs(
             ).alias("band_key"),
         )
     )
-    a = keys.select(
-        F.col(id_col).alias("id_a"), "band", "band_key"
+    # Pair generation via bucket-grouping, NOT a self-join: joining `keys`
+    # with itself would execute the whole signature pipeline twice (Spark
+    # reuses exchanges only for canonically-identical subtrees, which
+    # aliased self-join branches are not). Grouping docs per bucket and
+    # exploding ordered pairs reads the signatures once; bucket sizes are
+    # near-dup group sizes, so the collect_list stays small at any corpus
+    # scale (a pathological giant bucket means the band key is degenerate,
+    # which a doc-frequency cap would cut — same guard as the jaccard op).
+    buckets = (
+        keys.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
-        a.join(b, ["band", "band_key"])
+        buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -147,9 +157,11 @@ def simhash(
     BIGINT). Bit extraction uses div/mod arithmetic (not shift-by-column,
     which Spark's shiftright doesn't support) — mirrored in the oracle.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).select(id_col, md5_long(F.col("tok")).alias("h"))
+    toks = (
+        rebalance(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .select(id_col, md5_long(F.col("tok")).alias("h"))
+    )
     bits = _seeds_df(spark, n_bits).select(
         F.col("seed").alias("bit"),
         F.pow(F.lit(2.0), F.col("seed")).cast("bigint").alias("pow2"),
@@ -187,17 +199,28 @@ def ngram_jaccard_pairs(
     production would drop shingles with doc-frequency above a cap before
     the join (one extra groupBy) — at test scale all shingles join.
     """
-    sh = df.select(
+    base = rebalance(df.select(id_col, text_col))
+    sh = base.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias(
             "shingle"
         ),
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # Per-doc shingle-set sizes come straight off the doc row (narrow, no
+    # explode/shuffle) — the exploded view is only needed for intersections.
+    sizes = base.select(
+        F.col(id_col),
+        F.size(F.array_distinct(word_shingles(text_col, shingle_n))).alias("n_sh"),
+    )
+    # Intersection counts via posting-list grouping rather than an
+    # inverted-index self-join: the self-join would recompute the explode
+    # subtree for both branches. Posting lists are |docs containing the
+    # shingle| — the doc-frequency cap noted in the docstring bounds them.
     inter = (
-        a.join(b, "shingle")
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))

@@ -76,7 +76,9 @@ def knn_within_label(
     ties deterministic."""
     from pyspark.sql import Window
 
-    a = df.select(
+    from floatchat_datapipeline_spark.plans.scale import rebalance
+
+    a = rebalance(df.select(id_col, vec_col, label_col)).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
         F.col(label_col).alias("label"),
@@ -86,8 +88,13 @@ def knn_within_label(
         F.col(vec_col).alias("vec_b"),
         F.col(label_col).alias("label"),
     )
+    # Broadcast the neighbor side: a shuffle join on `label` caps
+    # parallelism at the label cardinality (10 here); broadcasting keeps
+    # the probe side's partitioning so every core scores pairs. At corpus
+    # sizes past broadcast range, bucket BOTH sides by (label, block) —
+    # the standard blocked self-join — instead.
     scored = (
-        a.join(b, "label")
+        a.join(F.broadcast(b), "label")
         .filter(F.col("id_a") != F.col("id_b"))
         .select(
             "label",

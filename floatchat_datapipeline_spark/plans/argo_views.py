@@ -111,7 +111,22 @@ def argo_raw_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirrors ARGO_RAW_SQL exactly — see module docstring for the parity
     contract.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    from floatchat_datapipeline_spark.plans.scale import rebalance
+
+    # Project to the 6 source columns, then widen: the test files are
+    # single-row-group parquet (one split), and every argo query fans out
+    # from this view — without the rebalance the whole clean+agg stage
+    # chain runs in one task.
+    li = rebalance(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_suppkey",
+            "l_partkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_shipdate",
+        )
+    )
     suppkey_s = F.col("l_suppkey").cast("string")
     return li.select(
         F.when(_mod("l_orderkey", 97) == 0, F.lit("nan"))
