@@ -1203,6 +1203,114 @@ FROM documents GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# Structured Streaming twins (§2.12) — each runs the streaming plan under
+# Trigger.AvailableNow via streaming.run.materialize, so the DuckDB oracle
+# checks true streaming semantics (watermark/session_window/stateful op),
+# not a batch re-statement.
+# ---------------------------------------------------------------------------
+
+
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling window over streamed events. Projection drops
+    the approx-distinct column (HLL has no cross-engine oracle)."""
+    from floatchat_datapipeline_spark.streaming.run import materialize
+    from floatchat_datapipeline_spark.streaming.sources import stream_table
+    from floatchat_datapipeline_spark.streaming.windows import (
+        hourly_rollup_stream,
+    )
+
+    out = materialize(
+        hourly_rollup_stream(stream_table(spark, sf_dir, "events")),
+        "q_stream_hourly",
+    )
+    return out.select("hour", "event_type", "n_events", "sum_value")
+
+
+_STREAM_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window with watermark state eviction."""
+    from floatchat_datapipeline_spark.streaming.run import materialize
+    from floatchat_datapipeline_spark.streaming.sources import stream_table
+    from floatchat_datapipeline_spark.streaming.windows import (
+        session_window_stream,
+    )
+
+    return materialize(
+        session_window_stream(stream_table(spark, sf_dir, "events")),
+        "q_stream_sessions",
+    )
+
+
+# session_window starts a NEW session when the gap equals the timeout
+# exactly (half-open [start, end) windows) — hence >= in microseconds,
+# where the batch sessionize oracle uses a strict >.
+_STREAM_SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER w AS session_seq
+  FROM flagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_last_ts,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+def q_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals, emitted per update."""
+    from floatchat_datapipeline_spark.streaming.run import materialize
+    from floatchat_datapipeline_spark.streaming.sources import stream_table
+    from floatchat_datapipeline_spark.streaming.windows import (
+        user_stats_stateful,
+    )
+
+    return materialize(
+        user_stats_stateful(stream_table(spark, sf_dir, "events")),
+        "q_stream_user_stats",
+        output_mode="update",
+    )
+
+
+_STREAM_USER_STATS_ORACLE = """
+SELECT user_id, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       max(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state; event_ids are
+    unique in the corpus, so the output is the full event set."""
+    from floatchat_datapipeline_spark.streaming.run import materialize
+    from floatchat_datapipeline_spark.streaming.sources import stream_table
+    from floatchat_datapipeline_spark.streaming.windows import dedup_stream
+
+    return materialize(
+        dedup_stream(stream_table(spark, sf_dir, "events")),
+        "q_stream_dedup",
+        output_mode="append",
+    )
+
+
+_STREAM_DEDUP_ORACLE = "SELECT * FROM events"
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1320,5 +1428,25 @@ def registry() -> dict[str, QuerySpec]:
         ),
         "collection_stats": QuerySpec(
             q_collection_stats, _COLLECTION_STATS_ORACLE, ("A7", "K8")
+        ),
+        "stream_hourly": QuerySpec(
+            q_stream_hourly,
+            _STREAM_HOURLY_ORACLE,
+            ("streaming-window", "S10"),
+        ),
+        "stream_sessions": QuerySpec(
+            q_stream_sessions,
+            _STREAM_SESSIONS_ORACLE,
+            ("streaming-session", "S10"),
+        ),
+        "stream_user_stats": QuerySpec(
+            q_stream_user_stats,
+            _STREAM_USER_STATS_ORACLE,
+            ("streaming-stateful",),
+        ),
+        "stream_dedup": QuerySpec(
+            q_stream_dedup,
+            _STREAM_DEDUP_ORACLE,
+            ("streaming-dedup", "D1"),
         ),
     }

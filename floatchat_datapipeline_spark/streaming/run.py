@@ -1,0 +1,65 @@
+"""Stream execution helpers — run a streaming plan to a batch result.
+
+``materialize`` runs a streaming DataFrame under Trigger.AvailableNow into
+a memory sink and returns the result table: the batch/stream parity
+harness (every streaming queries() entry goes through it, so the DuckDB
+oracle can check streaming semantics). AvailableNow processes the full
+backlog in bounded micro-batches and terminates — the production pattern
+for batch-over-stream jobs (reference's periodic full syncs, SURVEY.md
+§2.12 row 3).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+
+def materialize(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run `sdf` to completion (AvailableNow) into an in-memory table and
+    return it as a batch DataFrame. Stops any prior query of the same name
+    so the call is re-runnable within a session."""
+    spark = sdf.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt-{name}-")
+    try:
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+def run_foreach_batch(
+    sdf: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    name: str = "ingest",
+) -> None:
+    """Run a stream through `batch_fn(df, batch_id)` to completion with a
+    persistent checkpoint — the foreachBatch upsert-ingest pattern. Replays
+    after failure are safe iff `batch_fn` is idempotent (our keyed sinks
+    are)."""
+    query = (
+        sdf.writeStream.foreachBatch(batch_fn)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -1,0 +1,147 @@
+"""Streaming window operators — the streaming twins of operators/windows.py.
+
+Parity-plus per SURVEY.md §2.12: the reference has no late-data handling;
+these are the Structured Streaming built-ins (watermark + window /
+session_window / applyInPandasWithState) over the same expressions as the
+batch operators, so batch answers serve as the oracle.
+
+Known semantic divergence, replicated in the streaming oracles: Spark's
+``session_window`` half-open intervals start a NEW session when the gap
+equals the timeout exactly (ts == previous window end), while the batch
+gaps-and-islands operator keeps strictly-greater gaps together. The
+streaming oracle therefore uses ``>=`` where the batch one uses ``>``.
+
+Scale notes: watermarks bound state — the hourly rollup holds only open
+windows per event_type; session state evicts when the watermark passes a
+session's end + gap. ``applyInPandasWithState`` state is per user_id,
+partitioned by the grouping key across executors.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_GAP = "30 minutes"
+WATERMARK = "1 hour"
+
+
+def hourly_rollup_stream(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling 1-hour rollup — identical aggregates to the
+    batch hourly_rollup; `window('1 hour').start == date_trunc('hour')`."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+            "sum_value",
+        )
+    )
+
+
+def session_window_stream(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Native session windows with state eviction by watermark. One row per
+    (user, session): first/last event ts, count, value sum."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_last_ts", "n_events", "sum_value"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator — applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+USER_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+USER_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def _update_user_stats(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    """Running per-user totals across micro-batches. State carries
+    (count, sum, last event ts); each batch folds its rows in and emits
+    the updated totals — the streaming form of a keyed running aggregate
+    the built-in agg can't express incrementally per-update."""
+    n, s, last = state.get if state.exists else (0, 0.0, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        last = batch_max if last is None or batch_max > last else last
+    state.update((n, s, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [round(s, 2)],
+            "last_ts": [last],
+        }
+    )
+
+
+def user_stats_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum, last ts)
+    maintained in GroupState, emitted on every update."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_stats,
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType=USER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, key: str = "event_id") -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving within
+    the watermark horizon are dropped; state for old keys is evicted."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        [key]
+    )

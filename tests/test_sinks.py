@@ -1,0 +1,63 @@
+"""Sink semantics tests — upsert (K1), conflict-skip (K2), delete (K7).
+
+Each mirrors the reference's ON CONFLICT behavior (db_handler.py:180-187,
+:237-245) and additionally proves idempotency: replaying a batch leaves
+the table unchanged, which is what lets streaming retries be safe.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from floatchat_datapipeline_spark.sinks.upsert import append_new, delete_keys, upsert
+
+
+@pytest.fixture()
+def tmp_table():
+    d = tempfile.mkdtemp(prefix="sink-test-")
+    yield f"{d}/t"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(spark, path):
+    return {
+        tuple(r) for r in spark.read.parquet(path).select("k", "v").collect()
+    }
+
+
+def test_upsert_new_wins(spark, tmp_table):
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    upsert(df1, tmp_table, ("k",))
+    assert _rows(spark, tmp_table) == {("a", 1), ("b", 2)}
+    df2 = spark.createDataFrame([("b", 20), ("c", 3)], "k string, v int")
+    upsert(df2, tmp_table, ("k",))
+    assert _rows(spark, tmp_table) == {("a", 1), ("b", 20), ("c", 3)}
+    # idempotent replay
+    upsert(df2, tmp_table, ("k",))
+    assert _rows(spark, tmp_table) == {("a", 1), ("b", 20), ("c", 3)}
+
+
+def test_append_new_existing_wins(spark, tmp_table):
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    append_new(df1, tmp_table, ("k",))
+    df2 = spark.createDataFrame([("b", 99), ("c", 3)], "k string, v int")
+    append_new(df2, tmp_table, ("k",))
+    # b keeps its ORIGINAL value — DO NOTHING semantics
+    assert _rows(spark, tmp_table) == {("a", 1), ("b", 2), ("c", 3)}
+    append_new(df2, tmp_table, ("k",))
+    assert _rows(spark, tmp_table) == {("a", 1), ("b", 2), ("c", 3)}
+
+
+def test_delete_keys(spark, tmp_table):
+    df1 = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, v int"
+    )
+    upsert(df1, tmp_table, ("k",))
+    bad = spark.createDataFrame([("b",)], "k string")
+    delete_keys(spark, tmp_table, bad)
+    assert _rows(spark, tmp_table) == {("a", 1), ("c", 3)}
+    delete_keys(spark, tmp_table, bad)
+    assert _rows(spark, tmp_table) == {("a", 1), ("c", 3)}

@@ -1,0 +1,150 @@
+"""Streaming surface tests — batch/stream parity + ingest idempotency.
+
+Each streaming operator runs under Trigger.AvailableNow and must equal
+its batch twin (computed with plain DataFrame ops in the same session).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from floatchat_datapipeline_spark.catalog import load_table
+from floatchat_datapipeline_spark.streaming.ingest import ingest_landing_to_table
+from floatchat_datapipeline_spark.streaming.run import materialize
+from floatchat_datapipeline_spark.streaming.sources import stream_table
+from floatchat_datapipeline_spark.streaming.windows import (
+    dedup_stream,
+    hourly_rollup_stream,
+    session_window_stream,
+    user_stats_stateful,
+)
+
+
+def _sets(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_stream_hourly_matches_batch(spark, sf_dir):
+    got = materialize(
+        hourly_rollup_stream(stream_table(spark, sf_dir, "events")),
+        "t_hourly",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    assert _sets(got) == _sets(want)
+
+
+def test_stream_sessions_match_batch_ge_semantics(spark, sf_dir):
+    from pyspark.sql import Window
+
+    got = materialize(
+        session_window_stream(stream_table(spark, sf_dir, "events")),
+        "t_sessions",
+    )
+    # batch gaps-and-islands with >= (session_window's half-open boundary)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond precision: session_window's boundary is exact
+    # (new session iff ts >= prev_ts + gap), so a seconds-truncated diff
+    # would misclassify fractional-second gaps near 1800 s.
+    flagged = ev.withColumn(
+        "_new",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            >= 1800 * 1_000_000,
+            1,
+        ).otherwise(0),
+    ).withColumn("session_seq", F.sum("_new").over(w))
+    want = flagged.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ).drop("session_seq")
+    assert _sets(got) == _sets(want)
+
+
+def test_stateful_user_stats(spark, sf_dir):
+    got = materialize(
+        user_stats_stateful(stream_table(spark, sf_dir, "events")),
+        "t_user_stats",
+        output_mode="update",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.max("ts").alias("last_ts"),
+    )
+    # update mode may emit a row per micro-batch; AvailableNow on one file
+    # yields exactly one batch, so counts line up 1:1.
+    assert _sets(got) == _sets(want)
+
+
+def test_stream_dedup_noop_on_unique_keys(spark, sf_dir):
+    got = materialize(
+        dedup_stream(stream_table(spark, sf_dir, "events")),
+        "t_dedup",
+        output_mode="append",
+    )
+    n = load_table(spark, sf_dir, "events").count()
+    assert got.count() == n
+
+
+def test_landing_ingest_idempotent(spark):
+    root = tempfile.mkdtemp(prefix="landing-test-")
+    landing, table, ckpt = (
+        os.path.join(root, d) for d in ("landing", "table", "ckpt")
+    )
+    os.makedirs(landing)
+    try:
+        rows1 = [{"k": "a", "v": 1}, {"k": "b", "v": 2}]
+        with open(os.path.join(landing, "f1.json"), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows1))
+        # non-matching extension must be ignored (F11 gate)
+        with open(os.path.join(landing, "junk.txt"), "w") as f:
+            f.write(json.dumps({"k": "z", "v": 99}))
+        schema = "k string, v int"
+        from pyspark.sql.types import _parse_datatype_string
+
+        sch = _parse_datatype_string(schema)
+        ingest_landing_to_table(
+            spark, landing, table, ckpt, sch, keys=("k",)
+        )
+        assert _sets(spark.read.parquet(table)) == {("a", 1), ("b", 2)}
+
+        # second file updates b and adds c; re-run drains only the new file
+        with open(os.path.join(landing, "f2.json"), "w") as f:
+            f.write(json.dumps({"k": "b", "v": 20}) + "\n" + json.dumps({"k": "c", "v": 3}))
+        ingest_landing_to_table(
+            spark, landing, table, ckpt, sch, keys=("k",)
+        )
+        assert _sets(spark.read.parquet(table)) == {
+            ("a", 1),
+            ("b", 20),
+            ("c", 3),
+        }
+        # replay with same checkpoint: no new files → table unchanged
+        ingest_landing_to_table(
+            spark, landing, table, ckpt, sch, keys=("k",)
+        )
+        assert _sets(spark.read.parquet(table)) == {
+            ("a", 1),
+            ("b", 20),
+            ("c", 3),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
