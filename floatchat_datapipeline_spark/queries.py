@@ -9,6 +9,7 @@ comparison locally at sf0.001.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -1210,6 +1211,43 @@ FROM documents GROUP BY source
 # ---------------------------------------------------------------------------
 
 
+def q_netcdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S4/P1/P2/R1 — the binaryFile + mapInPandas profile-file reader
+    over deterministic fixture files (alias fallback, fill masking, CF
+    day/hour time units, 2-D→long expansion, glob gate). The oracle is the
+    expected-output VALUES literal rendered from the same constants."""
+    import tempfile
+
+    from floatchat_datapipeline_spark.sources.fixtures import write_fixture_dir
+    from floatchat_datapipeline_spark.sources.netcdf import read_argo
+
+    d = write_fixture_dir(
+        os.path.join(tempfile.gettempdir(), "floatchat-ncfix")
+    )
+    return read_argo(spark, d).select(
+        "float_id",
+        "profile_index",
+        "time",
+        "latitude",
+        "longitude",
+        "level",
+        "pressure",
+        "temperature",
+        "salinity",
+    )
+
+
+def _netcdf_oracle() -> str:
+    from floatchat_datapipeline_spark.sources.fixtures import (
+        expected_rows_oracle_sql,
+    )
+
+    return expected_rows_oracle_sql()
+
+
+_NETCDF_INGEST_ORACLE = _netcdf_oracle()
+
+
 def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling window over streamed events. Projection drops
     the approx-distinct column (HLL has no cross-engine oracle)."""
@@ -1448,5 +1486,10 @@ def registry() -> dict[str, QuerySpec]:
             q_stream_dedup,
             _STREAM_DEDUP_ORACLE,
             ("streaming-dedup", "D1"),
+        ),
+        "netcdf_ingest": QuerySpec(
+            q_netcdf_ingest,
+            _NETCDF_INGEST_ORACLE,
+            ("S2", "S3", "S4", "P1", "P2", "R1", "F11"),
         ),
     }
