@@ -1,0 +1,118 @@
+"""Semantic search + ANN scale path (reference O3/O4/V2-V5, §3.3).
+
+``semantic_search`` is the reference's query engine rebuilt Spark-first:
+encode the query on the driver (V2), broadcast it as a literal, metadata
+pre-filter (F10 — filter BEFORE ranking, the cheap order), score with a
+JVM cosine expression (V3 — no Python in the hot path; the per-doc encode
+is the only pandas_udf), and TakeOrderedAndProject for top-k (O3) — no
+full sort, no driver collect of the corpus.
+
+``ann_lsh_topk`` is the 100 TB path standing in for the reference's
+ivfflat/HNSW indexes (O6): random-hyperplane LSH where plane components
+are ``sin(997·p + d)`` — deterministic and expressible in any engine, so
+the DuckDB oracle can replay bucketing exactly. Candidates = same
+signature bucket; exact cosine re-ranks inside the bucket. Recall/cost is
+tuned by n_planes (each plane halves the expected bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from floatchat_datapipeline_spark.embeddings.encoder import encode_query, encode_text
+from floatchat_datapipeline_spark.functions.vector import cosine
+
+N_PLANES = 8
+
+
+def semantic_search(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    where: Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k docs by stub-encoder cosine against `query_text`, with an
+    optional metadata pre-filter. Returns (id, score) ranked."""
+    qvec = F.array(*[F.lit(x) for x in encode_query(query_text)])
+    if where is not None:
+        docs = docs.filter(where)
+    return (
+        docs.select(F.col(id_col), encode_text(text_col).alias("_vec"))
+        .select(
+            id_col,
+            F.round(cosine(F.col("_vec"), qvec), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_signature(vec_col: Column | str, n_planes: int = N_PLANES) -> Column:
+    """Random-hyperplane signature: bit p = [dot(v, plane_p) >= 0] where
+    plane_p[d] = sin(997·p + d). Pure JVM expression."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = []
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                v.cast("array<double>"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda d: F.sin(F.lit(997 * p) + d.cast("double")),
+                ),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Approximate top-k for the stored vector `query_id`: candidates
+    share its LSH signature; exact cosine re-ranks them. The signature
+    equi-join shuffles by bucket key — never a cross join."""
+    keyed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_signature(vec_col, n_planes).alias("sig"),
+    )
+    q = keyed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec"), F.col("sig").alias("qsig")
+    )
+    return (
+        keyed.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q), F.col("sig") == F.col("qsig"))
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def repair_embeddings(
+    df: DataFrame,
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """V5 — re-encode rows whose embedding is missing; rows with a vector
+    pass through untouched (only the null slice pays the UDF)."""
+    return df.withColumn(
+        vec_col,
+        F.when(F.col(vec_col).isNull(), encode_text(text_col)).otherwise(
+            F.col(vec_col)
+        ),
+    )

@@ -1237,6 +1237,143 @@ def q_netcdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Semantic search / encoder / ANN (V1-V5, O3/O4/O6) — the stub encoder is
+# SQL-expressible, so the WHOLE pipeline (encode → filter → cosine → topk)
+# is value-checked against DuckDB, not just row-counted.
+# ---------------------------------------------------------------------------
+
+_SEARCH_QUERY_TEXT = "spark table scan performance data query"
+
+
+def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 — the reference's query engine Spark-first: driver-side query
+    encode (V2), metadata pre-filter (F10), pandas_udf doc encode (V1),
+    JVM cosine + TakeOrderedAndProject top-k (O3)."""
+    from floatchat_datapipeline_spark.embeddings.search import semantic_search
+    from floatchat_datapipeline_spark.plans.scale import rebalance
+
+    docs = rebalance(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+    out = semantic_search(
+        docs, _SEARCH_QUERY_TEXT, k=10, where=F.col("lang") == "en"
+    )
+    # zero-score docs share no hash bucket with the query; the oracle's
+    # sparse join can't see them, so exclude them from the ranked set on
+    # both sides.
+    return out.filter(F.col("score") > 0)
+
+
+def _stub_search_oracle(query_text: str) -> str:
+    from floatchat_datapipeline_spark.embeddings.encoder import stub_encoder_sql
+
+    return f"""
+WITH {stub_encoder_sql("text", "documents", "doc_id")},
+en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+qtok AS (SELECT unnest(string_split('{query_text}', ' ')) AS tok),
+qb AS (
+  SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+         count(*) AS c
+  FROM qtok GROUP BY 1
+),
+qn AS (SELECT sqrt(sum(CAST(c * c AS DOUBLE))) AS nrm FROM qb),
+qv AS (SELECT bucket, CAST(c AS DOUBLE) / (SELECT nrm FROM qn) AS w FROM qb),
+scores AS (
+  SELECT v._id AS doc_id, round(sum(v.w * qv.w), 6) AS score
+  FROM _vec v
+  JOIN en ON v._id = en.doc_id
+  JOIN qv USING (bucket)
+  GROUP BY 1
+)
+SELECT doc_id, score FROM scores
+WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+_SEMANTIC_SEARCH_ORACLE = _stub_search_oracle(_SEARCH_QUERY_TEXT)
+
+
+def q_embedding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 — null-out every 13th embedding, repair by re-encoding, report
+    per-doc active-bucket counts (proves repaired vectors are real)."""
+    from floatchat_datapipeline_spark.embeddings.encoder import encode_text
+    from floatchat_datapipeline_spark.embeddings.search import repair_embeddings
+    from floatchat_datapipeline_spark.plans.scale import rebalance
+
+    docs = rebalance(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    with_nulls = docs.withColumn(
+        "embedding",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None)).otherwise(
+            encode_text("text")
+        ),
+    )
+    repaired = repair_embeddings(with_nulls)
+    return repaired.select(
+        "doc_id",
+        (F.col("doc_id") % 13 == 0).alias("was_missing"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias(
+            "n_active_buckets"
+        ),
+    )
+
+
+def _repair_oracle() -> str:
+    from floatchat_datapipeline_spark.embeddings.encoder import stub_encoder_sql
+
+    return f"""
+WITH {stub_encoder_sql("text", "documents", "doc_id")}
+SELECT _id AS doc_id, _id % 13 = 0 AS was_missing,
+       CAST(count(*) AS INT) AS n_active_buckets
+FROM _vec GROUP BY 1, 2
+"""
+
+
+_EMBEDDING_REPAIR_ORACLE = _repair_oracle()
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 — hyperplane-LSH bucketed ANN over the embeddings table: the
+    scalable stand-in for the reference's ivfflat/HNSW index, with exact
+    cosine re-ranking inside the candidate bucket."""
+    from floatchat_datapipeline_spark.embeddings.search import ann_lsh_topk
+
+    return ann_lsh_topk(load_table(spark, sf_dir, "embeddings"), query_id=1, k=5)
+
+
+def _ann_lsh_oracle() -> str:
+    planes = " || ".join(
+        f"(CASE WHEN list_dot_product(v, list_transform(generate_series(0, 63), "
+        f"d -> sin({997 * p} + CAST(d AS DOUBLE)))) >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for p in range(8)
+    )
+    return f"""
+WITH keyed AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sigged AS (
+  SELECT vec_id, v, {planes} AS sig FROM keyed
+), q AS (
+  SELECT v AS qv, sig AS qsig FROM sigged WHERE vec_id = 1
+)
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             6) AS score
+FROM sigged, q
+WHERE sig = qsig AND vec_id <> 1
+ORDER BY score DESC, vec_id
+LIMIT 5
+"""
+
+
+_ANN_LSH_ORACLE = _ann_lsh_oracle()
+
+
 def _netcdf_oracle() -> str:
     from floatchat_datapipeline_spark.sources.fixtures import (
         expected_rows_oracle_sql,
@@ -1491,5 +1628,16 @@ def registry() -> dict[str, QuerySpec]:
             q_netcdf_ingest,
             _NETCDF_INGEST_ORACLE,
             ("S2", "S3", "S4", "P1", "P2", "R1", "F11"),
+        ),
+        "semantic_search": QuerySpec(
+            q_semantic_search,
+            _SEMANTIC_SEARCH_ORACLE,
+            ("V1", "V2", "V3", "V7", "O3", "O4", "F10"),
+        ),
+        "embedding_repair": QuerySpec(
+            q_embedding_repair, _EMBEDDING_REPAIR_ORACLE, ("V5",)
+        ),
+        "ann_lsh_topk": QuerySpec(
+            q_ann_lsh_topk, _ANN_LSH_ORACLE, ("O6", "V4")
         ),
     }

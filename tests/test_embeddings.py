@@ -1,0 +1,81 @@
+"""Encoder/search unit tests — determinism, normalization, LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from floatchat_datapipeline_spark.catalog import load_table
+from floatchat_datapipeline_spark.embeddings.encoder import (
+    STUB_DIM,
+    encode_query,
+    get_model,
+)
+from floatchat_datapipeline_spark.embeddings.search import (
+    ann_lsh_topk,
+    lsh_signature,
+    semantic_search,
+)
+
+
+def test_stub_encoder_deterministic_and_normalized():
+    v1 = encode_query("warm tropical surface water")
+    v2 = encode_query("warm tropical surface water")
+    assert v1 == v2
+    assert len(v1) == STUB_DIM
+    assert abs(np.linalg.norm(v1) - 1.0) < 1e-12
+
+
+def test_stub_encoder_batch_matches_single():
+    m = get_model()
+    batch = m.encode(["a b c", "a b c", "x y"])
+    single = m.encode(["a b c"])[0]
+    assert np.allclose(batch[0], single)
+    assert np.allclose(batch[0], batch[1])
+
+
+def test_semantic_search_self_retrieval(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    probe = docs.limit(1).collect()[0]
+    hits = semantic_search(docs, probe["text"], k=3).collect()
+    # a document is its own nearest neighbor with cosine exactly 1
+    assert hits[0]["doc_id"] == probe["doc_id"]
+    assert abs(hits[0]["score"] - 1.0) < 1e-6
+
+
+def test_lsh_bucket_contains_exact_top1(spark, sf_dir):
+    """Recall sanity: LSH top-1 should be the exact top-1 whenever the
+    exact top-1 lands in the query's bucket; both must score identically
+    when they agree."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from floatchat_datapipeline_spark.functions.vector import cosine
+
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("qvec")
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    approx = ann_lsh_topk(emb, query_id=1, k=1).collect()
+    assert approx, "query bucket empty — LSH degenerate"
+    if approx[0]["vec_id"] == exact["vec_id"]:
+        assert abs(approx[0]["score"] - exact["score"]) < 1e-9
+    else:
+        # approx missed: its score can only be <= the exact best
+        assert approx[0]["score"] <= exact["score"] + 1e-9
+
+
+def test_lsh_signature_shape(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = emb.select(lsh_signature("embedding").alias("sig")).distinct()
+    rows = sigs.collect()
+    assert all(len(r["sig"]) == 8 and set(r["sig"]) <= {"0", "1"} for r in rows)
+    assert len(rows) > 1  # planes actually split the corpus
