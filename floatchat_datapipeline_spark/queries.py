@@ -1374,6 +1374,70 @@ LIMIT 5
 _ANN_LSH_ORACLE = _ann_lsh_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (north-star): metadata sniffing + frame UDTF
+# ---------------------------------------------------------------------------
+
+_SYNTH_MEDIA_SQL = r"""
+media AS (
+  SELECT doc_id,
+         (CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN '\x89PNG' WHEN 1 THEN 'RIFF' ELSE '' END)::BLOB
+         || encode(text) AS content
+  FROM documents
+)
+"""
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata: magic-byte sniffing (real), byte length,
+    digest. Oracle derives the type from the synthesis rule — equality
+    proves the sniffer reads the right bytes."""
+    from floatchat_datapipeline_spark.operators.multimodal import (
+        media_metadata,
+        synth_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return media_metadata(synth_media(docs))
+
+
+_MEDIA_METADATA_ORACLE = f"""
+WITH {_SYNTH_MEDIA_SQL}
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'raw' END AS media_type,
+       CAST(octet_length(content) AS INT) AS n_bytes,
+       md5(hex(content)) AS content_digest
+FROM media
+"""
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas frame sampler (1→N UDTF shape) over synthetic media."""
+    from floatchat_datapipeline_spark.operators.multimodal import (
+        sample_frames,
+        synth_media,
+    )
+    from floatchat_datapipeline_spark.plans.scale import rebalance
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return sample_frames(rebalance(synth_media(docs)))
+
+
+_MEDIA_FRAMES_ORACLE = f"""
+WITH {_SYNTH_MEDIA_SQL},
+sized AS (
+  SELECT doc_id, base64(content) AS b64,
+         octet_length(content) % 7 + 1 AS n_frames
+  FROM media
+)
+SELECT doc_id, CAST(u.f AS INT) AS frame_idx,
+       md5(b64 || '_' || CAST(u.f AS STRING)) AS frame_key
+FROM sized, LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS f) u
+"""
+
+
 def _netcdf_oracle() -> str:
     from floatchat_datapipeline_spark.sources.fixtures import (
         expected_rows_oracle_sql,
@@ -1639,5 +1703,11 @@ def registry() -> dict[str, QuerySpec]:
         ),
         "ann_lsh_topk": QuerySpec(
             q_ann_lsh_topk, _ANN_LSH_ORACLE, ("O6", "V4")
+        ),
+        "media_metadata": QuerySpec(
+            q_media_metadata, _MEDIA_METADATA_ORACLE, ("multimodal-metadata",)
+        ),
+        "media_frames": QuerySpec(
+            q_media_frames, _MEDIA_FRAMES_ORACLE, ("multimodal-frames",)
         ),
     }
