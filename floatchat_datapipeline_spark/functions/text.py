@@ -159,3 +159,25 @@ def upload_description(df_cols: dict[str, Column]) -> Column:
         F.coalesce(c["temperature_count"], F.lit(0)).cast("string"),
         F.lit(" measurements)."),
     )
+
+
+def sync_document_v4(df_cols: dict[str, Column]) -> Column:
+    """C4 — full sync-job document (reference sync_supabase_to_chromadb.py:
+    121-177): multi-line header + flattened stats + the raw properties
+    JSON appended. The JSON payload is `to_json` over the properties
+    struct — field order is struct declaration order, deterministic."""
+    c = df_cols
+    return F.concat(
+        F.lit("Float Profile Data - ID: "),
+        c["float_id"],
+        F.lit("\nPlatform: "),
+        F.coalesce(c["platform_number"], F.lit("unknown")),
+        F.lit("\nProfiles: "),
+        c["total_profiles"].cast("string"),
+        F.lit("\nTemperature: "),
+        _num(c["temperature_min"]),
+        F.lit(" to "),
+        _num(c["temperature_max"]),
+        F.lit(" °C\nFull JSON Data: "),
+        F.to_json(c["properties"]),
+    )

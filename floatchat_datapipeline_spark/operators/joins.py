@@ -92,3 +92,20 @@ def unmatched_both_sides(
         .withColumn("side", F.lit("floats"))
     )
     return unmatched_docs.unionByName(unmatched_floats).distinct()
+
+
+def diff_both(
+    a: DataFrame, b: DataFrame, key: str = "float_id"
+) -> DataFrame:
+    """D3 — symmetric set difference with provenance (reference
+    update_chromadb_measurements.py:196-231 reports unmatched ids on BOTH
+    sides after its fuzzy sync). Output: (key, side) where side marks
+    which input is missing the key. Two anti-joins unioned — each is one
+    broadcast/shuffle hash join; no full outer join materialization."""
+    only_a = a.select(key).distinct().join(
+        b.select(key).distinct(), key, "left_anti"
+    ).withColumn("side", F.lit("only_a"))
+    only_b = b.select(key).distinct().join(
+        a.select(key).distinct(), key, "left_anti"
+    ).withColumn("side", F.lit("only_b"))
+    return only_a.unionByName(only_b)

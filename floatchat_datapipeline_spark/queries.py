@@ -1375,6 +1375,255 @@ _ANN_LSH_ORACLE = _ann_lsh_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Gap-fill: C1/C3 templates, P10 doc-type classify (+D4), P11 substring
+# stats, D3 symmetric diff
+# ---------------------------------------------------------------------------
+
+
+def q_argo_summary_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+C5+C6 — operational float summary with ocean-region and
+    hemisphere-zone classification over the A1 aggregate."""
+    from floatchat_datapipeline_spark.functions.text import float_summary_v1
+
+    flat = float_metadata_agg(_argo_clean_df(spark, sf_dir))
+    cols = {
+        c: (F.col(c) + F.lit(0.0)) if c.endswith(("_min", "_max", "_mean")) else F.col(c)
+        for c in flat.columns
+    }
+    return flat.select(
+        "float_id", float_summary_v1(cols).alias("document")
+    )
+
+
+_ARGO_SUMMARY_V1_ORACLE = _argo_oracle(
+    """
+, agg AS (
+  SELECT float_id,
+    min(time) AS deploy_date, max(time) AS end_date,
+    min(latitude) + 0e0 AS lat_min, max(latitude) + 0e0 AS lat_max,
+    min(longitude) + 0e0 AS lon_min, max(longitude) + 0e0 AS lon_max,
+    count(DISTINCT profile_id) AS total_profiles,
+    min(temperature) + 0e0 AS temperature_min,
+    max(temperature) + 0e0 AS temperature_max,
+    avg(temperature) + 0e0 AS temperature_mean,
+    min(salinity) + 0e0 AS salinity_min, max(salinity) + 0e0 AS salinity_max
+  FROM argo_clean GROUP BY float_id
+), ctr AS (
+  SELECT *, (lat_min + lat_max) / 2e0 AS lat_c,
+            (lon_min + lon_max) / 2e0 AS lon_c
+  FROM agg
+)
+SELECT float_id,
+  concat(
+    'Argo float ', float_id, ' operated from ',
+    coalesce(strftime(deploy_date, '%Y-%m-%d'), 'unknown'), ' to ',
+    coalesce(strftime(end_date, '%Y-%m-%d'), 'unknown'), ' in the ',
+    CASE WHEN lat_c < -60 THEN 'Southern Ocean'
+         WHEN lat_c > 66 THEN 'Arctic Ocean'
+         WHEN lon_c >= 20 AND lon_c < 120 THEN 'Indian Ocean'
+         WHEN lon_c >= 120 OR lon_c < -70 THEN 'Pacific Ocean'
+         ELSE 'Atlantic Ocean' END,
+    ' (',
+    CASE WHEN lat_c < -30 THEN 'southern'
+         WHEN lat_c > 30 THEN 'northern' ELSE 'tropical' END,
+    ' waters, latitude ',
+    coalesce(CAST(round(lat_min, 3) + 0e0 AS STRING), 'unknown'), ' to ',
+    coalesce(CAST(round(lat_max, 3) + 0e0 AS STRING), 'unknown'),
+    ', longitude ',
+    coalesce(CAST(round(lon_min, 3) + 0e0 AS STRING), 'unknown'), ' to ',
+    coalesce(CAST(round(lon_max, 3) + 0e0 AS STRING), 'unknown'),
+    ') with ', CAST(total_profiles AS STRING),
+    ' profiles, temperature ',
+    coalesce(CAST(round(temperature_min, 1) AS STRING), 'unknown'), ' to ',
+    coalesce(CAST(round(temperature_max, 1) AS STRING), 'unknown'),
+    ' °C (mean ',
+    coalesce(CAST(round(temperature_mean, 2) AS STRING), 'unknown'),
+    '), salinity ',
+    coalesce(CAST(round(salinity_min, 1) AS STRING), 'unknown'), ' to ',
+    coalesce(CAST(round(salinity_max, 1) AS STRING), 'unknown'),
+    ' PSU.') AS document
+FROM ctr
+"""
+)
+
+
+def q_argo_upload_description(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3+A3 — the /upload API's whole-file description over global stats
+    (reference fastapi_app.py:524-555 over :279-372)."""
+    from floatchat_datapipeline_spark.functions.text import upload_description
+    from floatchat_datapipeline_spark.operators.aggregate import global_stats
+
+    g = global_stats(_argo_clean_df(spark, sf_dir))
+    cols = {
+        c: (F.col(c) + F.lit(0.0))
+        if c.endswith(("_min", "_max", "_mean")) and not c.startswith("time")
+        else F.col(c)
+        for c in g.columns
+    }
+    return g.select(upload_description(cols).alias("description"))
+
+
+_ARGO_UPLOAD_DESC_ORACLE = _argo_oracle(
+    """
+, g AS (
+  SELECT
+    min(time) AS time_min, max(time) AS time_max,
+    min(latitude) + 0e0 AS lat_min, max(latitude) + 0e0 AS lat_max,
+    min(longitude) + 0e0 AS lon_min, max(longitude) + 0e0 AS lon_max,
+    count(temperature) AS temperature_count,
+    min(temperature) + 0e0 AS temperature_min,
+    max(temperature) + 0e0 AS temperature_max,
+    avg(temperature) + 0e0 AS temperature_mean
+  FROM argo_clean
+)
+SELECT concat(
+  'Data collected from ',
+  coalesce(strftime(time_min, '%Y-%m-%d'), 'unknown'), ' to ',
+  coalesce(strftime(time_max, '%Y-%m-%d'), 'unknown'),
+  '. Location: latitude ',
+  coalesce(CAST(round(lat_min, 3) + 0e0 AS STRING), 'unknown'), ' to ',
+  coalesce(CAST(round(lat_max, 3) + 0e0 AS STRING), 'unknown'),
+  ', longitude ',
+  coalesce(CAST(round(lon_min, 3) + 0e0 AS STRING), 'unknown'), ' to ',
+  coalesce(CAST(round(lon_max, 3) + 0e0 AS STRING), 'unknown'),
+  '. Temperature: ',
+  coalesce(CAST(round(temperature_min, 1) AS STRING), 'unknown'), ' to ',
+  coalesce(CAST(round(temperature_max, 1) AS STRING), 'unknown'),
+  ' (mean ',
+  coalesce(CAST(round(temperature_mean, 2) AS STRING), 'unknown'),
+  ', ', CAST(coalesce(temperature_count, 0) AS STRING),
+  ' measurements).') AS description
+FROM g
+"""
+)
+
+
+def q_doc_type_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10+D4 — try-parse classification (reference cleanup_chromadb.py:
+    82-106): every 4th doc's text is replaced by a JSON properties blob;
+    the operator must genuinely parse to find them (both engines parse —
+    the synthesis rule is never consulted). keep = the D4 retention set."""
+    from pyspark.sql.types import StructType as S
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    jsonish = F.concat(
+        F.lit('{"date_range": {"start": "2020-01-01"}, "measurements": '
+              '{"temperature": {"count": '),
+        F.col("n_chars").cast("string"),
+        F.lit('}}, "location_range": {"lat_min": '),
+        (F.col("doc_id") % 90 - 45).cast("string"),
+        F.lit("}}"),
+    )
+    mixed = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, jsonish).otherwise(F.col("text")).alias(
+            "document"
+        ),
+    )
+    schema = (
+        "date_range struct<start:string>, "
+        "measurements map<string,struct<count:int>>, "
+        "location_range struct<lat_min:double>"
+    )
+    parsed = F.from_json(F.col("document"), schema)
+    doc_type = F.when(
+        parsed.isNotNull()
+        & parsed["date_range"].isNotNull()
+        & parsed["measurements"].isNotNull()
+        & parsed["location_range"].isNotNull(),
+        F.lit("json"),
+    ).otherwise(F.lit("semantic"))
+    return mixed.select(
+        "doc_id",
+        doc_type.alias("doc_type"),
+        (doc_type == "semantic").alias("keep"),
+    )
+
+
+_DOC_TYPE_CLASSIFY_ORACLE = """
+WITH mixed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN
+           concat('{"date_range": {"start": "2020-01-01"}, "measurements": ',
+                  '{"temperature": {"count": ', CAST(n_chars AS STRING),
+                  '}}, "location_range": {"lat_min": ',
+                  CAST(doc_id % 90 - 45 AS STRING), '}}')
+         ELSE text END AS document
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN j IS NOT NULL
+        AND json_extract(j, '$.date_range') IS NOT NULL
+        AND json_extract(j, '$.measurements') IS NOT NULL
+        AND json_extract(j, '$.location_range') IS NOT NULL
+       THEN 'json' ELSE 'semantic' END AS doc_type,
+  NOT (j IS NOT NULL
+        AND json_extract(j, '$.date_range') IS NOT NULL
+        AND json_extract(j, '$.measurements') IS NOT NULL
+        AND json_extract(j, '$.location_range') IS NOT NULL) AS keep
+FROM (SELECT doc_id, try_cast(document AS JSON) AS j FROM mixed)
+"""
+
+
+def q_summary_stat_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — parse stats back OUT of the generated summary text with
+    regexp groups (reference test_advanced_chromadb_queries.py:454-482)."""
+    docs = q_argo_summaries(spark, sf_dir)
+    return docs.select(
+        "float_id",
+        F.regexp_extract(
+            "document", r"Temperature ranged from (.*?) to (.*?)°C", 1
+        ).alias("temp_min_s"),
+        F.regexp_extract(
+            "document", r"Temperature ranged from (.*?) to (.*?)°C", 2
+        ).alias("temp_max_s"),
+        F.regexp_extract("document", r"recorded (\d+) profiles", 1).alias(
+            "n_profiles_s"
+        ),
+    )
+
+
+def _summary_stat_extract_oracle() -> str:
+    return f"""
+SELECT float_id,
+  regexp_extract(document, 'Temperature ranged from (.*?) to (.*?)°C', 1)
+    AS temp_min_s,
+  regexp_extract(document, 'Temperature ranged from (.*?) to (.*?)°C', 2)
+    AS temp_max_s,
+  regexp_extract(document, 'recorded ([0-9]+) profiles', 1) AS n_profiles_s
+FROM ({_ARGO_SUMMARIES_ORACLE}) s
+"""
+
+
+def q_sync_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — symmetric unmatched-id report between the cleaned store and a
+    derived 'vector store' id set (ids with suppkey % 7 <> 3, straight off
+    the dirty view — so both directions are non-empty)."""
+    from floatchat_datapipeline_spark.operators.joins import diff_both
+
+    cleaned = _argo_clean_df(spark, sf_dir).select("float_id")
+    li = load_table(spark, sf_dir, "lineitem")
+    chroma = li.filter(F.col("l_suppkey") % 7 != 3).select(
+        F.col("l_suppkey").cast("string").alias("float_id")
+    )
+    return diff_both(cleaned, chroma)
+
+
+_SYNC_DIFF_ORACLE = _argo_oracle(
+    """
+, a AS (SELECT DISTINCT float_id FROM argo_clean),
+b AS (SELECT DISTINCT CAST(l_suppkey AS STRING) AS float_id
+      FROM lineitem WHERE l_suppkey % 7 <> 3)
+SELECT float_id, 'only_a' AS side FROM a
+WHERE float_id NOT IN (SELECT float_id FROM b)
+UNION ALL
+SELECT float_id, 'only_b' AS side FROM b
+WHERE float_id NOT IN (SELECT float_id FROM a)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal binary columns (north-star): metadata sniffing + frame UDTF
 # ---------------------------------------------------------------------------
 
@@ -1710,4 +1959,21 @@ def registry() -> dict[str, QuerySpec]:
         "media_frames": QuerySpec(
             q_media_frames, _MEDIA_FRAMES_ORACLE, ("multimodal-frames",)
         ),
+        "argo_summary_v1": QuerySpec(
+            q_argo_summary_v1, _ARGO_SUMMARY_V1_ORACLE, ("C1", "C5", "C6", "C8")
+        ),
+        "argo_upload_description": QuerySpec(
+            q_argo_upload_description,
+            _ARGO_UPLOAD_DESC_ORACLE,
+            ("C3", "A3"),
+        ),
+        "doc_type_classify": QuerySpec(
+            q_doc_type_classify, _DOC_TYPE_CLASSIFY_ORACLE, ("P10", "D4", "P7")
+        ),
+        "summary_stat_extract": QuerySpec(
+            q_summary_stat_extract,
+            _summary_stat_extract_oracle(),
+            ("P11",),
+        ),
+        "sync_diff": QuerySpec(q_sync_diff, _SYNC_DIFF_ORACLE, ("D3",)),
     }
