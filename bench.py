@@ -46,9 +46,19 @@ def main() -> None:
         n for n in sorted(qs) if n not in HEADLINE
     ]
 
-    # Warm the JVM/readers once so per-query numbers measure the queries,
-    # not session startup.
+    # Warm the JVM/readers AND the Python UDF workers once so per-query
+    # numbers measure the queries, not session/daemon startup (the first
+    # pandas_udf otherwise pays ~8 s of worker fork + Arrow init across
+    # 32 cores).
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.types import LongType  # noqa: PLC0415
+
+    _warm = F.pandas_udf(lambda x: x, LongType())
+    spark.range(1000).repartition(64).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 from floatchat_datapipeline_spark.functions.textstats import (
     content_hash,
     md5_long,
-    seeded_hash,
     tokens,
     word_shingles,
 )
@@ -34,6 +33,18 @@ from floatchat_datapipeline_spark.plans.scale import rebalance
 N_MINHASH = 16
 LSH_BAND_SIZE = 4
 SIMHASH_BITS = 48
+
+# Universal-hash family for MinHash: h_i(x) = (a_i·(md5(x) mod P) + b_i) mod P.
+# ONE md5 per shingle, then n cheap affine maps — the textbook construction;
+# the naive alternative (md5 per (shingle, seed)) costs n× the hashing and
+# an n-way row fan-out before the first aggregate. P is a 30-bit prime so
+# a_i·base stays far below 2^63 (no overflow in either engine).
+MINHASH_P = 1073741789
+
+
+def _affine(base, seed: int):
+    a, b = 2 * seed + 1, 97 * seed + 13
+    return (F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_P)
 
 
 def exact_dedup_groups(
@@ -52,8 +63,29 @@ def exact_dedup_groups(
     )
 
 
-def _seeds_df(spark: SparkSession, n: int) -> DataFrame:
-    return spark.range(n).select(F.col("id").cast("int").alias("seed"))
+def _minhash_wide(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+) -> DataFrame:
+    """Wide signature: one row per doc with columns h0..h{n-1}.
+
+    Plan shape: explode shingles → one md5 → ONE groupBy(doc) computing
+    all n mins as wide aggregates (map-side partial, shuffle is n values
+    per doc). No per-seed row fan-out, one shuffle total.
+    """
+    base = md5_long(F.col("tok")) % F.lit(MINHASH_P)
+    toks = rebalance(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, 3))).alias("tok"),
+    )
+    return toks.select(F.col(id_col), base.alias("b")).groupBy(id_col).agg(
+        *[
+            F.min(_affine(F.col("b"), s)).alias(f"h{s}")
+            for s in range(n_hashes)
+        ]
+    )
 
 
 def minhash_signatures(
@@ -64,28 +96,21 @@ def minhash_signatures(
     n_hashes: int = N_MINHASH,
 ) -> DataFrame:
     """MinHash signature in long form: (doc_id, seed, minhash) — the min
-    over the doc's 3-word-shingle set of a seeded hash family.
+    over the doc's 3-word-shingle set of the affine hash family above.
 
     Shingles (not bare tokens) are the unit: corpora with a shared
     vocabulary make token-set Jaccard uninformative (measured 0.63 mean on
     the test corpus), while shingle Jaccard separates true near-dups
-    (p99 = 0.025 vs 0.99 for actual duplicates). The explode +
-    broadcast-seeds + groupBy plan is fully partial-aggregable.
+    (p99 = 0.025 vs 0.99 for actual duplicates).
     """
-    toks = rebalance(df.select(id_col, text_col)).select(
+    wide = _minhash_wide(df, text_col, id_col, n_hashes)
+    stack_expr = ", ".join(f"{s}, h{s}" for s in range(n_hashes))
+    return wide.select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, 3))).alias("tok"),
-    )
-    seeded = toks.join(F.broadcast(_seeds_df(spark, n_hashes)))
-    return (
-        seeded.select(
-            id_col,
-            "seed",
-            seeded_hash(F.col("tok"), F.col("seed")).alias("h"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+        F.expr(
+            f"stack({n_hashes}, {stack_expr}) as (seed, minhash)"
+        ),
+    ).select(id_col, F.col("seed").cast("int"), "minhash")
 
 
 def minhash_lsh_pairs(
@@ -99,31 +124,33 @@ def minhash_lsh_pairs(
     """LSH candidate pairs: docs agreeing on ALL hashes of any band.
 
     bands = n_hashes / band_size; band key = md5 of the ordered minhash
-    concat. The self-join runs per (band, key) bucket — at corpus scale
-    the shuffle is by band key, never a cross join.
+    concat. The join runs per (band, key) bucket — at corpus scale the
+    shuffle is by band key, never a cross join.
+
+    Band keys are computed straight off the WIDE signature row (h0..h15
+    are already columns), so there is no regroup-by-band shuffle at all:
+    signature build is the only wide aggregation before the bucket join.
     """
-    sig = minhash_signatures(df, spark, text_col, id_col, n_hashes)
-    # floor, not double-divide-then-cast: DuckDB's double→int cast rounds
-    # while Spark's truncates — floor division is identical in both.
-    banded = sig.withColumn(
-        "band", F.floor(F.col("seed") / band_size).cast("int")
-    )
-    keys = (
-        banded.groupBy(id_col, "band")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("_sm")
-        )
-        .select(
-            id_col,
-            "band",
+    wide = _minhash_wide(df, text_col, id_col, n_hashes)
+    n_bands = n_hashes // band_size
+    band_entries = [
+        F.struct(
+            F.lit(band).alias("band"),
             F.md5(
                 F.concat_ws(
                     ",",
-                    F.transform(F.col("_sm"), lambda s: s["minhash"].cast("string")),
+                    *[
+                        F.col(f"h{band * band_size + j}").cast("string")
+                        for j in range(band_size)
+                    ],
                 )
             ).alias("band_key"),
         )
-    )
+        for band in range(n_bands)
+    ]
+    keys = wide.select(
+        F.col(id_col), F.explode(F.array(*band_entries)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     # Pair generation via bucket-grouping, NOT a self-join: joining `keys`
     # with itself would execute the whole signature pipeline twice (Spark
     # reuses exchanges only for canonically-identical subtrees, which
@@ -162,25 +189,23 @@ def simhash(
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
         .select(id_col, md5_long(F.col("tok")).alias("h"))
     )
-    bits = _seeds_df(spark, n_bits).select(
-        F.col("seed").alias("bit"),
-        F.pow(F.lit(2.0), F.col("seed")).cast("bigint").alias("pow2"),
+    # One groupBy(doc) with n_bits wide sum aggregates — no per-bit row
+    # fan-out (the naive broadcast-join form multiplies the token stream
+    # by 48 before its first aggregate). Integer `div`, not double
+    # division: 60-bit hashes exceed 2^53 and doubles would corrupt the
+    # low bits.
+    per_doc = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.expr(f"((h div {1 << b}) % 2) * 2 - 1")).alias(f"s{b}")
+            for b in range(n_bits)
+        ]
     )
-    per_bit = (
-        toks.join(F.broadcast(bits))
-        .select(
-            id_col,
-            "bit",
-            "pow2",
-            # integer `div`: double division would round away low bits of
-            # 60-bit hashes (> 2^53) and corrupt the bit extraction
-            F.expr("(h div pow2) % 2").alias("bitval"),
-        )
-        .groupBy(id_col, "bit", "pow2")
-        .agg(F.sum(F.col("bitval") * 2 - 1).alias("s"))
-    )
-    return per_bit.groupBy(id_col).agg(
-        F.sum(F.when(F.col("s") > 0, F.col("pow2")).otherwise(0)).alias("simhash")
+    simhash_col = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash_col = term if simhash_col is None else simhash_col + term
+    return per_doc.select(
+        F.col(id_col), simhash_col.cast("bigint").alias("simhash")
     )
 
 
@@ -200,11 +225,17 @@ def ngram_jaccard_pairs(
     the join (one extra groupBy) — at test scale all shingles join.
     """
     base = rebalance(df.select(id_col, text_col))
+    # join key = 60-bit hash of the shingle, not the string: shuffle bytes
+    # drop ~4× and the posting-list groupBy compares fixed-width ints.
+    # Collision odds at 2^60 are ~|shingles|²/2^61 — immaterial for dedup.
     sh = base.select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias(
-            "shingle"
-        ),
+        F.explode(
+            F.transform(
+                F.array_distinct(word_shingles(text_col, shingle_n)),
+                lambda s: md5_long(s),
+            )
+        ).alias("shingle"),
     )
     # Per-doc shingle-set sizes come straight off the doc row (narrow, no
     # explode/shuffle) — the exploded view is only needed for intersections.

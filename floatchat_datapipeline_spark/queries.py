@@ -759,7 +759,9 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOC_NGRAM_JACCARD_ORACLE = f"""
 WITH sh AS (
-  SELECT doc_id, unnest({_SHINGLES_3_SQL}) AS shingle
+  SELECT doc_id,
+         unnest(list_transform({_SHINGLES_3_SQL},
+                               s -> {_MD5_LONG_SQL.format(x='s')})) AS shingle
   FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
@@ -783,16 +785,22 @@ def q_doc_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(load_table(spark, sf_dir, "documents"), spark)
 
 
+# Universal-hash MinHash family (mirrors dedup._affine): one md5 per
+# shingle reduced mod the 30-bit prime, then per-seed affine maps.
 _MINHASH_SIG_SQL = f"""
 sh AS (
   SELECT doc_id, unnest({_SHINGLES_3_SQL}) AS tok
   FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)
+), base AS (
+  SELECT doc_id, {_MD5_LONG_SQL.format(x="tok")} % 1073741789 AS b
+  FROM sh
 ), seeds AS (
   SELECT CAST(unnest(generate_series(0, 15)) AS INT) AS seed
 ), sig AS (
   SELECT doc_id, seed,
-         min({_MD5_LONG_SQL.format(x="CAST(seed AS STRING) || '|' || tok")}) AS minhash
-  FROM sh, seeds
+         min((CAST(2 * seed + 1 AS BIGINT) * b
+              + CAST(97 * seed + 13 AS BIGINT)) % 1073741789) AS minhash
+  FROM base, seeds
   GROUP BY doc_id, seed
 )
 """
