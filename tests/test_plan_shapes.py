@@ -1,0 +1,89 @@
+"""Plan-shape pins — the scale properties the engine is designed around.
+
+These tests fail if a refactor silently degrades the physical plan even
+though results stay correct: lost predicate pushdown, widened scans,
+broadcast joins regressing to shuffle joins, or Python sneaking into a
+JVM-only path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from floatchat_datapipeline_spark.catalog import load_table
+from floatchat_datapipeline_spark.plans.checks import (
+    has_node,
+    plan_string,
+    pushed_filters,
+    scan_read_schema,
+)
+from floatchat_datapipeline_spark.queries import registry
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 1000)
+        .select("o_orderkey")
+    )
+    pf = pushed_filters(df)
+    assert "GreaterThan(o_totalprice" in pf, pf
+
+
+def test_column_pruning(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    cols = scan_read_schema(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_argo_pipeline_prunes_unused_lineitem_columns(spark, sf_dir):
+    """The argo view derives 10 columns from 6 lineitem columns — the
+    scan must not read the other 10 (comment, prices, flags...)."""
+    from floatchat_datapipeline_spark.plans.argo_views import argo_raw_df
+
+    cols = set(scan_read_schema(argo_raw_df(spark, sf_dir)))
+    assert cols == {
+        "l_orderkey",
+        "l_suppkey",
+        "l_partkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_shipdate",
+    }, cols
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    q = registry()["region_revenue"].spark
+    df = q(spark, sf_dir)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the fact side must not be sort-merge joined against a 5-row dim
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cleaning_chain_is_jvm_only(spark, sf_dir):
+    """F1-F7 + A1 must stay inside codegen — no Python evaluation nodes."""
+    q = registry()["argo_float_metadata"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # map-side partial agg before the shuffle (AQE hides codegen ids in
+    # pre-execution plans, so partial-agg structure is the codegen proxy)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """ORDER BY score LIMIT k must plan as TakeOrderedAndProject, not a
+    global sort."""
+    q = registry()["cosine_topk"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_exact_dedup_partial_aggregates(spark, sf_dir):
+    """The hash-groupBy dedup must have a map-side partial aggregate
+    before its shuffle (HashAggregate appears above AND below Exchange)."""
+    q = registry()["doc_exact_dedup"].spark
+    plan = plan_string(q(spark, sf_dir), mode="simple")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan
