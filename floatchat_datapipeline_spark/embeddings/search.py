@@ -116,3 +116,36 @@ def repair_embeddings(
             F.col(vec_col)
         ),
     )
+
+
+def semantic_search_batch(
+    docs: DataFrame,
+    queries: dict[str, str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Many queries in ONE job: the corpus is encoded once, the encoded
+    query set is broadcast, and a per-query window takes top-k. This is
+    the shape batch retrieval takes at scale — N queries over a 100 TB
+    corpus cost one corpus scan, not N.
+
+    Output: (query_id, id, score, rank)."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    enc = [(qid, encode_query(text)) for qid, text in queries.items()]
+    qdf = spark.createDataFrame(enc, "query_id string, qvec array<double>")
+    doc_vec = docs.select(F.col(id_col), encode_text(text_col).alias("_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        doc_vec.crossJoin(F.broadcast(qdf))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("_vec"), F.col("qvec")), 6).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

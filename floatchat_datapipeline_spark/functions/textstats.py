@@ -164,3 +164,21 @@ def fingerprint(text: Column | str, shingle_n: int = 5, sep: str = " ") -> Colum
     sh = word_shingles(text, shingle_n, sep)
     hashed = F.transform(sh, lambda s: md5_long(s))
     return F.array_min(hashed)
+
+
+# BPE-ish pre-tokenization: letter runs | digit runs | single other
+# non-space symbol — the regex split GPT-style tokenizers apply before
+# merges. Identical match semantics verified in Spark (Java regex) and
+# DuckDB (RE2) for this pattern class.
+BPE_PRETOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """Array of BPE-style pre-tokens."""
+    return F.regexp_extract_all(
+        _c(text), F.lit(BPE_PRETOKEN_PATTERN), 0
+    )
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    return F.size(bpe_tokens(text))

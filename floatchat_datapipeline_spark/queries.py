@@ -1631,6 +1631,91 @@ WHERE float_id NOT IN (SELECT float_id FROM a)
 )
 
 
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization counts (letter/digit runs + symbols) —
+    the tokenizer-facing half of token accounting for an LLM corpus."""
+    from floatchat_datapipeline_spark.functions import textstats as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.bpe_tokens("text")
+    return docs.select(
+        "doc_id",
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_bpe"),
+        F.element_at(toks, 1).alias("first_token"),
+    )
+
+
+_DOC_BPE_TOKENS_ORACLE = """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT)
+    AS n_bpe_tokens,
+  CAST(len(list_distinct(
+      regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS INT)
+    AS n_unique_bpe,
+  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')[1] AS first_token
+FROM documents
+"""
+
+
+def q_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM training-data selection pipeline: exact-dedup
+    keepers ∧ quality threshold ∧ language filter — the operators other
+    queries check individually, chained the way a production corpus run
+    chains them (dedup → quality gate → lang gate)."""
+    from floatchat_datapipeline_spark.functions import textstats as T
+    from floatchat_datapipeline_spark.operators.dedup import exact_dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = exact_dedup_groups(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    scored = docs.join(keepers, "doc_id").select(
+        "doc_id",
+        T.quality_score("text").alias("quality_score"),
+        T.lang_id("text").alias("predicted_lang"),
+    )
+    return scored.filter(
+        (F.col("quality_score") >= 0.7) & (F.col("predicted_lang") == "en")
+    ).select("doc_id", "quality_score")
+
+
+_CORPUS_SELECTION_ORACLE = """
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))
+), base AS (
+  SELECT d.doc_id, string_split(text, ' ') AS toks,
+    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n
+  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+), scored AS (
+  SELECT doc_id, n,
+    round(len(list_filter(toks, x -> x IN ('a','the','of','and','is')))::DOUBLE
+          / n, 4) AS sw,
+    round(len(list_distinct(toks))::DOUBLE / n, 4) AS ttr,
+    len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+    len(list_filter(toks, x -> x IN ('la','el','de','que','y'))) AS s_es,
+    len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+    len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+    len(list_filter(toks, x -> x IN ('de','le','shi','he','zai'))) AS s_zh
+  FROM base
+), final AS (
+  SELECT doc_id,
+    round((least(n / 50e0, 1e0) + ttr
+           + CASE WHEN sw > 0.01 AND sw < 0.5 THEN 1e0 ELSE 0.5e0 END)
+          / 3e0, 4) AS quality_score,
+    CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'unknown'
+         WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+         WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+         WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+         WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+         ELSE 'zh' END AS predicted_lang
+  FROM scored
+)
+SELECT doc_id, quality_score FROM final
+WHERE quality_score >= 0.7 AND predicted_lang = 'en'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary columns (north-star): metadata sniffing + frame UDTF
 # ---------------------------------------------------------------------------
@@ -1984,4 +2069,12 @@ def registry() -> dict[str, QuerySpec]:
             ("P11",),
         ),
         "sync_diff": QuerySpec(q_sync_diff, _SYNC_DIFF_ORACLE, ("D3",)),
+        "doc_bpe_tokens": QuerySpec(
+            q_doc_bpe_tokens, _DOC_BPE_TOKENS_ORACLE, ("bpe-tokens",)
+        ),
+        "corpus_selection": QuerySpec(
+            q_corpus_selection,
+            _CORPUS_SELECTION_ORACLE,
+            ("corpus-selection", "dedup-exact", "text-quality", "lang-id"),
+        ),
     }

@@ -79,3 +79,33 @@ def test_lsh_signature_shape(spark, sf_dir):
     rows = sigs.collect()
     assert all(len(r["sig"]) == 8 and set(r["sig"]) <= {"0", "1"} for r in rows)
     assert len(rows) > 1  # planes actually split the corpus
+
+
+def test_batch_search_matches_per_query(spark, sf_dir):
+    from floatchat_datapipeline_spark.embeddings.search import (
+        semantic_search,
+        semantic_search_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = {
+        "q1": "spark table scan performance",
+        "q2": "window order data column",
+        "q3": "vector batch merge",
+    }
+    batch = semantic_search_batch(docs, queries, k=5)
+    got = {
+        qid: [(r["doc_id"], r["score"]) for r in rows]
+        for qid, rows in (
+            (qid, batch.filter(F.col("query_id") == qid).orderBy("rank").collect())
+            for qid in queries
+        )
+    }
+    for qid, text in queries.items():
+        want = [
+            (r["doc_id"], r["score"])
+            for r in semantic_search(docs, text, k=5)
+            .filter(F.col("score") > 0)
+            .collect()
+        ]
+        assert got[qid] == want, qid
