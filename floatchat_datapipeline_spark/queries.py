@@ -1631,6 +1631,69 @@ WHERE float_id NOT IN (SELECT float_id FROM a)
 )
 
 
+def q_floats_scan_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8 — the sync jobs' source scan: floats with non-null properties
+    (F9), deterministic float_id order (O1), projected columns (reference
+    sync_supabase_to_chromadb.py:87-115)."""
+    from floatchat_datapipeline_spark.operators.aggregate import float_properties
+
+    props = float_properties(_argo_clean_df(spark, sf_dir))
+    return (
+        props.filter(F.col("properties").isNotNull())
+        .select(
+            "float_id",
+            "platform_number",
+            F.col("properties.total_profiles").alias("total_profiles"),
+        )
+        .orderBy("float_id")
+    )
+
+
+_FLOATS_SCAN_ORDERED_ORACLE = _argo_oracle(
+    """
+SELECT float_id, float_id AS platform_number,
+       count(DISTINCT profile_id) AS total_profiles
+FROM argo_clean GROUP BY float_id
+ORDER BY float_id
+"""
+)
+
+
+def q_try_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6 — string→numeric and string→timestamp coercion with
+    invalid→null semantics (the reference's to_numeric/to_datetime
+    errors='coerce', preprocess.py:226,248): every 11th value is garbage
+    and must coerce to NULL, not fail the job."""
+    part = load_table(spark, sf_dir, "part")
+    num_s = F.when(
+        F.col("p_partkey") % 11 == 0, F.lit("not-a-number")
+    ).otherwise((F.col("p_retailprice") * 100).cast("long").cast("string"))
+    ts_s = F.when(F.col("p_partkey") % 11 == 0, F.lit("never")).otherwise(
+        F.concat(
+            F.lit("2020-01-"),
+            F.lpad((F.col("p_partkey") % 28 + 1).cast("string"), 2, "0"),
+        )
+    )
+    return part.select(
+        "p_partkey",
+        F.try_to_number(num_s, F.lit("999999999")).cast("double").alias("as_num"),
+        F.try_to_timestamp(ts_s).alias("as_ts"),
+    )
+
+
+_TRY_CASTS_ORACLE = """
+SELECT p_partkey,
+  try_cast(CASE WHEN p_partkey % 11 = 0 THEN 'not-a-number'
+                ELSE CAST(CAST(p_retailprice * 100 AS BIGINT) AS STRING)
+           END AS DOUBLE) AS as_num,
+  try_cast(CASE WHEN p_partkey % 11 = 0 THEN 'never'
+                ELSE concat('2020-01-',
+                            lpad(CAST(p_partkey % 28 + 1 AS STRING), 2, '0'))
+           END AS TIMESTAMP) AS as_ts
+FROM part
+"""
+
+
 def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenization counts (letter/digit runs + symbols) —
     the tokenizer-facing half of token accounting for an LLM corpus."""
@@ -1918,7 +1981,7 @@ def registry() -> dict[str, QuerySpec]:
             q_top_revenue_orders, _TOP_REVENUE_ORACLE, ("J4", "O2")
         ),
         "cosine_topk": QuerySpec(
-            q_cosine_topk, _COSINE_TOPK_ORACLE, ("O3", "O4", "V3")
+            q_cosine_topk, _COSINE_TOPK_ORACLE, ("O3", "O4", "V3", "J5")
         ),
         "events_hourly": QuerySpec(
             q_events_hourly, _EVENTS_HOURLY_ORACLE, ("A7", "streaming-window")
@@ -1951,7 +2014,9 @@ def registry() -> dict[str, QuerySpec]:
             q_region_revenue, _REGION_REVENUE_ORACLE, ("J4",)
         ),
         "customer_top_orders": QuerySpec(
-            q_customer_top_orders, _CUSTOMER_TOP_ORDERS_ORACLE, ("O2",)
+            q_customer_top_orders,
+            _CUSTOMER_TOP_ORDERS_ORACLE,
+            ("O2", "O5")
         ),
         "doc_token_stats": QuerySpec(
             q_doc_token_stats, _DOC_TOKEN_STATS_ORACLE, ("text-analysis",)
@@ -1987,10 +2052,12 @@ def registry() -> dict[str, QuerySpec]:
             q_emb_knn_label, _EMB_KNN_ORACLE, ("O4", "F10", "V4")
         ),
         "emb_audit": QuerySpec(
-            q_emb_audit, _EMB_AUDIT_ORACLE, ("V6", "A8")
+            q_emb_audit, _EMB_AUDIT_ORACLE, ("V6", "A8", "S9")
         ),
         "argo_summaries": QuerySpec(
-            q_argo_summaries, _ARGO_SUMMARIES_ORACLE, ("C1", "C2", "C8", "C9")
+            q_argo_summaries,
+            _ARGO_SUMMARIES_ORACLE,
+            ("C1", "C2", "C8", "C9", "A5")
         ),
         "argo_explode_roundtrip": QuerySpec(
             q_argo_explode_roundtrip, _ARGO_EXPLODE_ORACLE, ("R1",)
@@ -2069,6 +2136,12 @@ def registry() -> dict[str, QuerySpec]:
             ("P11",),
         ),
         "sync_diff": QuerySpec(q_sync_diff, _SYNC_DIFF_ORACLE, ("D3",)),
+        "floats_scan_ordered": QuerySpec(
+            q_floats_scan_ordered,
+            _FLOATS_SCAN_ORDERED_ORACLE,
+            ("S7", "S8", "F9", "O1"),
+        ),
+        "try_casts": QuerySpec(q_try_casts, _TRY_CASTS_ORACLE, ("P5", "P6")),
         "doc_bpe_tokens": QuerySpec(
             q_doc_bpe_tokens, _DOC_BPE_TOKENS_ORACLE, ("bpe-tokens",)
         ),

@@ -1,0 +1,75 @@
+"""SURVEY.md §2 completeness gate.
+
+Every operator ID in the §2 inventory must be claimed either by a
+queries() entry's survey_ops tags (oracle-checked) or by a named module
+with its own tests (MODULE_COVERED). If an ID is neither, this test
+fails — coverage regressions are build breaks, not judgment calls.
+"""
+
+from __future__ import annotations
+
+from floatchat_datapipeline_spark.queries import registry
+
+# §2 IDs implemented (and tested) outside the driver-query surface.
+MODULE_COVERED: dict[str, str] = {
+    # sources
+    "S1": "sources/erddap.py (URL pushdown builder; tests/test_erddap_staging.py)",
+    "S5": "sources/staging.py (cache-aware staging; tests/test_erddap_staging.py)",
+    "S6": "sources/staging.py (bulk staging is the same cache contract)",
+    # sinks — set-at-a-time MERGE semantics, tests/test_sinks.py
+    "K2": "sinks/upsert.append_new (DO NOTHING)",
+    "K3": "sinks/upsert._swap_write (bulk parquet write)",
+    "K4": "embeddings written as ArrayType parquet (catalog embeddings table)",
+    "K5": "sinks/upsert.append_new over the embeddings table",
+    "K6": "sinks/upsert.upsert (update = delete + re-add, one MERGE)",
+    "K7": "sinks/upsert.delete_keys",
+    "K9": "sources/staging.stage cache + streaming checkpoint (test_streaming)",
+    # filters at the source seam
+    "F8": "sources/erddap.ErddapRequest (server-side predicates in URL)",
+    # text templates with golden tests
+    "C4": "functions/text.sync_document_v4 (tests/test_text_templates.py)",
+}
+
+SURVEY_IDS = [
+    f"{prefix}{i}"
+    for prefix, n in [
+        ("S", 10), ("K", 9), ("P", 11), ("F", 11), ("R", 4), ("A", 8),
+        ("J", 5), ("O", 6), ("D", 4), ("C", 10), ("V", 7),
+    ]
+    for i in range(1, n + 1)
+]
+
+# North-star families (BASELINE.json) that must also be present.
+NORTH_STAR = (
+    "dedup-exact", "dedup-minhash", "dedup-lsh", "dedup-simhash",
+    "dedup-jaccard", "dedup-embedding", "text-analysis", "text-quality",
+    "lang-id", "fingerprint", "bpe-tokens", "corpus-selection",
+    "streaming-window", "streaming-session", "streaming-stateful",
+    "streaming-dedup", "multimodal-metadata", "multimodal-frames",
+)
+
+
+def _claimed() -> set[str]:
+    tags: set[str] = set(MODULE_COVERED)
+    for spec in registry().values():
+        tags.update(spec.survey_ops)
+    return tags
+
+
+def test_every_survey_operator_is_claimed():
+    missing = [i for i in SURVEY_IDS if i not in _claimed()]
+    assert not missing, f"SURVEY §2 ids with no implementation claim: {missing}"
+
+
+def test_north_star_families_present():
+    claimed = _claimed()
+    missing = [t for t in NORTH_STAR if t not in claimed]
+    assert not missing, missing
+
+
+def test_oracle_coverage_ratio():
+    """The overwhelming majority of query entries must be value-checked
+    (oracle present), not rows-only."""
+    specs = registry().values()
+    with_oracle = sum(1 for s in specs if s.oracle is not None)
+    assert with_oracle / len(list(specs)) >= 0.95
