@@ -146,22 +146,24 @@ def profile_summary(df: DataFrame) -> DataFrame:
     min/max columns plus max depth/pressure.
 
     Expects the R2 melt output (variable_name/variable_value columns).
-    Pivot values are declared explicitly — with them, Spark skips the extra
-    distinct-scan job and the plan is a single hash aggregate.
+    Implemented as ONE groupBy with conditional aggregates (the manual
+    pivot): pivot() + a second agg + join would read the melt twice and
+    shuffle three times; this is one pass, one shuffle, same columns.
     """
-    pivoted = (
-        df.groupBy("float_id", "profile_time")
-        .pivot("variable_name", ["TEMP", "PSAL"])
-        .agg(
-            F.min("variable_value").alias("min"),
-            F.max("variable_value").alias("max"),
-        )
-    )
-    extremes = df.groupBy("float_id", "profile_time").agg(
+
+    def var_agg(fn, var: str, suffix: str):
+        return fn(
+            F.when(F.col("variable_name") == var, F.col("variable_value"))
+        ).alias(f"{var}_{suffix}")
+
+    return df.groupBy("float_id", "profile_time").agg(
+        var_agg(F.min, "TEMP", "min"),
+        var_agg(F.max, "TEMP", "max"),
+        var_agg(F.min, "PSAL", "min"),
+        var_agg(F.max, "PSAL", "max"),
         F.max("pressure").alias("max_pressure"),
         F.max("depth").alias("max_depth"),
     )
-    return pivoted.join(extremes, ["float_id", "profile_time"])
 
 
 def table_counts(df: DataFrame, key: str = "float_id") -> DataFrame:
