@@ -1219,6 +1219,32 @@ FROM documents GROUP BY source
 # ---------------------------------------------------------------------------
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30min window over streamed events — every event lands
+    in exactly two windows; the oracle replays the overlap with a
+    2-element series join."""
+    from floatchat_datapipeline_spark.streaming.run import materialize
+    from floatchat_datapipeline_spark.streaming.sources import stream_table
+    from floatchat_datapipeline_spark.streaming.windows import (
+        sliding_rollup_stream,
+    )
+
+    return materialize(
+        sliding_rollup_stream(stream_table(spark, sf_dir, "events")),
+        "q_stream_sliding",
+    )
+
+
+_STREAM_SLIDING_ORACLE = """
+SELECT time_bucket(INTERVAL '30 minutes', ts)
+         - u.k * INTERVAL '30 minutes' AS w_start,
+       event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events, (SELECT unnest(generate_series(0, 1)) AS k) u
+GROUP BY 1, 2
+"""
+
+
 def q_netcdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S4/P1/P2/R1 — the binaryFile + mapInPandas profile-file reader
     over deterministic fixture files (alias fallback, fill masking, CF
@@ -2096,6 +2122,11 @@ def registry() -> dict[str, QuerySpec]:
             q_stream_dedup,
             _STREAM_DEDUP_ORACLE,
             ("streaming-dedup", "D1"),
+        ),
+        "stream_sliding": QuerySpec(
+            q_stream_sliding,
+            _STREAM_SLIDING_ORACLE,
+            ("streaming-sliding",),
         ),
         "netcdf_ingest": QuerySpec(
             q_netcdf_ingest,

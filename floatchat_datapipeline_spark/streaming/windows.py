@@ -145,3 +145,23 @@ def dedup_stream(events: DataFrame, key: str = "event_id") -> DataFrame:
     return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
         [key]
     )
+
+
+def sliding_rollup_stream(events: DataFrame) -> DataFrame:
+    """Watermarked SLIDING window (1 h window, 30 min slide): every event
+    lands in two overlapping windows — the overlap is what tumbling can't
+    express (e.g. rolling hourly rates refreshed every half hour)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
