@@ -1219,6 +1219,51 @@ FROM documents GROUP BY source
 # ---------------------------------------------------------------------------
 
 
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parity-plus (§2.6 note): multi-dimensional ROLLUP over
+    (region, order-year) with subtotal and grand-total rows — the
+    reference has no grouping-sets capability at all; Spark's rollup is
+    one shuffle with partial aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.year("o_orderdate").alias("order_year"),
+            # round BEFORE the integer cast: x*100 lands a hair under the
+            # integer in binary, and Spark's cast truncates while DuckDB's
+            # rounds — rounding first makes both exact
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    return (
+        joined.rollup("region_name", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # exact integer cents — double SUM order-dependence can't bite
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+_REVENUE_ROLLUP_ORACLE = """
+SELECT r_name AS region_name,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, year(o_orderdate))
+"""
+
+
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1h/30min window over streamed events — every event lands
     in exactly two windows; the oracle replays the overlap with a
@@ -2127,6 +2172,11 @@ def registry() -> dict[str, QuerySpec]:
             q_stream_sliding,
             _STREAM_SLIDING_ORACLE,
             ("streaming-sliding",),
+        ),
+        "revenue_rollup": QuerySpec(
+            q_revenue_rollup,
+            _REVENUE_ROLLUP_ORACLE,
+            ("grouping-sets", "J4"),
         ),
         "netcdf_ingest": QuerySpec(
             q_netcdf_ingest,
