@@ -61,3 +61,27 @@ def test_delete_keys(spark, tmp_table):
     assert _rows(spark, tmp_table) == {("a", 1), ("c", 3)}
     delete_keys(spark, tmp_table, bad)
     assert _rows(spark, tmp_table) == {("a", 1), ("c", 3)}
+
+
+def test_export_jsonl_roundtrip(spark, tmp_table):
+    from floatchat_datapipeline_spark.sinks.export import (
+        collection_stats,
+        export_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "s1", True), ("b", "s1", False), ("c", "s2", True)],
+        "id string, source string, has_temp boolean",
+    )
+    export_jsonl(df, tmp_table)
+    back = spark.read.json(tmp_table)
+    assert {tuple(r) for r in back.select("id", "source", "has_temp").collect()} == {
+        ("a", "s1", True),
+        ("b", "s1", False),
+        ("c", "s2", True),
+    }
+    stats = {
+        (r["source"], r["n_docs"], r["n_has_temp"])
+        for r in collection_stats(df, flag_cols=("has_temp",)).collect()
+    }
+    assert stats == {("s1", 2, 1), ("s2", 1, 1)}
