@@ -24,3 +24,20 @@ Design principles (see SURVEY.md §7):
 __version__ = "0.1.0"
 
 from floatchat_datapipeline_spark.session import get_spark  # noqa: F401
+
+
+def __getattr__(name: str):
+    """Lazy top-level API (keeps bare-import cost at one module)."""
+    if name == "FloatChatEngine":
+        from floatchat_datapipeline_spark.api import FloatChatEngine
+
+        return FloatChatEngine
+    if name == "read_argo":
+        from floatchat_datapipeline_spark.sources.netcdf import read_argo
+
+        return read_argo
+    if name == "semantic_search":
+        from floatchat_datapipeline_spark.embeddings.search import semantic_search
+
+        return semantic_search
+    raise AttributeError(name)
