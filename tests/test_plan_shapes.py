@@ -87,3 +87,13 @@ def test_exact_dedup_partial_aggregates(spark, sf_dir):
     plan = plan_string(q(spark, sf_dir), mode="simple")
     assert plan.count("HashAggregate") >= 2, plan
     assert "Exchange" in plan
+
+
+def test_fuzzy_theta_join_broadcasts(spark, sf_dir):
+    """J2's mutual-containment predicate defeats hash joins; the plan must
+    be a broadcast nested loop (dim-sized build side), never a cartesian
+    shuffle."""
+    q = registry()["argo_fuzzy_match"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
