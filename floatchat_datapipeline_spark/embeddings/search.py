@@ -149,3 +149,64 @@ def semantic_search_batch(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    'centroid'. Centroids here are the first `n_centroids` stored vectors
+    by id — deterministic and engine-replayable; a production build swaps
+    in k-means centroids without changing the plan shape (broadcast
+    centroids → per-row argmax → cluster column).
+
+    Output: emb columns + `cluster` (the centroid's id).
+    """
+    cents = emb.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    # round to 6dp BEFORE the argmax so near-tie assignments are stable
+    # across engines/precisions (the oracle compares at the same grain)
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", F.round(cosine(F.col(vec_col), F.col("_cvec")), 6)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("_cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*emb.columns, F.col("_cid").alias("cluster"))
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: search only the query's cluster, exact cosine within.
+    At scale the cluster assignment is precomputed and the probe reads one
+    partition of a cluster-partitioned table — the standard
+    billion-vector layout (FAISS-style IVF flat, nprobe=1)."""
+    assigned = ivf_assign(emb, n_centroids, vec_col, id_col)
+    q = assigned.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec"), F.col("cluster").alias("qcluster")
+    )
+    return (
+        assigned.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q), F.col("cluster") == F.col("qcluster"))
+        .select(
+            id_col,
+            "cluster",
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -1219,6 +1219,41 @@ FROM documents GROUP BY source
 # ---------------------------------------------------------------------------
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6/V4 — IVF-style bucketed ANN: deterministic coarse centroids
+    (first 8 vectors), nearest-centroid assignment, probe the query's
+    cluster with exact cosine re-rank (FAISS IVF-flat shape, nprobe=1)."""
+    from floatchat_datapipeline_spark.embeddings.search import ann_ivf_topk
+
+    return ann_ivf_topk(load_table(spark, sf_dir, "embeddings"), query_id=1, k=5)
+
+
+_ANN_IVF_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, vec AS cvec FROM v ORDER BY vec_id LIMIT 8
+), assigned AS (
+  SELECT vec_id, vec, cid AS cluster FROM (
+    SELECT a.vec_id, a.vec, c.cid,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_COS_SQL.format(a='a.vec', b='c.cvec')} DESC, c.cid
+           ) AS rn
+    FROM v a, cents c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec AS qvec, cluster AS qcluster FROM assigned WHERE vec_id = 1
+)
+SELECT a.vec_id, a.cluster,
+       round({_COS_SQL.format(a='a.vec', b='q.qvec')}, 6) AS score
+FROM assigned a, q
+WHERE a.cluster = q.qcluster AND a.vec_id <> 1
+ORDER BY score DESC, a.vec_id
+LIMIT 5
+"""
+
+
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parity-plus (§2.6 note): multi-dimensional ROLLUP over
     (region, order-year) with subtotal and grand-total rows — the
@@ -2177,6 +2212,9 @@ def registry() -> dict[str, QuerySpec]:
             q_revenue_rollup,
             _REVENUE_ROLLUP_ORACLE,
             ("grouping-sets", "J4"),
+        ),
+        "ann_ivf_topk": QuerySpec(
+            q_ann_ivf_topk, _ANN_IVF_ORACLE, ("O6", "V4", "ann-ivf")
         ),
         "netcdf_ingest": QuerySpec(
             q_netcdf_ingest,
