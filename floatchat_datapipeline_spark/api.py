@@ -142,3 +142,16 @@ class FloatChatEngine:
         return semantic_search(
             docs, text, k=k, where=where, text_col="document", id_col="float_id"
         )
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str):
+    """SQL passthrough over the registered test-table views plus the
+    argo gold views (argo_clean / float_metadata) — the reference's
+    raw-SQL escape hatch, against Spark SQL instead of Postgres."""
+    from floatchat_datapipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    cleaned = cleaning.clean_argo(argo_raw_df(spark, sf_dir))
+    cleaned.createOrReplaceTempView("argo_clean")
+    float_metadata_agg(cleaned).createOrReplaceTempView("float_metadata")
+    return spark.sql(query)

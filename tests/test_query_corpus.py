@@ -95,3 +95,21 @@ def test_structured_twins(engine):
     # depth
     for r in engine.depth_query(1000.0).collect():
         assert r["pressure_max"] >= 1000
+
+
+def test_sql_passthrough(spark, sf_dir):
+    from floatchat_datapipeline_spark.api import sql
+
+    df = sql(
+        spark,
+        sf_dir,
+        """
+        SELECT f.float_id, f.total_profiles
+        FROM float_metadata f
+        WHERE f.temperature_max >= 20
+        ORDER BY f.float_id LIMIT 5
+        """,
+    )
+    rows = df.collect()
+    assert 0 < len(rows) <= 5
+    assert [r["float_id"] for r in rows] == sorted(r["float_id"] for r in rows)
