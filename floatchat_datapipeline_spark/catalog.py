@@ -28,11 +28,24 @@ ALL_TABLES = TPCH_TABLES + EXTRA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Apply runtime-settable SQL confs the lakehouse tables need.
+
+    The driver (and any embedding application) may hand us a vanilla
+    SparkSession built without our session factory, so confs that gate a
+    *read* must be set at the scan choke point, not only in session.py.
+    ``spark.sql.legacy.parquet.nanosAsLong`` is runtime-settable and lets
+    the TIMESTAMP(NANOS) column in events.parquet read as long nanos.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table. Lazy — filters/projections placed on the result
     are pushed into the parquet scan by Catalyst."""
     if name not in ALL_TABLES:
         raise KeyError(f"unknown table {name!r}; known: {ALL_TABLES}")
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long nanos
     # (session.py sets nanosAsLong); surface it as a microsecond timestamp.

@@ -1290,7 +1290,7 @@ _REVENUE_ROLLUP_ORACLE = """
 SELECT r_name AS region_name,
        CAST(year(o_orderdate) AS INT) AS order_year,
        count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructType
 
-from floatchat_datapipeline_spark.catalog import ALL_TABLES
+from floatchat_datapipeline_spark.catalog import ALL_TABLES, ensure_session_confs
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -30,6 +30,7 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP(NANOS) → microsecond conversion mirrors catalog.load_table."""
     if name not in ALL_TABLES:
         raise KeyError(f"unknown table {name!r}")
+    ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema: StructType = spark.read.parquet(path).schema
     # File streams require a directory base path; select the one table
