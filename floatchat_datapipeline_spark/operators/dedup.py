@@ -19,7 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from floatchat_datapipeline_spark.functions.textstats import (
@@ -33,6 +33,27 @@ from floatchat_datapipeline_spark.plans.scale import rebalance
 N_MINHASH = 16
 LSH_BAND_SIZE = 4
 SIMHASH_BITS = 48
+
+# Skew guards: a band key or shingle shared by more than this many docs is
+# degenerate (a stop-phrase shingle, an all-identical band) and would fan
+# out quadratically in the pair generators. Far above any true near-dup
+# group at test scale (corpus = 500 docs, so the caps never bind there and
+# oracle parity is unaffected); at 100 TB they bound both the per-key
+# collect_list and the pair explosion. Mega-clusters past the cap are
+# still found transitively through their sub-buckets / rarer shingles.
+LSH_MAX_BUCKET = 4096
+NGRAM_MAX_DOC_FREQ = 4096
+
+
+def _cap_key_frequency(df: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:
+    """Drop rows whose key occurs once (no pair possible) or more than
+    `cap` times (degenerate key). Window count over the key partitions the
+    data exactly as the downstream groupBy(key) does, so Catalyst inserts
+    ONE exchange for both — the guard costs a sort, not a shuffle."""
+    w = Window.partitionBy(*key_cols)
+    freq = F.count(F.lit(1)).over(w)
+    cond = freq > 1 if cap is None else (freq > 1) & (freq <= F.lit(cap))
+    return df.withColumn("_kf", cond).filter(F.col("_kf")).drop("_kf")
 
 # Universal-hash family for MinHash: h_i(x) = (a_i·(md5(x) mod P) + b_i) mod P.
 # ONE md5 per shingle, then n cheap affine maps — the textbook construction;
@@ -120,6 +141,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n_hashes: int = N_MINHASH,
     band_size: int = LSH_BAND_SIZE,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on ALL hashes of any band.
 
@@ -130,6 +152,11 @@ def minhash_lsh_pairs(
     Band keys are computed straight off the WIDE signature row (h0..h15
     are already columns), so there is no regroup-by-band shuffle at all:
     signature build is the only wide aggregation before the bucket join.
+
+    `max_bucket_size` is the skew guard: buckets past the cap are
+    degenerate band keys (e.g. a boilerplate phrase dominating the corpus)
+    and are dropped BEFORE the collect_list, so per-bucket state and the
+    pair explosion both stay bounded at any corpus size.
     """
     wide = _minhash_wide(df, text_col, id_col, n_hashes)
     n_bands = n_hashes // band_size
@@ -155,14 +182,13 @@ def minhash_lsh_pairs(
     # with itself would execute the whole signature pipeline twice (Spark
     # reuses exchanges only for canonically-identical subtrees, which
     # aliased self-join branches are not). Grouping docs per bucket and
-    # exploding ordered pairs reads the signatures once; bucket sizes are
-    # near-dup group sizes, so the collect_list stays small at any corpus
-    # scale (a pathological giant bucket means the band key is degenerate,
-    # which a doc-frequency cap would cut — same guard as the jaccard op).
+    # exploding ordered pairs reads the signatures once; the frequency
+    # guard drops singleton AND degenerate buckets before anything is
+    # collected, so bucket state is bounded by construction.
     buckets = (
-        keys.groupBy("band", "band_key")
+        _cap_key_frequency(keys, ["band", "band_key"], max_bucket_size)
+        .groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
-        .filter(F.size("ids") > 1)
     )
     return (
         buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
@@ -215,14 +241,18 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.05,
+    max_doc_freq: int | None = NGRAM_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle —
     inverted-index self-join (shuffle by shingle), intersection counts,
     |A∪B| = |A|+|B|−|A∩B|. Output pairs over the threshold.
 
-    Skew guard at scale: ultra-common shingles fan out quadratically;
-    production would drop shingles with doc-frequency above a cap before
-    the join (one extra groupBy) — at test scale all shingles join.
+    Skew guard: shingles with doc-frequency above `max_doc_freq` (stop
+    phrases) are dropped before pair generation — they fan out
+    quadratically yet carry no dedup signal. Union sizes still use the
+    full shingle sets, so a capped shingle only UNDER-counts the
+    intersection (jaccard is a lower bound for pairs sharing it); at test
+    scale the cap never binds and results are exact.
     """
     base = rebalance(df.select(id_col, text_col))
     # join key = 60-bit hash of the shingle, not the string: shuffle bytes
@@ -245,10 +275,12 @@ def ngram_jaccard_pairs(
     )
     # Intersection counts via posting-list grouping rather than an
     # inverted-index self-join: the self-join would recompute the explode
-    # subtree for both branches. Posting lists are |docs containing the
-    # shingle| — the doc-frequency cap noted in the docstring bounds them.
+    # subtree for both branches. The frequency guard bounds every posting
+    # list at max_doc_freq (and drops df=1 shingles, which pair with
+    # nothing) before any list is materialized.
     inter = (
-        sh.groupBy("shingle")
+        _cap_key_frequency(sh, ["shingle"], max_doc_freq)
+        .groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .select(F.explode("ids").alias("id_a"), F.col("ids"))
         .select("id_a", F.explode("ids").alias("id_b"))
