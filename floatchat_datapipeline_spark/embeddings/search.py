@@ -52,7 +52,12 @@ def semantic_search(
 
 def lsh_signature(vec_col: Column | str, n_planes: int = N_PLANES) -> Column:
     """Random-hyperplane signature: bit p = [dot(v, plane_p) >= 0] where
-    plane_p[d] = sin(997·p + d). Pure JVM expression."""
+    plane_p[d] = sin(997·p + d). Pure JVM expression.
+
+    The plane length follows the vector's own length (F.size), so the same
+    expression serves the 64-d stub encoder and a 384-d real encoder — a
+    fixed-length plane would null-pad the zip and silently collapse every
+    vector into one bucket."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bits = []
     for p in range(n_planes):
@@ -60,7 +65,7 @@ def lsh_signature(vec_col: Column | str, n_planes: int = N_PLANES) -> Column:
             F.zip_with(
                 v.cast("array<double>"),
                 F.transform(
-                    F.sequence(F.lit(0), F.lit(63)),
+                    F.sequence(F.lit(0), F.size(v) - 1),
                     lambda d: F.sin(F.lit(997 * p) + d.cast("double")),
                 ),
                 lambda a, b: a * b,
@@ -145,7 +150,6 @@ def semantic_search_batch(
             id_col,
             F.round(cosine(F.col("_vec"), F.col("qvec")), 6).alias("score"),
         )
-        .filter(F.col("score") > 0)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -1461,7 +1461,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_lsh_oracle() -> str:
     planes = " || ".join(
-        f"(CASE WHEN list_dot_product(v, list_transform(generate_series(0, 63), "
+        f"(CASE WHEN list_dot_product(v, list_transform(generate_series(0, len(v) - 1), "
         f"d -> sin({997 * p} + CAST(d AS DOUBLE)))) >= 0 "
         "THEN '1' ELSE '0' END)"
         for p in range(8)

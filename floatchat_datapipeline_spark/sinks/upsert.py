@@ -38,14 +38,27 @@ from pyspark.sql import functions as F
 
 
 def _read_existing(spark: SparkSession, path: str) -> DataFrame | None:
-    return spark.read.parquet(path) if os.path.exists(path) else None
+    """Resolve the table at `path`, falling back to the `<path>.old` backup
+    left by a _swap_write that crashed between its two renames. The
+    fallback makes the publish protocol recoverable: a reader (or the next
+    writer's merge) always sees the last fully-written table."""
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    backup = path + ".old"
+    if os.path.exists(backup):
+        return spark.read.parquet(backup)
+    return None
 
 
 def _swap_write(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
-    """Write df to a staging dir next to `path`, then swap atomically.
+    """Write df to a staging dir next to `path`, then publish by rename.
 
-    The staging dir lives in the same parent so the final rename is a
-    metadata move on any POSIX filesystem.
+    The staging dir lives in the same parent so each rename is a metadata
+    move on any POSIX filesystem. The publish is two renames (current →
+    .old backup, staging → current), so there is a crash window where only
+    `<path>.old` exists — _read_existing recovers from it, and the next
+    successful publish cleans it up. Single-writer protocol, matching the
+    reference's one-process ingest.
     """
     parent = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(parent, exist_ok=True)

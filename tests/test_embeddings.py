@@ -102,10 +102,27 @@ def test_batch_search_matches_per_query(spark, sf_dir):
         )
     }
     for qid, text in queries.items():
+        # batch and single-query must agree exactly — no extra filtering
+        # on either side (ADVICE r01: batch used to drop score <= 0 docs)
         want = [
             (r["doc_id"], r["score"])
-            for r in semantic_search(docs, text, k=5)
-            .filter(F.col("score") > 0)
-            .collect()
+            for r in semantic_search(docs, text, k=5).collect()
         ]
         assert got[qid] == want, qid
+
+
+def test_lsh_signature_adapts_to_vector_dim(spark):
+    """ADVICE r01: a fixed 64-element hyperplane null-pads 384-d vectors
+    and collapses every doc into one bucket. The plane length must follow
+    the vector, keeping buckets discriminative at any encoder dim."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(384)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    sigs = [
+        r["sig"]
+        for r in df.select(lsh_signature("embedding").alias("sig")).collect()
+    ]
+    assert all(len(s) == 8 for s in sigs)
+    assert len(set(sigs)) > 1, "384-d vectors collapsed into one bucket"

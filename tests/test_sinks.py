@@ -85,3 +85,20 @@ def test_export_jsonl_roundtrip(spark, tmp_table):
         for r in collection_stats(df, flag_cols=("has_temp",)).collect()
     }
     assert stats == {("s1", 2, 1), ("s2", 1, 1)}
+
+
+def test_crash_window_recovery(spark, tmp_table):
+    """ADVICE r01: a crash between _swap_write's two renames leaves only
+    <path>.old. _read_existing must recover from the backup so the next
+    write merges against the last fully-published table."""
+    import os
+
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    upsert(df1, tmp_table, ("k",))
+    # Simulate the crash window: current renamed to backup, publish lost.
+    os.rename(tmp_table, tmp_table + ".old")
+    df2 = spark.createDataFrame([("b", 20), ("c", 3)], "k string, v int")
+    upsert(df2, tmp_table, ("k",))
+    # 'a' survived via the backup; publish cleaned the backup up.
+    assert _rows(spark, tmp_table) == {("a", 1), ("b", 20), ("c", 3)}
+    assert not os.path.exists(tmp_table + ".old")
