@@ -155,26 +155,24 @@ def semantic_search_batch(
     )
 
 
+KMEANS_ITERS = 2
+IVF_NPROBE = 2
+
+
 def ivf_assign(
     emb: DataFrame,
-    n_centroids: int = 8,
+    centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
-    'centroid'. Centroids here are the first `n_centroids` stored vectors
-    by id — deterministic and engine-replayable; a production build swaps
-    in k-means centroids without changing the plan shape (broadcast
-    centroids → per-row argmax → cluster column).
+    centroid (broadcast centroids → per-row argmax → cluster column).
 
     Output: emb columns + `cluster` (the centroid's id).
     """
-    cents = emb.orderBy(id_col).limit(n_centroids).select(
-        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
-    )
     # round to 6dp BEFORE the argmax so near-tie assignments are stable
     # across engines/precisions (the oracle compares at the same grain)
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
         "_sim", F.round(cosine(F.col(vec_col), F.col("_cvec")), 6)
     )
     from pyspark.sql import Window
@@ -187,25 +185,108 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    iters: int = KMEANS_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic spherical-k-means centroids (Lloyd iterations).
+
+    Seeds are the `n_centroids` lowest-id vectors renumbered 0..k-1; each
+    iteration reassigns every vector (cosine argmax, 6dp-rounded for
+    cross-engine tie stability) and recomputes centroids as per-position
+    means. Means are derived from the ROUNDED sum (`round(round(sum,6)/n,
+    6)`) so Spark's and the oracle's partial-aggregation orders can't
+    diverge in the last bit.
+
+    Each iteration's k×d centroid matrix is collected to the driver and
+    re-literalized: it is model state (metadata scale, like the encoded
+    query), and cutting the lineage keeps iteration i from re-running
+    iterations 1..i-1's corpus passes — Lloyd is O(iters · corpus), not
+    O(iters² · corpus). FAISS trains its coarse quantizer the same way
+    (sampled, driver-side); the full-corpus pass here is exact at test
+    scale and would train on a sample at 100 TB.
+
+    Output: (_cid int, _cvec array<double>).
+    """
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    w0 = Window.orderBy(id_col)
+    cents = (
+        base.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(w0) - 1).cast("int").alias("_cid"),
+            F.col(vec_col).alias("_cvec"),
+        )
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(base, cents, vec_col, id_col)
+        comp = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("_pos", "_val"))
+            .groupBy("cluster", "_pos")
+            .agg(
+                F.round(
+                    F.round(F.sum("_val"), 6) / F.count(F.lit(1)), 6
+                ).alias("_m")
+            )
+        )
+        new_cents = comp.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                lambda s: s.getField("_m"),
+            ).alias("_cvec")
+        ).select(F.col("cluster").alias("_cid"), "_cvec")
+        rows = new_cents.collect()  # k rows of model state, not data
+        cents = spark.createDataFrame(
+            [(int(r["_cid"]), [float(x) for x in r["_cvec"]]) for r in rows],
+            "_cid int, _cvec array<double>",
+        )
+    return cents
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     query_id: int,
     k: int = 5,
     n_centroids: int = 8,
+    nprobe: int = IVF_NPROBE,
+    iters: int = KMEANS_ITERS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF probe: search only the query's cluster, exact cosine within.
-    At scale the cluster assignment is precomputed and the probe reads one
-    partition of a cluster-partitioned table — the standard
-    billion-vector layout (FAISS-style IVF flat, nprobe=1)."""
-    assigned = ivf_assign(emb, n_centroids, vec_col, id_col)
-    q = assigned.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("qvec"), F.col("cluster").alias("qcluster")
+    """IVF probe: search the query's `nprobe` nearest clusters, exact
+    cosine re-rank within. At scale the cluster assignment is precomputed
+    and the probe reads nprobe partitions of a cluster-partitioned table —
+    the standard billion-vector layout (FAISS IVF-flat with trained coarse
+    quantizer and multi-probe)."""
+    cents = kmeans_centroids(emb, n_centroids, iters, vec_col, id_col)
+    base = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    assigned = ivf_assign(base, cents, vec_col, id_col)
+    q = base.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "_cid", F.round(cosine(F.col("_cvec"), F.col("qvec")), 6).alias("_sim")
+        )
+        .orderBy(F.desc("_sim"), F.col("_cid"))
+        .limit(nprobe)
+        .select(F.col("_cid").alias("probe_cluster"))
     )
     return (
         assigned.filter(F.col(id_col) != query_id)
-        .join(F.broadcast(q), F.col("cluster") == F.col("qcluster"))
+        .join(F.broadcast(probe), F.col("cluster") == F.col("probe_cluster"))
+        .crossJoin(F.broadcast(q))
         .select(
             id_col,
             "cluster",

@@ -1220,38 +1220,72 @@ FROM documents GROUP BY source
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O6/V4 — IVF-style bucketed ANN: deterministic coarse centroids
-    (first 8 vectors), nearest-centroid assignment, probe the query's
-    cluster with exact cosine re-rank (FAISS IVF-flat shape, nprobe=1)."""
+    """O6/V4 — IVF ANN with a trained coarse quantizer: deterministic
+    spherical k-means (2 Lloyd iterations from lowest-id seeds), nearest-
+    centroid assignment, probe the query's nprobe=2 nearest clusters with
+    exact cosine re-rank (FAISS IVF-flat shape; reference ivfflat,
+    ingest/schema.sql:41)."""
     from floatchat_datapipeline_spark.embeddings.search import ann_ivf_topk
 
     return ann_ivf_topk(load_table(spark, sf_dir, "embeddings"), query_id=1, k=5)
 
 
-_ANN_IVF_ORACLE = f"""
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
-), cents AS (
-  SELECT vec_id AS cid, vec AS cvec FROM v ORDER BY vec_id LIMIT 8
-), assigned AS (
+def _ann_ivf_oracle(k: int = 8, iters: int = 2, nprobe: int = 2) -> str:
+    """Unrolled k-means replay of embeddings.search.kmeans_centroids +
+    ann_ivf_topk: c0 = lowest-id seeds; each iteration assigns (6dp-rounded
+    cosine argmax, tie-break cid) and recomputes per-position means from
+    the ROUNDED sum — the exact arithmetic the Spark side uses, so both
+    engines land on identical centroids."""
+    assign = """
   SELECT vec_id, vec, cid AS cluster FROM (
     SELECT a.vec_id, a.vec, c.cid,
            row_number() OVER (
              PARTITION BY a.vec_id
-             ORDER BY {_COS_SQL.format(a='a.vec', b='c.cvec')} DESC, c.cid
+             ORDER BY {sim} DESC, c.cid
            ) AS rn
-    FROM v a, cents c
+    FROM v a, {cents} c
   ) WHERE rn = 1
-), q AS (
-  SELECT vec AS qvec, cluster AS qcluster FROM assigned WHERE vec_id = 1
+"""
+    sim = _COS_SQL.format(a="a.vec", b="c.cvec")
+    sql = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         vec AS cvec
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k})
+)""".format(k=k)
+    for i in range(1, iters + 1):
+        sql += f""", a{i} AS ({assign.format(sim=sim, cents=f'c{i - 1}')})
+, c{i} AS (
+  SELECT cluster AS cid, list(m ORDER BY pos) AS cvec FROM (
+    SELECT a.cluster, u.i AS pos,
+           round(round(sum(u.x), 6) / count(*), 6) AS m
+    FROM a{i} a,
+    LATERAL (SELECT unnest(vec) AS x,
+                    unnest(generate_series(1, len(vec))) AS i) u
+    GROUP BY a.cluster, u.i)
+  GROUP BY cluster
+)"""
+    sql += f""", af AS ({assign.format(sim=sim, cents=f'c{iters}')})
+, q AS (
+  SELECT vec AS qvec FROM v WHERE vec_id = 1
+), qc AS (
+  SELECT c.cid FROM c{iters} c, q
+  ORDER BY {_COS_SQL.format(a='q.qvec', b='c.cvec')} DESC, c.cid
+  LIMIT {nprobe}
 )
 SELECT a.vec_id, a.cluster,
        round({_COS_SQL.format(a='a.vec', b='q.qvec')}, 6) AS score
-FROM assigned a, q
-WHERE a.cluster = q.qcluster AND a.vec_id <> 1
+FROM af a, q
+WHERE a.cluster IN (SELECT cid FROM qc) AND a.vec_id <> 1
 ORDER BY score DESC, a.vec_id
 LIMIT 5
 """
+    return sql
+
+
+_ANN_IVF_ORACLE = _ann_ivf_oracle()
 
 
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
