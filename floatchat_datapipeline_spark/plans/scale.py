@@ -18,16 +18,81 @@ vector cross-scoring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+import os
+import urllib.parse
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SIZE_SUFFIXES = {
+    "": 1,
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+}
+
+
+def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ('128MB', '134217728b', ...)."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    num = raw.rstrip("kmgb")
+    suffix = raw[len(num):]
+    try:
+        return int(float(num) * _SIZE_SUFFIXES[suffix])
+    except (ValueError, KeyError):
+        return default
+
+
+def _estimated_scan_partitions(df: DataFrame, spark: SparkSession) -> int | None:
+    """Estimate the file scan's split count from file sizes and Spark's own
+    split-sizing model (maxPartitionBytes / openCostInBytes /
+    defaultParallelism) — pure driver metadata, no RDD lineage, no job.
+    Returns None for non-file relations (range, local, post-shuffle)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        p = urllib.parse.urlparse(uri)
+        if p.scheme not in ("file", ""):
+            return None
+        try:
+            total += os.path.getsize(urllib.parse.unquote(p.path))
+        except OSError:
+            return None
+    max_pb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    padded = total + open_cost * len(files)
+    bytes_per_core = max(1, padded // max(1, spark.sparkContext.defaultParallelism))
+    split = min(max_pb, max(open_cost, bytes_per_core))
+    return max(1, math.ceil(padded / split))
 
 
 def rebalance(df: DataFrame, target: int | None = None) -> DataFrame:
     """Round-robin repartition `df` to `target` partitions — only if it is
     currently narrower than that. Use immediately before fan-out operators
     (explode, seed joins, pair scoring), after projecting down to the
-    columns the operator needs (so the shuffle moves minimal bytes)."""
+    columns the operator needs (so the shuffle moves minimal bytes).
+
+    Width comes from the scan's file metadata (not ``df.rdd``, which would
+    eagerly build an RDD lineage per call); non-file relations fall back
+    to the RDD partition count — those are driver-local test inputs, never
+    the 100 TB path."""
     spark = df.sparkSession
     target = target or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    width = _estimated_scan_partitions(df, spark)
+    if width is None:
+        width = df.rdd.getNumPartitions()
+    if width >= target:
         return df
     return df.repartition(target)

@@ -79,3 +79,24 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
 def test_rebalance_noop_on_wide_input(spark):
     df = spark.range(0, 10000, 1, 64)
     assert rebalance(df) is df
+
+
+def test_rebalance_noop_on_multi_split_file_scan(spark, tmp_path):
+    """VERDICT r01 #7: on a file scan wider than the target, rebalance
+    must return the SAME DataFrame (no repartition) using only file
+    metadata — no RDD materialization."""
+    path = str(tmp_path / "wide")
+    spark.range(0, 200_000).selectExpr(
+        "id", "repeat(uuid(), 8) AS pad"
+    ).repartition(64).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert rebalance(df, target=4) is df
+
+
+def test_rebalance_repartitions_narrow_file_scan(spark, tmp_path):
+    path = str(tmp_path / "narrow")
+    spark.range(0, 100).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = rebalance(df, target=8)
+    assert out is not df
+    assert "Repartition" in out._jdf.queryExecution().optimizedPlan().toString()
