@@ -60,6 +60,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_external(
+    spark: SparkSession,
+    fmt: str,
+    options: dict[str, str] | None = None,
+    schema=None,
+) -> DataFrame:
+    """External-source scan seam (reference S7 — ingest/db_handler.py
+    pd.read_sql scans; sync_supabase_to_chromadb.py:87-115).
+
+    Thin format/option passthrough: ``load_external(spark, "jdbc",
+    {"url": ..., "dbtable": ..., "partitionColumn": ..., "lowerBound":
+    ..., "upperBound": ..., "numPartitions": ...})`` gives a parallel
+    JDBC scan with predicate pushdown; any other DataSource V2 format
+    rides the same call. Tested with a parquet fake (no DB in the test
+    container)."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if options:
+        reader = reader.options(**options)
+    return reader.load()
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for spark.sql() plans."""
     for name in ALL_TABLES:

@@ -128,6 +128,27 @@ def append_new(
     _swap_write(new, path, partition_by)
 
 
+def write_external(
+    df: DataFrame,
+    fmt: str,
+    options: dict[str, str] | None = None,
+    mode: str = "append",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """External-sink seam (reference K3 — ingest/db_handler.py:258-284
+    ``to_sql`` bulk insert). ``write_external(df, "jdbc", {"url": ...,
+    "dbtable": ..., "batchsize": "10000"})`` is the Spark-parallel bulk
+    insert; every executor writes its partitions concurrently. Any other
+    DataSource format rides the same passthrough (tested with a parquet
+    fake — no DB in the test container)."""
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if options:
+        writer = writer.options(**options)
+    writer.save()
+
+
 def delete_keys(spark: SparkSession, path: str, bad_keys: DataFrame) -> None:
     """K7 — remove rows matching any key row in `bad_keys` (column names
     of `bad_keys` define the match key), e.g. the reference's ChromaDB

@@ -102,3 +102,20 @@ def test_crash_window_recovery(spark, tmp_table):
     # 'a' survived via the backup; publish cleaned the backup up.
     assert _rows(spark, tmp_table) == {("a", 1), ("b", 20), ("c", 3)}
     assert not os.path.exists(tmp_table + ".old")
+
+
+def test_external_format_option_passthrough(spark, tmp_table):
+    """S7/K3 seam: write_external/load_external pass format + options
+    straight to the DataSource API. Parquet stands in for JDBC (the test
+    container has no database); a JDBC deployment swaps fmt and options
+    only."""
+    from floatchat_datapipeline_spark.catalog import load_external
+    from floatchat_datapipeline_spark.sinks.upsert import write_external
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    write_external(df, "parquet", {"path": tmp_table}, mode="overwrite")
+    back = load_external(spark, "parquet", {"path": tmp_table})
+    assert {tuple(r) for r in back.select("k", "v").collect()} == {("a", 1), ("b", 2)}
+    # append mode accumulates — the to_sql bulk-insert shape
+    write_external(df, "parquet", {"path": tmp_table}, mode="append")
+    assert load_external(spark, "parquet", {"path": tmp_table}).count() == 4
