@@ -159,30 +159,45 @@ KMEANS_ITERS = 2
 IVF_NPROBE = 2
 
 
-def ivf_assign(
-    emb: DataFrame,
-    centroids: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest
-    centroid (broadcast centroids → per-row argmax → cluster column).
+def _lit_vec(vals) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
 
-    Output: emb columns + `cluster` (the centroid's id).
-    """
-    # round to 6dp BEFORE the argmax so near-tie assignments are stable
-    # across engines/precisions (the oracle compares at the same grain)
-    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", F.round(cosine(F.col(vec_col), F.col("_cvec")), 6)
-    )
-    from pyspark.sql import Window
 
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("_cid"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(*emb.columns, F.col("_cid").alias("cluster"))
+def nearest_centroid(
+    vec: Column, cents: list[tuple[int, list[float]]]
+) -> Column:
+    """IVF coarse quantization as a PURE per-row expression: with the k×d
+    centroid matrix inlined as literals (model state, broadcast by value
+    into the plan), the argmax is `array_max` over (sim, -cid) structs —
+    no crossJoin, no window, NO SHUFFLE. At 100 TB this is the difference
+    between a map-only assignment pass and shuffling the whole corpus by
+    vector id.
+
+    Sim is 6dp-rounded BEFORE the argmax so near-tie assignments are
+    stable across engines; ties break to the LOWEST cid (negated cid in
+    the struct makes struct-max pick it).
+
+    The centroid matrix is inlined ONCE as a nested array literal and
+    traversed with zip_with, and ‖v‖ is computed once per row — a flat
+    per-centroid expansion would repeat the k×d literals per cosine and
+    blow up Catalyst analysis time (measured ~1 s/plan at k=8, d=64)."""
+    from floatchat_datapipeline_spark.functions.vector import dot, norm
+
+    # single nested-array Literal (one plan node for the whole k×d matrix)
+    mat = F.lit([[float(x) for x in cvec] for _, cvec in cents])
+    cids = F.lit([int(cid) for cid, _ in cents])
+    vnorm = norm(vec)
+    best = F.array_max(
+        F.zip_with(
+            mat,
+            cids,
+            lambda cvec, cid: F.struct(
+                F.round(dot(vec, cvec) / (vnorm * norm(cvec)), 6).alias("sim"),
+                (-cid).alias("neg_cid"),
+            ),
+        )
     )
+    return (-best.getField("neg_cid")).cast("int")
 
 
 def kmeans_centroids(
@@ -191,45 +206,46 @@ def kmeans_centroids(
     iters: int = KMEANS_ITERS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> DataFrame:
+) -> list[tuple[int, list[float]]]:
     """Deterministic spherical-k-means centroids (Lloyd iterations).
 
     Seeds are the `n_centroids` lowest-id vectors renumbered 0..k-1; each
     iteration reassigns every vector (cosine argmax, 6dp-rounded for
     cross-engine tie stability) and recomputes centroids as per-position
-    means. Means are derived from the ROUNDED sum (`round(round(sum,6)/n,
-    6)`) so Spark's and the oracle's partial-aggregation orders can't
-    diverge in the last bit.
+    means. Means are computed IN SPARK as `round(round(sum,6)/n, 6)` so
+    Spark's and the oracle's partial-aggregation orders can't diverge in
+    the last bit.
 
-    Each iteration's k×d centroid matrix is collected to the driver and
-    re-literalized: it is model state (metadata scale, like the encoded
-    query), and cutting the lineage keeps iteration i from re-running
-    iterations 1..i-1's corpus passes — Lloyd is O(iters · corpus), not
-    O(iters² · corpus). FAISS trains its coarse quantizer the same way
-    (sampled, driver-side); the full-corpus pass here is exact at test
-    scale and would train on a sample at 100 TB.
+    Plan shape: each Lloyd iteration is ONE map-only assignment expression
+    (`nearest_centroid`, no shuffle) feeding a posexplode →
+    groupBy(cluster, pos) mean — the d× row fan-out is pipelined inside
+    the map stage and partial-aggregated there, so the shuffle carries
+    only k×d rows per partition, never the exploded corpus. The k×d
+    result is collected and re-literalized per iteration:
+    it is model state (metadata scale), and cutting the lineage keeps
+    iteration i from re-running iterations 1..i-1's corpus passes — Lloyd
+    is O(iters · corpus), not O(iters² · corpus). FAISS trains its coarse
+    quantizer the same way (sampled, driver-side); the full-corpus pass
+    here is exact at test scale and would train on a sample at 100 TB.
 
-    Output: (_cid int, _cvec array<double>).
+    Output: [(cid, centroid_vector)] sorted by cid — driver-side model
+    state, ready to inline into `nearest_centroid`.
     """
-    from pyspark.sql import Window
-
-    spark = emb.sparkSession
     base = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )
-    w0 = Window.orderBy(id_col)
-    cents = (
-        base.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            (F.row_number().over(w0) - 1).cast("int").alias("_cid"),
-            F.col(vec_col).alias("_cvec"),
-        )
-    )
+    seed_rows = base.orderBy(id_col).limit(n_centroids).collect()
+    cents = [
+        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)
+    ]
     for _ in range(iters):
-        assigned = ivf_assign(base, cents, vec_col, id_col)
+        assigned = base.withColumn(
+            "cluster", nearest_centroid(F.col(vec_col), cents)
+        )
         comp = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("_pos", "_val"))
+            assigned.select(
+                "cluster", F.posexplode(vec_col).alias("_pos", "_val")
+            )
             .groupBy("cluster", "_pos")
             .agg(
                 F.round(
@@ -237,16 +253,18 @@ def kmeans_centroids(
                 ).alias("_m")
             )
         )
-        new_cents = comp.groupBy("cluster").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
-                lambda s: s.getField("_m"),
-            ).alias("_cvec")
-        ).select(F.col("cluster").alias("_cid"), "_cvec")
-        rows = new_cents.collect()  # k rows of model state, not data
-        cents = spark.createDataFrame(
-            [(int(r["_cid"]), [float(x) for x in r["_cvec"]]) for r in rows],
-            "_cid int, _cvec array<double>",
+        rows = (
+            comp.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                    lambda s: s.getField("_m"),
+                ).alias("_cvec")
+            )
+            .collect()
+        )
+        cents = sorted(
+            (int(r["cluster"]), [float(x) for x in r["_cvec"]]) for r in rows
         )
     return cents
 
@@ -270,12 +288,17 @@ def ann_ivf_topk(
     base = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )
-    assigned = ivf_assign(base, cents, vec_col, id_col)
+    assigned = base.withColumn(
+        "cluster", nearest_centroid(F.col(vec_col), cents)
+    )
     q = base.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("qvec")
     )
+    cents_df = emb.sparkSession.createDataFrame(
+        cents, "_cid int, _cvec array<double>"
+    )
     probe = (
-        cents.crossJoin(F.broadcast(q))
+        cents_df.crossJoin(F.broadcast(q))
         .select(
             "_cid", F.round(cosine(F.col("_cvec"), F.col("qvec")), 6).alias("_sim")
         )
