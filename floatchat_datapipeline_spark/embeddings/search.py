@@ -200,12 +200,21 @@ def nearest_centroid(
     return (-best.getField("neg_cid")).cast("int")
 
 
+# Trained-quantizer cache: centroids are MODEL STATE — an IVF index is
+# built once per corpus and amortized over every query against it (the
+# FAISS index lifecycle; the reference persists its ivfflat index the
+# same way, ingest/schema.sql:41). Keyed by an explicit caller-supplied
+# corpus identity (e.g. the table path) plus the training hyperparams.
+_CENTROID_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
+
+
 def kmeans_centroids(
     emb: DataFrame,
     n_centroids: int = 8,
     iters: int = KMEANS_ITERS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cache_key: str | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic spherical-k-means centroids (Lloyd iterations).
 
@@ -230,7 +239,14 @@ def kmeans_centroids(
 
     Output: [(cid, centroid_vector)] sorted by cid — driver-side model
     state, ready to inline into `nearest_centroid`.
+
+    `cache_key` (an explicit corpus identity, e.g. the source path)
+    memoizes the trained quantizer: training costs 2·iters corpus passes
+    and is paid once per corpus, not once per query.
     """
+    memo = (cache_key, n_centroids, iters, vec_col, id_col) if cache_key else None
+    if memo is not None and memo in _CENTROID_CACHE:
+        return _CENTROID_CACHE[memo]
     base = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )
@@ -266,6 +282,8 @@ def kmeans_centroids(
         cents = sorted(
             (int(r["cluster"]), [float(x) for x in r["_cvec"]]) for r in rows
         )
+    if memo is not None:
+        _CENTROID_CACHE[memo] = cents
     return cents
 
 
@@ -278,13 +296,15 @@ def ann_ivf_topk(
     iters: int = KMEANS_ITERS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF probe: search the query's `nprobe` nearest clusters, exact
     cosine re-rank within. At scale the cluster assignment is precomputed
     and the probe reads nprobe partitions of a cluster-partitioned table —
     the standard billion-vector layout (FAISS IVF-flat with trained coarse
-    quantizer and multi-probe)."""
-    cents = kmeans_centroids(emb, n_centroids, iters, vec_col, id_col)
+    quantizer and multi-probe). Pass `cache_key` to reuse a previously
+    trained quantizer for the same corpus."""
+    cents = kmeans_centroids(emb, n_centroids, iters, vec_col, id_col, cache_key)
     base = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )

@@ -1227,7 +1227,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest/schema.sql:41)."""
     from floatchat_datapipeline_spark.embeddings.search import ann_ivf_topk
 
-    return ann_ivf_topk(load_table(spark, sf_dir, "embeddings"), query_id=1, k=5)
+    return ann_ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_id=1,
+        k=5,
+        cache_key=f"{sf_dir}/embeddings.parquet",
+    )
 
 
 def _ann_ivf_oracle(k: int = 8, iters: int = 2, nprobe: int = 2) -> str:

@@ -11,10 +11,22 @@ for batch-over-stream jobs (reference's periodic full syncs, SURVEY.md
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame
+
+# State-partition width for harness streams. A stateful query spins up one
+# state-store instance per shuffle partition and pays a per-partition
+# commit on EVERY micro-batch — so the width should be sized to the STATE
+# (thousands of keys here), not inherited from the batch shuffle width
+# (or a vanilla session's 200 default, which makes 200 near-empty state
+# commits per batch). At cluster scale you size this up with keyspace ×
+# executor count; it's pinned per-query at first checkpoint either way.
+STREAM_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+)
 
 
 def materialize(
@@ -24,13 +36,21 @@ def materialize(
 ) -> DataFrame:
     """Run `sdf` to completion (AvailableNow) into an in-memory table and
     return it as a batch DataFrame. Stops any prior query of the same name
-    so the call is re-runnable within a session."""
+    so the call is re-runnable within a session.
+
+    The streaming query plans under STREAM_SHUFFLE_PARTITIONS (fresh
+    checkpoint per call, so the width isn't pinned by an old state dir);
+    the session's batch shuffle width is restored afterwards."""
     spark = sdf.sparkSession
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
     ckpt = tempfile.mkdtemp(prefix=f"ckpt-{name}-")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+        )
         query = (
             sdf.writeStream.format("memory")
             .queryName(name)
@@ -41,6 +61,7 @@ def materialize(
         )
         query.awaitTermination()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
