@@ -1,0 +1,132 @@
+"""Corpus selection operators — deterministic splits, stratified
+sampling, sequence packing.
+
+LLM-training-pipeline operators (north-star family, alongside
+operators/dedup.py). All are pure column expressions or windowed plans —
+no UDFs, no driver-side state — and every randomness source is a
+content hash, so reruns and engine replays (the DuckDB oracle) are
+bit-identical: at 100 TB "re-run the split" must mean "same split".
+
+Scale design:
+- hash split / stratified sample: map-only (one hash per row, no
+  shuffle); the split is stable under corpus growth because membership
+  depends only on the row's own id, never on position or order.
+- sequence packing: one shuffle by shard key, one in-shard sort —
+  windows never cross shards, so packing parallelizes by shard exactly
+  like the downstream training-data writer that consumes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from floatchat_datapipeline_spark.functions.textstats import (
+    md5_long,
+    token_count,
+)
+
+
+def hash_bucket(col: Column | str, n_buckets: int = 100, salt: str = "") -> Column:
+    """Stable bucket in [0, n_buckets): 60-bit md5 hash of (salt + id)
+    mod n_buckets. Salting derives INDEPENDENT splits from the same ids
+    (split vs sample vs shard must not correlate)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (md5_long(F.concat(F.lit(salt), c.cast("string"))) % n_buckets).cast(
+        "int"
+    )
+
+
+def train_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    valid_pct: int = 10,
+    salt: str = "split:",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by id hash. Output: all
+    input columns + (bucket, split)."""
+    b = hash_bucket(id_col, 100, salt)
+    return df.withColumn("bucket", b).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_pct, F.lit("train"))
+        .when(F.col("bucket") < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_pct: dict[str, int],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+    salt: str = "sample:",
+) -> DataFrame:
+    """Keep a per-stratum deterministic percentage of rows — the corpus-
+    mixing primitive (upsample curated sources, downsample crawl). A row
+    survives iff hash(salt + stratum + id) mod 100 < rate[stratum]; the
+    hash includes the stratum so per-stratum samples are independent.
+
+    Map-only: the rate table is folded into a CASE expression (dim-sized
+    model state), so no join at all."""
+    rate = None
+    for stratum, pct in sorted(rates_pct.items()):
+        clause = F.when(F.col(stratum_col) == stratum, F.lit(pct))
+        rate = clause if rate is None else rate.when(
+            F.col(stratum_col) == stratum, F.lit(pct)
+        )
+    rate = (
+        rate.otherwise(F.lit(default_pct))
+        if rate is not None
+        else F.lit(default_pct)
+    )
+    b = hash_bucket(
+        F.concat(F.col(stratum_col), F.lit(":"), F.col(id_col).cast("string")),
+        100,
+        salt,
+    )
+    return (
+        df.withColumn("sample_bucket", b)
+        .filter(F.col("sample_bucket") < rate)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign docs to fixed-budget training packs: docs are laid out
+    end-to-end in id order within each shard, and a doc belongs to the
+    pack where its first token lands (pack = floor(start_offset/budget)).
+    Deterministic, order-stable, and windowed per shard — the global
+    token stream never funnels through one partition.
+
+    Output: (doc_id, shard, n_tokens, pack_id, pack_offset)."""
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = token_count(text_col)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(shard_col).alias("shard"),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn("_end", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "shard",
+            "n_tokens",
+            # integer div/mod on the exact running sum — no doubles anywhere
+            F.expr(f"(_end - n_tokens) div {budget_tokens}").alias("pack_id"),
+            ((F.col("_end") - F.col("n_tokens")) % budget_tokens).alias(
+                "pack_offset"
+            ),
+        )
+    )

@@ -1,0 +1,192 @@
+"""Time-series joins over event streams — as-of join, binned range join,
+conversion funnel.
+
+Parity-plus operators (the reference has no time-series join capability;
+its closest behavior is the per-upload "latest state" sync in
+sync_supabase_to_chromadb.py:87-115, which is a point lookup). These are
+the joins an event/feature pipeline needs and Spark lacks as builtins.
+
+Scale design:
+- **as-of join**: NOT a range self-join. Both sides are unioned, shuffled
+  ONCE by the join key, sorted by (ts, side) within the key, and the
+  right-side payload is carried forward with a cumulative
+  `last(ignorenulls)` window. One shuffle + one sort — the merge-join
+  shape kdb/QuestDB/Flink use for asof; a naive theta join is O(n·m) per
+  key and a Catalyst BroadcastNestedLoop at worst.
+- **binned range join**: time windows of width W are equi-joined on
+  (key, floor(ts/W)) with the probe side exploded to the ≤2 bins its
+  window overlaps, then exact-filtered. The shuffle is an equi-join
+  shuffle (hash by key+bin), never a cross/BNLJ — the standard interval-
+  join binning trick (Flink interval join, DuckDB IEJoin's hash fallback).
+- **funnel**: per-stage conditional min-aggregates, one shuffle per stage
+  (each stage's threshold depends on the previous stage's per-key result);
+  all joins are on the small per-key aggregate, broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    payload_cols: tuple[str, ...] = ("value",),
+    right_order_col: str | None = None,
+    payload_prefix: str = "asof_",
+) -> DataFrame:
+    """For every `left` row, attach the payload of the latest `right` row
+    with the same `on` key and right.ts <= left.ts (at-or-before).
+
+    Union-merge implementation: right rows sort BEFORE left rows at equal
+    ts (side 0 < 1), so an exactly-simultaneous right row is visible.
+    Ties among right rows at the same ts break to the highest
+    `right_order_col` (deterministic, mirrors "last write wins").
+
+    Output: all `left` columns + `{prefix}{ts_col}` + `{prefix}{payload}`
+    for each payload column (NULL when no right row precedes).
+    """
+    lcols = left.columns
+    payload = F.struct(
+        F.col(ts_col).alias(ts_col),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    r = right.select(
+        F.col(on),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_side"),
+        (
+            F.col(right_order_col) if right_order_col else F.lit(0)
+        ).alias("_ord"),
+        payload.alias("_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c != on],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(0).alias("_ord"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c) for c in lcols if c != on],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side", "_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).withColumn(
+        "_asof", F.last("_payload", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *lcols,
+        F.col(f"_asof.{ts_col}").alias(f"{payload_prefix}{ts_col}"),
+        *[
+            F.col(f"_asof.{c}").alias(f"{payload_prefix}{c}")
+            for c in payload_cols
+        ],
+    )
+
+
+def binned_range_agg(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    window_seconds: int,
+    probe_ts: str = "ts",
+    build_ts: str = "ts",
+    probe_id: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """For every `probe` row, aggregate `build` rows with the same key in
+    [probe.ts, probe.ts + window_seconds): count + exact integer cents sum.
+
+    Bin width == window width, so a probe window overlaps at most 2 bins;
+    the probe side explodes ×2 and the join is a pure equi-join on
+    (key, bin). Probe rows with an empty window survive with count 0 via
+    the final left join back onto the probe set.
+
+    Output: (probe_id, on, n_matches, value_cents).
+    """
+    us = window_seconds * 1_000_000
+    p = probe.select(
+        F.col(probe_id),
+        F.col(on),
+        F.col(probe_ts).alias("_pts"),
+        F.expr(f"unix_micros({probe_ts}) div {us}").alias("_bin0"),
+    )
+    p_bins = p.withColumn(
+        "_bin", F.explode(F.array(F.col("_bin0"), F.col("_bin0") + 1))
+    )
+    b = build.select(
+        F.col(on),
+        F.col(build_ts).alias("_bts"),
+        F.expr(f"unix_micros({build_ts}) div {us}").alias("_bin"),
+        # exact cents BEFORE the sum: double-sum order-dependence can't
+        # bite, and the oracle's integer sum agrees bit-for-bit
+        F.round(F.col(value_col) * 100, 0).cast("long").alias("_cents"),
+    )
+    matched = (
+        p_bins.join(b, [on, "_bin"])
+        .filter(
+            (F.col("_bts") >= F.col("_pts"))
+            & (F.col("_bts") < F.col("_pts") + F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        )
+        .groupBy(probe_id)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_cents").alias("_sum_cents"),
+        )
+    )
+    return (
+        p.join(matched, probe_id, "left")
+        .select(
+            probe_id,
+            on,
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce(F.col("_sum_cents"), F.lit(0)).cast("long").alias("value_cents"),
+        )
+    )
+
+
+def event_funnel(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: a key reaches stage i when an event of
+    stages[i] occurs AT OR AFTER its stage i-1 arrival time. Output one
+    row per key: (key, stage1_ts, ..., stageN_ts) with NULLs where the
+    funnel stalls — the per-user form; count non-nulls for the report.
+
+    Each stage is one conditional min-aggregate over events joined
+    (broadcast) to the previous stage's per-key result: N_stages shuffles
+    of per-key aggregates, never a self-join of the event log.
+    """
+    ev = events.select(F.col(key), F.col(ts_col), F.col(type_col))
+    result = None
+    prev_ts = None
+    for i, stage in enumerate(stages):
+        stage_ts = f"{stage}_ts"
+        if result is None:
+            result = (
+                ev.filter(F.col(type_col) == stage)
+                .groupBy(key)
+                .agg(F.min(ts_col).alias(stage_ts))
+            )
+        else:
+            nxt = (
+                ev.filter(F.col(type_col) == stage)
+                .join(F.broadcast(result.select(key, prev_ts)), key)
+                .filter(F.col(ts_col) >= F.col(prev_ts))
+                .groupBy(key)
+                .agg(F.min(ts_col).alias(stage_ts))
+            )
+            result = result.join(nxt, key, "left")
+        prev_ts = stage_ts
+    return result

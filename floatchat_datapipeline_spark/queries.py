@@ -1235,12 +1235,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_ivf_oracle(k: int = 8, iters: int = 2, nprobe: int = 2) -> str:
-    """Unrolled k-means replay of embeddings.search.kmeans_centroids +
-    ann_ivf_topk: c0 = lowest-id seeds; each iteration assigns (6dp-rounded
-    cosine argmax, tie-break cid) and recomputes per-position means from
-    the ROUNDED sum — the exact arithmetic the Spark side uses, so both
-    engines land on identical centroids."""
+def _kmeans_replay_sql(k: int = 8, iters: int = 2) -> str:
+    """WITH-clause prefix (no leading WITH) replaying
+    embeddings.search.kmeans_centroids: c0 = lowest-id seeds; each
+    iteration assigns (6dp-rounded cosine argmax, tie-break cid) and
+    recomputes per-position means from the ROUNDED sum — the exact
+    arithmetic the Spark side uses, so both engines land on identical
+    centroids. Defines CTEs `v` (vec_id, vec) and `af` (final assignment:
+    vec_id, vec, cluster) for the caller's suffix."""
     assign = """
   SELECT vec_id, vec, cid AS cluster FROM (
     SELECT a.vec_id, a.vec, c.cid,
@@ -1252,8 +1254,7 @@ def _ann_ivf_oracle(k: int = 8, iters: int = 2, nprobe: int = 2) -> str:
   ) WHERE rn = 1
 """
     sim = _COS_SQL.format(a="a.vec", b="c.cvec")
-    sql = """
-WITH v AS (
+    sql = """v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
 ), c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
@@ -1272,8 +1273,14 @@ WITH v AS (
     GROUP BY a.cluster, u.i)
   GROUP BY cluster
 )"""
-    sql += f""", af AS ({assign.format(sim=sim, cents=f'c{iters}')})
-, q AS (
+    sql += f", af AS ({assign.format(sim=sim, cents=f'c{iters}')})"
+    return sql
+
+
+def _ann_ivf_oracle(k: int = 8, iters: int = 2, nprobe: int = 2) -> str:
+    """k-means replay prefix + the nprobe probe/re-rank suffix."""
+    sql = "WITH " + _kmeans_replay_sql(k, iters)
+    sql += f""", q AS (
   SELECT vec AS qvec FROM v WHERE vec_id = 1
 ), qc AS (
   SELECT c.cid FROM c{iters} c, q
@@ -2100,6 +2107,443 @@ _STREAM_DEDUP_ORACLE = "SELECT * FROM events"
 
 
 # ---------------------------------------------------------------------------
+# Time-series joins over events (parity-plus TS1-TS3, SURVEY.md §2.14)
+# ---------------------------------------------------------------------------
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS1 — as-of join: every click gets the latest at-or-before view of
+    the same user (union-merge: ONE shuffle by user, cumulative
+    last(ignorenulls) — never a range self-join)."""
+    from floatchat_datapipeline_spark.operators.timeseries import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks,
+        views,
+        on="user_id",
+        ts_col="ts",
+        payload_cols=("value",),
+        right_order_col="event_id",
+        payload_prefix="view_",
+    )
+
+
+_EVENTS_ASOF_ORACLE = """
+WITH u AS (
+  SELECT user_id, ts AS sort_ts, 0 AS side, event_id AS ord,
+         ts AS p_ts, value AS p_value,
+         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS TIMESTAMP) AS ts,
+         CAST(NULL AS DOUBLE) AS value
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, 1, 0,
+         CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE),
+         event_id, ts, value
+  FROM events WHERE event_type = 'click'
+), c AS (
+  SELECT event_id, user_id, ts, value, side,
+         last_value(p_ts IGNORE NULLS) OVER w AS view_ts,
+         last_value(p_value IGNORE NULLS) OVER w AS view_value
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY sort_ts, side, ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, value, view_ts, view_value
+FROM c WHERE side = 1
+"""
+
+
+def q_error_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS2 — binned range join: per error event, count/sum the same
+    user's clicks in the following 10 minutes. Equi-join on
+    (user, time-bin) with the error side exploded to its ≤2 overlapping
+    bins — the interval-join binning trick; never a theta join."""
+    from floatchat_datapipeline_spark.operators.timeseries import (
+        binned_range_agg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return binned_range_agg(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "click"),
+        on="user_id",
+        window_seconds=600,
+    )
+
+
+_ERROR_CLICK_WINDOW_ORACLE = """
+SELECT e.event_id, e.user_id,
+       count(c.ts) AS n_matches,
+       COALESCE(CAST(sum(CAST(round(c.value * 100, 0) AS BIGINT)) AS BIGINT),
+                0) AS value_cents
+FROM events e LEFT JOIN events c
+  ON c.user_id = e.user_id AND c.event_type = 'click'
+ AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 600 SECOND
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id
+"""
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS3 — ordered conversion funnel view→click→purchase per user:
+    stage i counts only at-or-after the user's stage i-1 time."""
+    from floatchat_datapipeline_spark.operators.timeseries import event_funnel
+
+    return event_funnel(load_table(spark, sf_dir, "events"))
+
+
+_EVENT_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS view_ts
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.view_ts
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.click_ts
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT s1.user_id, view_ts, click_ts, purchase_ts
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus selection / training-data prep (parity-plus L1-L5, SURVEY.md §2.14)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 — deterministic hash train/valid/test split (80/10/10): map-only,
+    stable under corpus growth (membership depends only on the id)."""
+    from floatchat_datapipeline_spark.operators.sampling import (
+        train_test_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_test_split(docs).select(
+        "doc_id", "lang", "source", "bucket", "split"
+    )
+
+
+_DOC_TRAIN_SPLIT_ORACLE = """
+SELECT doc_id, lang, source,
+  CAST(CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+       AS BIGINT) % 100 AS INT) AS bucket,
+  CASE
+    WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+         AS BIGINT) % 100 < 80 THEN 'train'
+    WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+         AS BIGINT) % 100 < 90 THEN 'valid'
+    ELSE 'test'
+  END AS split
+FROM documents
+"""
+
+
+_SAMPLE_RATES = {"src0": 80, "src1": 50, "src2": 25}
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 — per-source deterministic sampling (corpus mixing): keep
+    hash(source:id) mod 100 < rate[source], rate folded into one CASE
+    expression — map-only, no join."""
+    from floatchat_datapipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, _SAMPLE_RATES, default_pct=10).select(
+        "doc_id", "source", "sample_bucket"
+    )
+
+
+_DOC_STRATIFIED_SAMPLE_ORACLE = """
+WITH b AS (
+  SELECT doc_id, source,
+    CAST(CAST('0x' || substr(
+           md5('sample:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)
+         AS BIGINT) % 100 AS INT) AS sample_bucket
+  FROM documents
+)
+SELECT doc_id, source, sample_bucket FROM b
+WHERE sample_bucket < CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50
+                                  WHEN 'src2' THEN 25 ELSE 10 END
+"""
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 — sequence packing: docs laid end-to-end in id order within each
+    lang shard; pack = the 2048-token block where the doc's first token
+    lands. One shuffle by shard, windows never cross shards."""
+    from floatchat_datapipeline_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+_DOC_PACK_SEQUENCES_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang AS shard,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS e
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       (e - n_tokens) // 2048 AS pack_id,
+       (e - n_tokens) % 2048 AS pack_offset
+FROM c
+"""
+
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 — PII scrubbing: count and redact email/phone patterns. The
+    corpus is synthetic alpha words, so a deterministic contact string
+    derived from doc_id is appended first — the point under test is the
+    regex engine parity and the redaction plan, which is map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.md5(red).alias("red_hash"),
+        F.length(red).alias("red_len"),
+    )
+
+
+_DOC_PII_REDACT_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(aug, '{_EMAIL_RE}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(aug, '{_PHONE_RE}')) AS INT) AS n_phones,
+  md5(regexp_replace(regexp_replace(aug, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{_PHONE_RE}', '<PHONE>', 'g')) AS red_hash,
+  CAST(length(regexp_replace(regexp_replace(aug, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{_PHONE_RE}', '<PHONE>', 'g')) AS INT) AS red_len
+FROM a
+"""
+
+_BM25_TERMS = ("hash", "join", "scan")
+
+
+def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 — BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query
+    over the documents table: per-term tf as a map-side array expression,
+    corpus stats (N, avgdl, df) as ONE global aggregate broadcast back,
+    score as a pure column formula in fixed term order. Top-10.
+
+    Parity: idf is rounded to 7dp (ln may differ in the last ulp across
+    engines), each term's score to 6dp, the sum to 6dp — both sides
+    compute the identical expression tree."""
+    from floatchat_datapipeline_spark.functions import textstats as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+
+    def tf(word: str):
+        # NB: a two-parameter lambda in F.filter means (element, index) —
+        # a `_w=word` default arg would silently bind `_w` to the index.
+        return F.size(F.filter(toks, lambda t: t == F.lit(word)))
+
+    sel = docs.select(
+        "doc_id",
+        T.token_count("text").cast("double").alias("dl"),
+        *[tf(w).cast("double").alias(f"tf_{w}") for w in _BM25_TERMS],
+    )
+    stats = sel.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{w}") > 0).cast("int"))
+            .cast("double")
+            .alias(f"df_{w}")
+            for w in _BM25_TERMS
+        ],
+    )
+    j = sel.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl") / F.col("n")
+
+    def term_score(w: str):
+        tf, df = F.col(f"tf_{w}"), F.col(f"df_{w}")
+        idf = F.round(
+            F.log(F.lit(1.0) + (F.col("n") - df + 0.5) / (df + 0.5)), 7
+        )
+        return F.round(
+            idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)),
+            6,
+        )
+
+    score = term_score(_BM25_TERMS[0])
+    for w in _BM25_TERMS[1:]:
+        score = score + term_score(w)
+    return (
+        j.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n    ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), t -> t = '{w}'))"
+        f" AS DOUBLE) AS tf_{w}"
+        for w in _BM25_TERMS
+    )
+    df_cols = ",\n    ".join(
+        f"CAST(sum(CASE WHEN tf_{w} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS df_{w}"
+        for w in _BM25_TERMS
+    )
+    terms = " + ".join(
+        f"round(round(ln(1.0 + (n - df_{w} + 0.5) / (df_{w} + 0.5)), 7)"
+        f" * (tf_{w} * 2.2)"
+        f" / (tf_{w} + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n))), 6)"
+        for w in _BM25_TERMS
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS dl,
+    {tf_cols}
+  FROM documents
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sum_dl,
+    {df_cols}
+  FROM d
+)
+SELECT doc_id, round({terms}, 6) AS bm25
+FROM d, s
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+_DOC_BM25_ORACLE = _bm25_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-group closure (parity-plus D5/V8, SURVEY.md §2.14)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 — near-dup GROUPS from LSH candidate pairs: undirected
+    connected components by iterative min-label propagation (a↔b, b↔c
+    collapse into one cluster even though a↔c was never emitted). The
+    oracle replays connectivity with a recursive CTE."""
+    from floatchat_datapipeline_spark.operators.clusters import (
+        connected_components,
+    )
+    from floatchat_datapipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), spark)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+_DOC_DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_SIG_SQL},
+keys AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         md5(string_agg(CAST(minhash AS STRING), ',' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.node
+)
+SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+_SEMDEDUP_THRESHOLD = 0.35
+
+
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 — SemDedup (Abbas et al. 2023): cluster the embedding space
+    with the (cached) trained IVF quantizer, mark vectors whose cosine to
+    a lower-id cluster-mate is ≥ τ as duplicates. τ=0.35 on the synthetic
+    embeddings (their cosine scale is lower than real sentence encoders,
+    where ~0.95 is typical)."""
+    from floatchat_datapipeline_spark.operators.clusters import semdedup
+
+    return semdedup(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=_SEMDEDUP_THRESHOLD,
+        cache_key=f"{sf_dir}/embeddings.parquet",
+    )
+
+
+def _semdedup_oracle(threshold: float = _SEMDEDUP_THRESHOLD) -> str:
+    cos = _COS_SQL.format(a="a.vec", b="b.vec")
+    return (
+        "WITH "
+        + _kmeans_replay_sql()
+        + f""", dups AS (
+  SELECT DISTINCT b.vec_id AS dup_id
+  FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold}
+)
+SELECT a.vec_id, a.cluster,
+       a.vec_id NOT IN (SELECT dup_id FROM dups) AS is_kept
+FROM af a
+"""
+    )
+
+
+_EMB_SEMDEDUP_ORACLE = _semdedup_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2307,5 +2751,33 @@ def registry() -> dict[str, QuerySpec]:
             q_corpus_selection,
             _CORPUS_SELECTION_ORACLE,
             ("corpus-selection", "dedup-exact", "text-quality", "lang-id"),
+        ),
+        "events_asof": QuerySpec(
+            q_events_asof, _EVENTS_ASOF_ORACLE, ("TS1",)
+        ),
+        "error_click_window": QuerySpec(
+            q_error_click_window, _ERROR_CLICK_WINDOW_ORACLE, ("TS2",)
+        ),
+        "event_funnel": QuerySpec(
+            q_event_funnel, _EVENT_FUNNEL_ORACLE, ("TS3",)
+        ),
+        "doc_train_split": QuerySpec(
+            q_doc_train_split, _DOC_TRAIN_SPLIT_ORACLE, ("L1",)
+        ),
+        "doc_stratified_sample": QuerySpec(
+            q_doc_stratified_sample, _DOC_STRATIFIED_SAMPLE_ORACLE, ("L2",)
+        ),
+        "doc_pack_sequences": QuerySpec(
+            q_doc_pack_sequences, _DOC_PACK_SEQUENCES_ORACLE, ("L3",)
+        ),
+        "doc_pii_redact": QuerySpec(
+            q_doc_pii_redact, _DOC_PII_REDACT_ORACLE, ("L4",)
+        ),
+        "doc_bm25": QuerySpec(q_doc_bm25, _DOC_BM25_ORACLE, ("L5",)),
+        "doc_dup_clusters": QuerySpec(
+            q_doc_dup_clusters, _DOC_DUP_CLUSTERS_ORACLE, ("D5", "dedup-lsh")
+        ),
+        "emb_semdedup": QuerySpec(
+            q_emb_semdedup, _EMB_SEMDEDUP_ORACLE, ("V8", "dedup-embedding")
         ),
     }

@@ -37,6 +37,11 @@ SURVEY_IDS = [
         ("J", 5), ("O", 6), ("D", 4), ("C", 10), ("V", 7),
     ]
     for i in range(1, n + 1)
+] + [
+    # §2.14 parity-plus: time-series joins, corpus prep, dup-group closure
+    "TS1", "TS2", "TS3",
+    "L1", "L2", "L3", "L4", "L5",
+    "D5", "V8",
 ]
 
 # North-star families (BASELINE.json) that must also be present.

@@ -1,0 +1,172 @@
+"""Edge-semantics tests for the §2.14 operators — the cases the
+sf-data oracle mirror can't isolate: as-of tie-breaking, funnel
+ordering, component closure, pack/shard isolation, split stability."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from floatchat_datapipeline_spark.operators.clusters import (
+    connected_components,
+)
+from floatchat_datapipeline_spark.operators.sampling import (
+    pack_sequences,
+    stratified_sample,
+    train_test_split,
+)
+from floatchat_datapipeline_spark.operators.timeseries import (
+    asof_join,
+    binned_range_agg,
+    event_funnel,
+)
+
+
+def _ts(m: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    rows = [
+        # user 1: view@0, view@5, click@5 (simultaneous), click@10
+        (1, 1, _ts(0), "view", 1.0),
+        (2, 1, _ts(5), "view", 2.0),
+        (3, 1, _ts(5), "click", 10.0),
+        (4, 1, _ts(10), "click", 20.0),
+        # user 2: click with NO preceding view
+        (5, 2, _ts(3), "click", 30.0),
+        # user 3: purchase BEFORE click — funnel must stall at click
+        (6, 3, _ts(0), "view", 1.0),
+        (7, 3, _ts(1), "purchase", 99.0),
+        (8, 3, _ts(2), "click", 5.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_asof_simultaneous_right_row_is_visible(events_df):
+    clicks = events_df.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = events_df.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            clicks, views, on="user_id", payload_cols=("value",),
+            right_order_col="event_id", payload_prefix="view_",
+        ).collect()
+    }
+    # click@5 sees the view AT 5 (right sorts before left at equal ts)
+    assert out[3]["view_value"] == 2.0 and out[3]["view_ts"] == _ts(5)
+    # click@10 still sees the latest view (ts=5)
+    assert out[4]["view_value"] == 2.0
+    # user 2 has no view → NULL payload, row preserved
+    assert out[5]["view_value"] is None and out[5]["view_ts"] is None
+
+
+def test_asof_right_ties_break_to_highest_order(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _ts(9))], "event_id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, "k", _ts(1), 111.0), (11, "k", _ts(1), 222.0)],
+        "event_id long, k string, ts timestamp, value double",
+    )
+    row = asof_join(
+        left, right, on="k", payload_cols=("value",),
+        right_order_col="event_id",
+    ).collect()[0]
+    assert row["asof_value"] == 222.0  # last write (highest event_id) wins
+
+
+def test_binned_range_agg_window_is_half_open(spark):
+    # build rows at +0s, +599s (in), +600s (out), before (out)
+    probe = spark.createDataFrame(
+        [(1, "k", _ts(10))], "event_id long, k string, ts timestamp"
+    )
+    base = _ts(10)
+    build = spark.createDataFrame(
+        [
+            ("k", base, 1.0),
+            ("k", base + dt.timedelta(seconds=599), 2.0),
+            ("k", base + dt.timedelta(seconds=600), 4.0),
+            ("k", base - dt.timedelta(seconds=1), 8.0),
+        ],
+        "k string, ts timestamp, value double",
+    )
+    row = binned_range_agg(probe, build, on="k", window_seconds=600).collect()[0]
+    assert row["n_matches"] == 2
+    assert row["value_cents"] == 300
+
+
+def test_funnel_requires_stage_order(events_df):
+    out = {r["user_id"]: r for r in event_funnel(events_df).collect()}
+    # user 1: view@0 → click@5 (simultaneous-with-view-2 still ≥ view_ts)
+    assert out[1]["view_ts"] == _ts(0) and out[1]["click_ts"] == _ts(5)
+    assert out[1]["purchase_ts"] is None
+    # user 3: purchase happened BEFORE the click stage → not counted
+    assert out[3]["click_ts"] == _ts(2) and out[3]["purchase_ts"] is None
+    # user 2 never viewed → absent entirely (funnel roots at stage 1)
+    assert 2 not in out
+
+
+def test_connected_components_transitive_closure(spark):
+    # chain a-b, b-c, plus isolated pair x-y: two components
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 12  # diameter > 1 forces multiple propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = connected_components(edges).collect()
+    assert {r["component"] for r in out} == {0}
+    assert len(out) == n + 1
+
+
+def test_split_is_stable_under_corpus_growth(spark):
+    small = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s_small = {r["doc_id"]: r["split"] for r in train_test_split(small).collect()}
+    s_big = {r["doc_id"]: r["split"] for r in train_test_split(big).collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())
+    # rough proportions on the bigger draw
+    n_train = sum(1 for v in s_big.values() if v == "train")
+    assert 700 <= n_train <= 900
+
+
+def test_stratified_sample_rates_and_independence(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    kept = stratified_sample(df, {"a": 100, "b": 0}, default_pct=0).collect()
+    assert len(kept) == 1000  # all of a, none of b
+    assert all(r["source"] == "a" for r in kept)
+
+
+def test_pack_sequences_never_crosses_shards(spark):
+    df = spark.createDataFrame(
+        [(i, "w " * 99 + "w", "s%d" % (i % 3)) for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    out = pack_sequences(df, budget_tokens=250)
+    # each doc is 100 tokens; packs restart per shard: offsets cycle
+    rows = sorted(out.collect(), key=lambda r: (r["shard"], r["doc_id"]))
+    for shard in {r["shard"] for r in rows}:
+        sh = [r for r in rows if r["shard"] == shard]
+        assert sh[0]["pack_id"] == 0 and sh[0]["pack_offset"] == 0
+        for prev, cur in zip(sh, sh[1:]):
+            start = cur["pack_id"] * 250 + cur["pack_offset"]
+            assert start == (prev["pack_id"] * 250 + prev["pack_offset"]) + 100
