@@ -21,29 +21,46 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def dot(a: Column | str, b: Column | str) -> Column:
-    """Σ a_i·b_i in double precision (V3)."""
-    return F.aggregate(
-        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    """Σ a_i·b_i in double precision (V3).
 
-
-def norm(a: Column | str) -> Column:
-    """L2 norm in double precision."""
-    return F.sqrt(
-        F.aggregate(
-            _c(a),
+    With `dim` given, the sum is expanded to `dim` element_at products —
+    a plain codegen-able expression tree (the lambda-HOF form disables
+    whole-stage codegen and evaluates interpreted, ~10× slower in
+    pair-explosion hot paths). The expansion is the same left-assoc fold
+    starting at 0.0, so both forms are bit-identical."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(
+                _c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")
+            ),
             F.lit(0.0),
-            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+            lambda acc, v: acc + v,
         )
-    )
+    s = F.lit(0.0)
+    for i in range(1, dim + 1):
+        s = s + F.element_at(_c(a), i).cast("double") * F.element_at(
+            _c(b), i
+        ).cast("double")
+    return s
 
 
-def cosine(a: Column | str, b: Column | str) -> Column:
+def norm(a: Column | str, dim: int | None = None) -> Column:
+    """L2 norm in double precision (see `dot` for the `dim` fast path)."""
+    if dim is None:
+        return F.sqrt(
+            F.aggregate(
+                _c(a),
+                F.lit(0.0),
+                lambda acc, v: acc + v.cast("double") * v.cast("double"),
+            )
+        )
+    return F.sqrt(dot(a, a, dim))
+
+
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """V3 — dot(a,b) / (‖a‖·‖b‖) (reference embeddings/embed.py:386-397)."""
-    return dot(a, b) / (norm(a) * norm(b))
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def l2_normalize(a: Column | str) -> Column:

@@ -49,10 +49,17 @@ def connected_components(
     stop when a round changes nothing (checked with a 1-row aggregate per
     round — driver-side control flow over per-round DataFrame jobs, the
     same pattern as k-means training)."""
-    und = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).unionByName(
-        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    # Checkpoint the edge set ONCE: every round joins against it, and
+    # without the cut each round would replay the (possibly expensive)
+    # pair-generation lineage that produced the edges.
+    und = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
     )
     labels = (
         und.select(F.col("src").alias("node"))
@@ -60,27 +67,24 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # Min-label propagation only ever DECREASES labels, so the label sum
+    # strictly decreases iff any node changed — convergence is one scan
+    # of the just-materialized round, never a labels-vs-labels join.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iters):
         neighbor = und.join(
             labels.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), "label")
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "_old"), "node"
-            )
-            .filter(F.col("label") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(
         F.col("node"), F.col("label").alias("component")
     )
@@ -93,6 +97,7 @@ def semdedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cache_key: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDedup: IVF-cluster the embedding space, then inside each
     cluster mark every vector whose cosine to a LOWER-id cluster-mate is
@@ -119,19 +124,39 @@ def semdedup(
     assigned = base.withColumn(
         "cluster", nearest_centroid(F.col(vec_col), cents)
     )
-    pairs = (
+    # Pair generation collects IDS only (vectors stay out of the lists —
+    # an id list is ~8 B/member, a vector list ~100×that), explodes once,
+    # respreads the per-cluster fan-out across the cluster (parallelism
+    # would otherwise be capped at n_centroids), attaches the a-side
+    # vector BEFORE the pair explode (a member-count join, not a
+    # pair-count join), then explodes to ordered pairs — so only ONE join
+    # runs at pair cardinality (broadcast-able: the build side is the
+    # corpus' (id, vec) projection).
+    va = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    vb = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    cand = (
         assigned.groupBy("cluster")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
-            ).alias("ms")
-        )
-        .select(F.explode("ms").alias("a"), F.col("ms"))
-        .select(F.col("a"), F.explode("ms").alias("b"))
-        .filter(F.col("a.id") < F.col("b.id"))
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .repartition(F.col("id_a"))
+        .join(va, "id_a")
+    )
+    # With `dim` known the pair cosine is the fixed-dim codegen expansion
+    # (element_at products) — same left-fold arithmetic as the lambda-HOF
+    # form so oracle parity is unaffected, but ~2× faster per pair
+    # (measured; a separate pre-normed projection benches SLOWER than the
+    # fully inline expression, so the whole formula stays in one select).
+    pairs = (
+        cand.select("id_a", "_va", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(vb, "id_b")
         .select(
-            F.col("b.id").alias("dup_id"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+            F.col("id_b").alias("dup_id"),
+            F.round(cosine(F.col("_va"), F.col("_vb"), dim), 6).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
         .select("dup_id")
