@@ -50,29 +50,47 @@ def semantic_search(
     )
 
 
-def lsh_signature(vec_col: Column | str, n_planes: int = N_PLANES) -> Column:
+def lsh_signature(
+    vec_col: Column | str, n_planes: int = N_PLANES, dim: int | None = None
+) -> Column:
     """Random-hyperplane signature: bit p = [dot(v, plane_p) >= 0] where
     plane_p[d] = sin(997·p + d). Pure JVM expression.
 
-    The plane length follows the vector's own length (F.size), so the same
-    expression serves the 64-d stub encoder and a 384-d real encoder — a
-    fixed-length plane would null-pad the zip and silently collapse every
-    vector into one bucket."""
+    With `dim` unset the plane length follows the vector's own length
+    (F.size), so the same expression serves the 64-d stub encoder and a
+    384-d real encoder — a fixed-length plane would null-pad the zip and
+    silently collapse every vector into one bucket. With `dim` set, the
+    plane components are Python-precomputed sin literals in a codegen-able
+    expansion — same left-fold product order, and sin() agrees bit-for-bit
+    across Python/JVM/DuckDB for these integer args. Measured trade-off:
+    the n_planes×dim expression tree costs seconds of Catalyst
+    analysis/codegen per plan, so it only pays off when row count is large
+    enough to amortize it (millions of rows); default None is faster at
+    test scale."""
+    import math
+
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bits = []
     for p in range(n_planes):
-        dot = F.aggregate(
-            F.zip_with(
-                v.cast("array<double>"),
-                F.transform(
-                    F.sequence(F.lit(0), F.size(v) - 1),
-                    lambda d: F.sin(F.lit(997 * p) + d.cast("double")),
+        if dim is not None:
+            dot = F.lit(0.0)
+            for d in range(dim):
+                dot = dot + F.element_at(v, d + 1).cast("double") * F.lit(
+                    math.sin(997 * p + d)
+                )
+        else:
+            dot = F.aggregate(
+                F.zip_with(
+                    v.cast("array<double>"),
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(v) - 1),
+                        lambda d: F.sin(F.lit(997 * p) + d.cast("double")),
+                    ),
+                    lambda a, b: a * b,
                 ),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -84,6 +102,7 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = N_PLANES,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k for the stored vector `query_id`: candidates
     share its LSH signature; exact cosine re-ranks them. The signature
@@ -91,7 +110,7 @@ def ann_lsh_topk(
     keyed = emb.select(
         F.col(id_col),
         F.col(vec_col),
-        lsh_signature(vec_col, n_planes).alias("sig"),
+        lsh_signature(vec_col, n_planes, dim).alias("sig"),
     )
     q = keyed.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("qvec"), F.col("sig").alias("qsig")
@@ -101,7 +120,9 @@ def ann_lsh_topk(
         .join(F.broadcast(q), F.col("sig") == F.col("qsig"))
         .select(
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("score"),
+            F.round(cosine(F.col(vec_col), F.col("qvec"), dim), 6).alias(
+                "score"
+            ),
         )
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
@@ -297,6 +318,7 @@ def ann_ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cache_key: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF probe: search the query's `nprobe` nearest clusters, exact
     cosine re-rank within. At scale the cluster assignment is precomputed
@@ -320,7 +342,10 @@ def ann_ivf_topk(
     probe = (
         cents_df.crossJoin(F.broadcast(q))
         .select(
-            "_cid", F.round(cosine(F.col("_cvec"), F.col("qvec")), 6).alias("_sim")
+            "_cid",
+            F.round(cosine(F.col("_cvec"), F.col("qvec"), dim), 6).alias(
+                "_sim"
+            ),
         )
         .orderBy(F.desc("_sim"), F.col("_cid"))
         .limit(nprobe)
@@ -333,7 +358,9 @@ def ann_ivf_topk(
         .select(
             id_col,
             "cluster",
-            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("score"),
+            F.round(cosine(F.col(vec_col), F.col("qvec"), dim), 6).alias(
+                "score"
+            ),
         )
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)

@@ -145,11 +145,10 @@ def semdedup(
         .repartition(F.col("id_a"))
         .join(va, "id_a")
     )
-    # With `dim` known the pair cosine is the fixed-dim codegen expansion
-    # (element_at products) — same left-fold arithmetic as the lambda-HOF
-    # form so oracle parity is unaffected, but ~2× faster per pair
-    # (measured; a separate pre-normed projection benches SLOWER than the
-    # fully inline expression, so the whole formula stays in one select).
+    # `dim` selects the fixed-dim cosine expansion — bit-identical
+    # arithmetic, worth it only when pair cardinality is large enough to
+    # amortize the wide tree's plan-compilation cost (see functions.vector
+    # .dot); the default HOF form wins at test scale.
     pairs = (
         cand.select("id_a", "_va", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))

@@ -39,6 +39,7 @@ def bucketed_near_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.3,
     bits: int = SIGN_BITS,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup candidates: same sign-bucket, cosine ≥ threshold.
     Output (id_a, id_b, score) with id_a < id_b."""
@@ -57,7 +58,9 @@ def bucketed_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("score"),
+            F.round(cosine(F.col("vec_a"), F.col("vec_b"), dim), 6).alias(
+                "score"
+            ),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -69,6 +72,7 @@ def knn_within_label(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-vector k nearest neighbors within its label partition —
     the grouped form of similarity join (metadata pre-filter F10 composed
@@ -100,7 +104,9 @@ def knn_within_label(
             "label",
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("score"),
+            F.round(cosine(F.col("vec_a"), F.col("vec_b"), dim), 6).alias(
+                "score"
+            ),
         )
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("score"), F.col("id_b"))

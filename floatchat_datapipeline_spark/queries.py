@@ -2516,13 +2516,10 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     where ~0.95 is typical)."""
     from floatchat_datapipeline_spark.operators.clusters import semdedup
 
-    from floatchat_datapipeline_spark.embeddings.encoder import STUB_DIM
-
     return semdedup(
         load_table(spark, sf_dir, "embeddings"),
         threshold=_SEMDEDUP_THRESHOLD,
         cache_key=f"{sf_dir}/embeddings.parquet",
-        dim=STUB_DIM,
     )
 
 
