@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from floatchat_datapipeline_spark.functions.vector import cosine
+from floatchat_datapipeline_spark.functions.vector import dot, norm
 
 SIGN_BITS = 8
 
@@ -43,14 +43,27 @@ def bucketed_near_dup_pairs(
 ) -> DataFrame:
     """Embedding near-dup candidates: same sign-bucket, cosine ≥ threshold.
     Output (id_a, id_b, score) with id_a < id_b."""
+    # Norms are hoisted to member cardinality and carried as scalars so
+    # the pair stage runs ONE interpreted fold (the dot), not three —
+    # dot/(na·nb) is fold-for-fold the same arithmetic as cosine(), so
+    # scores are bit-identical (see operators/clusters.py semdedup).
     keyed = df.select(
-        F.col(id_col), F.col(vec_col), sign_bucket(vec_col, bits).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(vec_col, bits).alias("bucket"),
+        norm(F.col(vec_col), dim).alias("_n"),
     )
     a = keyed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        "bucket",
+        F.col("_n").alias("_na"),
     )
     b = keyed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        "bucket",
+        F.col("_n").alias("_nb"),
     )
     return (
         a.join(b, "bucket")
@@ -58,9 +71,11 @@ def bucketed_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b"), dim), 6).alias(
-                "score"
-            ),
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"), dim)
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -82,15 +97,18 @@ def knn_within_label(
 
     from floatchat_datapipeline_spark.plans.scale import rebalance
 
+    # Same norm-hoisting as bucketed_near_dup_pairs: one fold per pair.
     a = rebalance(df.select(id_col, vec_col, label_col)).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
         F.col(label_col).alias("label"),
+        norm(F.col(vec_col), dim).alias("_na"),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
         F.col(label_col).alias("label"),
+        norm(F.col(vec_col), dim).alias("_nb"),
     )
     # Broadcast the neighbor side: a shuffle join on `label` caps
     # parallelism at the label cardinality (10 here); broadcasting keeps
@@ -104,9 +122,11 @@ def knn_within_label(
             "label",
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b"), dim), 6).alias(
-                "score"
-            ),
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"), dim)
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("score"), F.col("id_b"))
