@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from floatchat_datapipeline_spark.functions.textstats import (
     md5_long,
     token_count,
+    tokens,
 )
 
 
@@ -128,5 +129,49 @@ def pack_sequences(
             ((F.col("_end") - F.col("n_tokens")) % budget_tokens).alias(
                 "pack_offset"
             ),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split every document into overlapping token windows (the context-
+    window chunking step before embedding/packing): chunk i starts at
+    token 1 + i·stride and spans `chunk_tokens` tokens; a trailing chunk
+    already fully covered by its predecessor is dropped, the final chunk
+    may be short. Deterministic and map-only — the chunk grid is a
+    per-row `sequence` + `explode`, so chunking 100 TB is one scan with
+    NO shuffle; row count multiplies by ~n_tokens/stride.
+
+    Output: (id_col, chunk_id, start_token, n_chunk_tokens, chunk_text).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
+        # keep a non-first start only if its chunk reaches past the
+        # previous chunk's end (start-stride+chunk_tokens-1 < start+...)
+        lambda s: (s == 1)
+        | (s - F.lit(stride) + F.lit(chunk_tokens) <= n),
+    )
+    return (
+        df.select(
+            F.col(id_col), toks.alias("_toks"), F.explode(starts).alias("_start")
+        )
+        .select(
+            id_col,
+            F.expr(f"(_start - 1) div {stride}").cast("int").alias("chunk_id"),
+            F.col("_start").cast("int").alias("start_token"),
+            F.size(F.slice("_toks", F.col("_start"), F.lit(chunk_tokens)))
+            .cast("int")
+            .alias("n_chunk_tokens"),
+            F.concat_ws(
+                " ", F.slice("_toks", F.col("_start"), F.lit(chunk_tokens))
+            ).alias("chunk_text"),
         )
     )

@@ -190,3 +190,70 @@ def event_funnel(
             result = result.join(nxt, key, "left")
         prev_ts = stage_ts
     return result
+
+
+def gapfill_locf(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style gap-fill: bucket events per key into hours,
+    regenerate every key's hourly grid from its first to last bucket,
+    and carry the last observed value forward into empty buckets (LOCF
+    interpolation).
+
+    Values aggregate as exact integer cents (sum order can't bite) and
+    the carried value is the cents sum — all-integer LOCF, no doubles.
+
+    Plan: one groupBy (key, hour) rollup; a per-key min/max aggregate
+    whose `sequence` generates the grid (explode is proportional to the
+    key's time span, never the event count); one left join grid→rollup
+    on (key, hour); one carry-forward window per key. Everything
+    partitions by key — no global sort, no driver loops. Spans are
+    bounded by the watermark/retention policy upstream at 100 TB (a
+    key with a years-long span explodes to ~10⁴ rows, still tiny).
+
+    Output: (key, hour, n_events, value_cents, filled_cents, is_gap) —
+    value_cents NULL on gap rows, filled_cents the LOCF value.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    hourly = (
+        events.select(
+            F.col(key),
+            hour.alias("_hour"),
+            F.round(F.col(value_col) * 100, 0).cast("long").alias("_cents"),
+        )
+        .groupBy(key, "_hour")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_cents").alias("_sum_cents"),
+        )
+    )
+    grid = (
+        hourly.groupBy(key)
+        .agg(F.min("_hour").alias("_lo"), F.max("_hour").alias("_hi"))
+        .select(
+            F.col(key),
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("_hour"),
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, [key, "_hour"], "left")
+        .withColumn("_filled", F.last("_sum_cents", ignorenulls=True).over(w))
+        .select(
+            key,
+            F.col("_hour").alias("hour"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+            F.col("_sum_cents").alias("value_cents"),
+            F.col("_filled").alias("filled_cents"),
+            F.col("_sum_cents").isNull().alias("is_gap"),
+        )
+    )

@@ -2544,6 +2544,192 @@ _EMB_SEMDEDUP_ORACLE = _semdedup_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Corpus hygiene / chunking / gap-fill (parity-plus L6-L8, TS4, SURVEY §2.14)
+# ---------------------------------------------------------------------------
+
+# DuckDB rendering of the 5-word shingle list (Spark twin:
+# functions/textstats.word_shingles(text, 5)); NOT distinct — the
+# consumers dedup as needed.
+_SHINGLES_5_SQL = """
+[t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+ for i in generate_series(1, len(t)-4)]
+"""
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 — benchmark decontamination: training docs (doc_id % 20 != 0)
+    sharing any 5-gram with the holdout slice (doc_id % 20 == 0) are
+    flagged. The eval shingle set is DISTINCT-collapsed then broadcast —
+    the train side never shuffles."""
+    from floatchat_datapipeline_spark.operators.decontam import (
+        ngram_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    )
+
+
+_DOC_DECONTAMINATE_ORACLE = f"""
+WITH ev AS (
+  SELECT DISTINCT {_MD5_LONG_SQL.format(x='s')} AS h
+  FROM (SELECT unnest({_SHINGLES_5_SQL}) AS s
+        FROM (SELECT string_split(text, ' ') t FROM documents
+              WHERE doc_id % 20 = 0))
+), tr AS (
+  SELECT doc_id, {_MD5_LONG_SQL.format(x='s')} AS h
+  FROM (SELECT doc_id, unnest({_SHINGLES_5_SQL}) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') t FROM documents
+              WHERE doc_id % 20 <> 0))
+), hits AS (
+  SELECT doc_id, count(DISTINCT h) AS n_shared
+  FROM tr JOIN ev USING (h) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+       n_shared IS NOT NULL AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN hits USING (doc_id)
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 — Gopher-style repetition ratios (top-word / top-bigram mass)
+    with a hygiene flag; explode + two hash aggs, no joins at gram
+    cardinality."""
+    from floatchat_datapipeline_spark.operators.decontam import (
+        repetition_stats,
+    )
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+_DOC_REPETITION_ORACLE = """
+WITH g AS (
+  SELECT doc_id, 1 AS n, unnest(t) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)
+  UNION ALL
+  SELECT doc_id, 2,
+         unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)])
+  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)
+), c AS (
+  SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3
+), m AS (
+  SELECT doc_id, n, max(cnt) AS top, CAST(sum(cnt) AS BIGINT) AS total
+  FROM c GROUP BY 1, 2
+), p AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 1 THEN total END) AS toks,
+    round(max(CASE WHEN n = 1
+              THEN CAST(top AS DOUBLE) / CAST(total AS DOUBLE) END), 6)
+      AS top_word_frac,
+    round(max(CASE WHEN n = 2
+              THEN CAST(top AS DOUBLE) / CAST(total AS DOUBLE) END), 6)
+      AS top_bigram_frac
+  FROM m GROUP BY doc_id
+)
+SELECT doc_id, CAST(toks AS BIGINT) AS n_tokens, top_word_frac,
+       COALESCE(top_bigram_frac, 0.0e0) AS top_bigram_frac,
+       (top_word_frac > 0.1 OR COALESCE(top_bigram_frac, 0.0e0) > 0.05)
+         AS is_repetitive
+FROM p
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8 — overlapping 64-token chunks, stride 48: map-only sequence +
+    explode, no shuffle anywhere in the plan."""
+    from floatchat_datapipeline_spark.operators.sampling import (
+        chunk_documents,
+    )
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+_DOC_CHUNKS_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+s AS (
+  SELECT doc_id, t,
+         unnest([s for s in generate_series(1, greatest(len(t), 1), 48)
+                 if s = 1 or s - 48 + 64 <= len(t)]) AS start
+  FROM t
+)
+SELECT doc_id,
+  CAST((start - 1) // 48 AS INT) AS chunk_id,
+  CAST(start AS INT) AS start_token,
+  CAST(len(list_slice(t, start, start + 63)) AS INT) AS n_chunk_tokens,
+  array_to_string(list_slice(t, start, start + 63), ' ') AS chunk_text
+FROM s
+"""
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS4 — hypertable-style hourly gap-fill with LOCF carry-forward per
+    user; all-integer cents so interpolation has no float drift."""
+    from floatchat_datapipeline_spark.operators.timeseries import gapfill_locf
+
+    return gapfill_locf(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         count(*) AS n,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(hour) AS lo, max(hour) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+  FROM span
+)
+SELECT g.user_id, g.hour,
+  CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+  cents AS value_cents,
+  last_value(cents IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.hour
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+  cents IS NULL AS is_gap
+FROM grid g
+LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+"""
+
+
+def q_stream_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (errors × clicks within 10 min, same
+    user) — dual watermarks bound both buffers; inner join emits in
+    append mode. Batch replay is the oracle."""
+    from floatchat_datapipeline_spark.streaming.run import materialize
+    from floatchat_datapipeline_spark.streaming.sources import stream_table
+    from floatchat_datapipeline_spark.streaming.windows import (
+        interval_join_stream,
+    )
+
+    ev = stream_table(spark, sf_dir, "events")
+    return materialize(
+        interval_join_stream(
+            ev.filter(F.col("event_type") == "error"),
+            ev.filter(F.col("event_type") == "click"),
+            window_seconds=3600,
+        ),
+        "q_stream_error_clicks",
+        output_mode="append",
+    )
+
+
+_STREAM_ERROR_CLICKS_ORACLE = """
+SELECT e.user_id, e.event_id AS probe_id, e.ts AS probe_ts,
+       c.event_id AS match_id, c.ts AS match_ts,
+       CAST(round(c.value * 100, 0) AS BIGINT) AS match_cents
+FROM events e JOIN events c
+  ON c.user_id = e.user_id AND c.event_type = 'click'
+ AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 3600 SECOND
+WHERE e.event_type = 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2779,5 +2965,20 @@ def registry() -> dict[str, QuerySpec]:
         ),
         "emb_semdedup": QuerySpec(
             q_emb_semdedup, _EMB_SEMDEDUP_ORACLE, ("V8", "dedup-embedding")
+        ),
+        "doc_decontaminate": QuerySpec(
+            q_doc_decontaminate, _DOC_DECONTAMINATE_ORACLE, ("L6",)
+        ),
+        "doc_repetition": QuerySpec(
+            q_doc_repetition, _DOC_REPETITION_ORACLE, ("L7", "text-quality")
+        ),
+        "doc_chunks": QuerySpec(q_doc_chunks, _DOC_CHUNKS_ORACLE, ("L8",)),
+        "events_gapfill": QuerySpec(
+            q_events_gapfill, _EVENTS_GAPFILL_ORACLE, ("TS4",)
+        ),
+        "stream_error_clicks": QuerySpec(
+            q_stream_error_clicks,
+            _STREAM_ERROR_CLICKS_ORACLE,
+            ("streaming-join",),
         ),
     }

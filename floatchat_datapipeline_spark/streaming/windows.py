@@ -165,3 +165,45 @@ def sliding_rollup_stream(events: DataFrame) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def interval_join_stream(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str = "user_id",
+    window_seconds: int = 600,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Stream-stream interval join: every probe event pairs with the same
+    key's build events inside [probe.ts, probe.ts + window). The streaming
+    twin of operators/timeseries.binned_range_agg's join stage — dual
+    watermarks plus the two-sided time-range predicate let Spark evict
+    buffered rows once the other side's watermark passes the window, so
+    state stays bounded by (watermark + window) × arrival rate, never the
+    full history. Inner join → append mode (rows finalize as soon as they
+    match; no retraction needed).
+
+    Output: (on, probe_id, probe_ts, match_id, match_ts, match_cents)."""
+    p = probe.select(
+        F.col(on),
+        F.col(id_col).alias("probe_id"),
+        F.col(ts_col).alias("probe_ts"),
+    ).withWatermark("probe_ts", WATERMARK)
+    b = build.select(
+        F.col(on).alias("_bkey"),
+        F.col(id_col).alias("match_id"),
+        F.col(ts_col).alias("match_ts"),
+        # exact integer cents at the source (same rule as the batch twin)
+        F.round(F.col(value_col) * 100, 0).cast("long").alias("match_cents"),
+    ).withWatermark("match_ts", WATERMARK)
+    return p.join(
+        b,
+        (F.col(on) == F.col("_bkey"))
+        & (F.col("match_ts") >= F.col("probe_ts"))
+        & (
+            F.col("match_ts")
+            < F.col("probe_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")
+        ),
+    ).select(on, "probe_id", "probe_ts", "match_id", "match_ts", "match_cents")

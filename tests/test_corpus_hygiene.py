@@ -1,0 +1,118 @@
+"""Edge-semantics tests for decontamination, repetition, chunking, and
+gap-fill — the boundary cases the sf-data oracle mirror can't isolate:
+short-doc guards, exactly-one-shared-shingle, trailing-chunk dropping,
+LOCF across multi-hour gaps."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from floatchat_datapipeline_spark.operators.decontam import (
+    ngram_decontaminate,
+    repetition_stats,
+)
+from floatchat_datapipeline_spark.operators.sampling import chunk_documents
+from floatchat_datapipeline_spark.operators.timeseries import gapfill_locf
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    holdout = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    train = _docs(
+        spark,
+        [
+            # shares the 5-gram "beta gamma delta epsilon zeta"
+            (1, "x beta gamma delta epsilon zeta y"),
+            # same words, different order — no shared 5-gram
+            (2, "zeta epsilon delta gamma beta alpha"),
+            # too short to have any 5-gram
+            (3, "alpha beta"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_decontaminate(train, holdout).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_shared"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_shared"] == 0
+    assert not out[3]["contaminated"]
+    assert len(out) == 3  # every train row survives, flagged or not
+
+
+def test_repetition_stats_ratios_and_flag(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam"),  # top word = 4/4, top bigram 3/3
+            (2, "a b c d"),  # all distinct: word 1/4, bigram 1/3
+            (3, "solo"),  # single word: no bigrams at all
+        ],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["top_word_frac"] == 1.0
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[1]["is_repetitive"]
+    assert out[2]["top_word_frac"] == 0.25
+    assert out[2]["n_tokens"] == 4
+    assert not out[2]["is_repetitive"] or out[2]["top_bigram_frac"] > 0.05
+    assert out[3]["top_bigram_frac"] == 0.0  # coalesced, not NULL
+
+
+def test_chunks_drop_covered_trailing_start(spark):
+    # 100 tokens, chunk 64 stride 48: starts 1 and 49; 97 is fully
+    # covered by the chunk at 49 (49..100) and must be dropped.
+    text = " ".join(f"w{i}" for i in range(1, 101))
+    out = chunk_documents(_docs(spark, [(1, text)])).orderBy("chunk_id").collect()
+    assert [(r["start_token"], r["n_chunk_tokens"]) for r in out] == [
+        (1, 64),
+        (49, 52),
+    ]
+    assert out[0]["chunk_text"].startswith("w1 ")
+    assert out[1]["chunk_text"].endswith(" w100")
+
+
+def test_chunks_short_doc_single_chunk(spark):
+    out = chunk_documents(_docs(spark, [(1, "a b c")])).collect()
+    assert len(out) == 1
+    assert out[0]["n_chunk_tokens"] == 3
+    assert out[0]["chunk_text"] == "a b c"
+
+
+def test_chunks_cover_every_token(spark):
+    # any token index must fall inside >= 1 chunk, for awkward lengths
+    for n in (1, 47, 48, 49, 64, 65, 111, 112, 113, 200):
+        text = " ".join(f"t{i}" for i in range(n))
+        rows = chunk_documents(_docs(spark, [(1, text)])).collect()
+        covered = set()
+        for r in rows:
+            covered.update(
+                range(r["start_token"], r["start_token"] + r["n_chunk_tokens"])
+            )
+        assert covered == set(range(1, n + 1)), f"n={n}"
+
+
+def test_gapfill_locf_carries_last_cents_forward(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 10), 1.00),
+        (1, dt.datetime(2024, 1, 1, 0, 50), 2.00),
+        (1, dt.datetime(2024, 1, 1, 3, 5), 7.50),
+        (2, dt.datetime(2024, 1, 1, 5, 0), 4.00),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = gapfill_locf(ev)
+    u1 = [r.asDict() for r in out.filter(F.col("user_id") == 1).orderBy("hour").collect()]
+    assert [r["hour"].hour for r in u1] == [0, 1, 2, 3]
+    assert [r["is_gap"] for r in u1] == [False, True, True, False]
+    assert [r["n_events"] for r in u1] == [2, 0, 0, 1]
+    # hours 1-2 carry hour 0's 300 cents; hour 3 observes 750
+    assert [r["filled_cents"] for r in u1] == [300, 300, 300, 750]
+    assert [r["value_cents"] for r in u1] == [300, None, None, 750]
+    # single-hour user: one row, no gaps
+    u2 = out.filter(F.col("user_id") == 2).collect()
+    assert len(u2) == 1 and not u2[0]["is_gap"]
