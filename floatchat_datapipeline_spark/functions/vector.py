@@ -89,3 +89,33 @@ def cosine_topk(
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = df.withColumn("score", F.round(cosine(F.col(vec_col), q), 6))
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def quantize(
+    vec: Column | str, bits_scale: int = 127
+) -> tuple[Column, Column]:
+    """Symmetric per-vector int8 scalar quantization (V9 parity-plus):
+    scale = max|v|/127, q_i = round(v_i/scale) ∈ [-127, 127]. Returns
+    (scale, qvec). Zero vectors quantize to scale 0 and all-zero codes.
+
+    The point at 100 TB: int8 codes are 4× smaller than float32 (16×
+    smaller than the float64 compare path), so the candidate-generation
+    scan of an ANN index reads a quarter of the bytes; exact re-ranking
+    on the float column touches only the top candidates. All arithmetic
+    is round/clamp/divide — engine-parity-exact, no RNG."""
+    v = _c(vec)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = mx / F.lit(float(bits_scale))
+    q = F.when(mx == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.round(x.cast("double") / scale, 0).cast("int"),
+        )
+    )
+    return scale, q
+
+
+def dequantize(qvec: Column | str, scale: Column | str) -> Column:
+    """Reconstruct doubles from int8 codes: v̂_i = q_i · scale."""
+    s = _c(scale)
+    return F.transform(_c(qvec), lambda q: q.cast("double") * s)

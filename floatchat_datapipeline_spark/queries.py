@@ -2729,6 +2729,121 @@ WHERE e.event_type = 'error'
 """
 
 
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS5 — per-event trailing 1-hour count/cents for the same user: a
+    RANGE frame over unix-micros, zero joins (incremental two-pointer
+    evaluation per sorted partition)."""
+    from floatchat_datapipeline_spark.operators.windows import (
+        rolling_window_agg,
+    )
+
+    return rolling_window_agg(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_ROLLING_ORACLE = """
+SELECT event_id, user_id, ts,
+  count(*) OVER w AS n_window,
+  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+    AS cents_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 3600 SECOND PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_source_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — exact per-source length quantiles (p50/p90/p99 of n_chars,
+    linear interpolation): `percentile` and DuckDB `quantile_cont` share
+    the R-7 formula, so values compare bit-for-bit. At 100 TB swap in
+    `approx_percentile` (t-digest sketch, partial-aggregable) — same
+    plan shape, bounded memory; the exact form here doubles as its
+    recall oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("percentile(n_chars, array(0.5e0, 0.9e0, 0.99e0))").alias(
+                "_p"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.element_at("_p", 1).alias("p50"),
+            F.element_at("_p", 2).alias("p90"),
+            F.element_at("_p", 3).alias("p99"),
+        )
+    )
+
+
+_SOURCE_QUANTILES_ORACLE = """
+SELECT source, count(*) AS n_docs,
+       quantile_cont(n_chars, 0.5e0) AS p50,
+       quantile_cont(n_chars, 0.9e0) AS p90,
+       quantile_cont(n_chars, 0.99e0) AS p99
+FROM documents GROUP BY source
+"""
+
+
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V9 — int8 scalar quantization audit: per vector, the quantization
+    scale, max reconstruction error, and code summary (no array columns —
+    the driver compare hashes scalars). Codes are 4× smaller than f32;
+    the ANN candidate scan reads those, exact re-rank touches floats."""
+    from floatchat_datapipeline_spark.functions.vector import (
+        dequantize,
+        quantize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    scale, q = quantize(F.col("vec"))
+    emb = emb.select("vec_id", "vec", scale.alias("_s"), q.alias("_q"))
+    err = F.array_max(
+        F.zip_with(
+            F.col("vec"),
+            dequantize(F.col("_q"), F.col("_s")),
+            lambda a, b: F.abs(a - b),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        F.round("_s", 6).alias("scale"),
+        F.round(err, 6).alias("max_err"),
+        F.array_min("_q").alias("code_min"),
+        F.array_max("_q").alias("code_max"),
+        F.aggregate(
+            F.col("_q"), F.lit(0), lambda acc, x: acc + F.abs(x)
+        ).alias("code_l1"),
+    )
+
+
+_EMB_QUANTIZE_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), s AS (
+  SELECT vec_id, vec,
+         list_max(list_transform(vec, x -> abs(x))) / 127 AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, vec, scale,
+    CASE WHEN scale = 0 THEN list_transform(vec, x -> 0)
+         ELSE list_transform(vec, x -> CAST(round(x / scale, 0) AS INT))
+    END AS qv
+  FROM s
+)
+SELECT vec_id, round(scale, 6) AS scale,
+  round(list_max(list_transform(list_zip(vec, qv),
+        p -> abs(p[1] - p[2] * scale))), 6) AS max_err,
+  list_min(qv) AS code_min,
+  list_max(qv) AS code_max,
+  list_aggregate(list_transform(qv, x -> abs(x)), 'sum') AS code_l1
+FROM q
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2980,5 +3095,14 @@ def registry() -> dict[str, QuerySpec]:
             q_stream_error_clicks,
             _STREAM_ERROR_CLICKS_ORACLE,
             ("streaming-join",),
+        ),
+        "events_rolling": QuerySpec(
+            q_events_rolling, _EVENTS_ROLLING_ORACLE, ("TS5",)
+        ),
+        "source_quantiles": QuerySpec(
+            q_source_quantiles, _SOURCE_QUANTILES_ORACLE, ("A9",)
+        ),
+        "emb_quantize": QuerySpec(
+            q_emb_quantize, _EMB_QUANTIZE_ORACLE, ("V9",)
         ),
     }

@@ -116,3 +116,56 @@ def test_gapfill_locf_carries_last_cents_forward(spark):
     # single-hour user: one row, no gaps
     u2 = out.filter(F.col("user_id") == 2).collect()
     assert len(u2) == 1 and not u2[0]["is_gap"]
+
+
+def test_rolling_window_includes_equal_ts_ties(spark):
+    from floatchat_datapipeline_spark.operators.windows import (
+        rolling_window_agg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (1, 1, t0, 1.00),
+        (2, 1, t0, 2.00),  # same instant — RANGE frame must include both
+        (3, 1, t0 + dt.timedelta(minutes=30), 4.00),
+        (4, 1, t0 + dt.timedelta(minutes=61), 8.00),  # row 1/2 aged out
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {r["event_id"]: r for r in rolling_window_agg(ev).collect()}
+    # RANGE peers: both t0 rows see each other regardless of row order
+    assert out[1]["n_window"] == 2 and out[2]["n_window"] == 2
+    assert out[1]["cents_window"] == 300
+    assert out[3]["n_window"] == 3 and out[3]["cents_window"] == 700
+    assert out[4]["n_window"] == 2 and out[4]["cents_window"] == 1200
+
+
+def test_quantize_roundtrip_and_zero_vector(spark):
+    from pyspark.sql import functions as F
+
+    from floatchat_datapipeline_spark.functions.vector import (
+        dequantize,
+        quantize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, vec array<double>",
+    )
+    scale, q = quantize(F.col("vec"))
+    out = {
+        r["vec_id"]: r
+        for r in df.select(
+            "vec_id",
+            scale.alias("s"),
+            q.alias("q"),
+            dequantize(q, scale).alias("recon"),
+        ).collect()
+    }
+    assert out[1]["q"] == [127, -64, 32, 0]  # round(0.25/ (1/127)) = 31.75→32
+    assert abs(out[1]["s"] - 1 / 127) < 1e-12
+    assert max(abs(a - b) for a, b in zip([1.0, -0.5, 0.25, 0.0], out[1]["recon"])) <= out[1]["s"] / 2 + 1e-12
+    # zero vector: scale 0, all-zero codes, no NaN/NULL anywhere
+    assert out[2]["s"] == 0.0 and out[2]["q"] == [0, 0, 0, 0]
+    assert out[2]["recon"] == [0.0, 0.0, 0.0, 0.0]
