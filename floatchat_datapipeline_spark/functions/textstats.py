@@ -51,20 +51,30 @@ def tokens(text: Column | str, sep: str = " ") -> Column:
 
 def word_shingles(text: Column | str, n: int = 3, sep: str = " ") -> Column:
     """Array of n-word shingles: element i = tokens[i..i+n-1] joined by
-    sep. Built with sequence+transform — a codegen'd generator, no UDF."""
-    toks = tokens(text, sep)
-    k = F.size(toks) - F.lit(n - 1)
-    # sequence(1, 0) would produce a DESCENDING [1, 0] in Spark — guard
-    # short documents with an explicit empty array.
-    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            sep, *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
-        ),
-    )
+    sep. Built with sequence+transform — a codegen'd generator, no UDF.
+
+    The token array is bound to a lambda variable (transform over a
+    1-element wrapper array) so `split(text)` evaluates ONCE per row.
+    Referencing the split subtree directly inside the position lambda
+    re-evaluates it per element_at — n splits × n_positions per row,
+    which measured >10× slower on shingle-heavy plans (there is no CSE
+    across lambda-body subexpression copies)."""
+
+    def body(toks: Column) -> Column:
+        k = F.size(toks) - F.lit(n - 1)
+        # sequence(1, 0) would produce a DESCENDING [1, 0] in Spark —
+        # guard short documents with an explicit empty array.
+        idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                sep, *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(tokens(text, sep)), body), 1)
 
 
 def distinct_token_count(text: Column | str, sep: str = " ") -> Column:
