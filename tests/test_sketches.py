@@ -1,0 +1,65 @@
+"""Approximate-sketch path: the 100 TB substitutes for exact distinct
+counts and exact quantiles, checked against their exact twins on the
+test corpus. These have NO cross-engine oracle (HLL/t-digest layouts are
+implementation-specific), so the exact Spark aggregate is the oracle —
+the same pattern SURVEY §2.14 A9 documents.
+
+Both sketches are partial-aggregable (merge-combinable per partition),
+which is the property that makes them the scale path: state is O(sketch)
+per group, not O(distinct values)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+
+
+def test_hll_distinct_within_relative_error(spark):
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] <= 0.05
+
+
+def test_hll_distinct_per_group_merges(spark):
+    """Grouped HLL must agree with grouped exact within rsd, proving the
+    sketch merges correctly across partitions (partial aggregation)."""
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet").repartition(16)
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert len(rows) >= 3
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) / max(r["exact"], 1) <= 0.05
+
+
+def test_tdigest_percentile_within_rank_error(spark):
+    """approx_percentile must land within a small RANK distance of the
+    exact order statistic (value-distance is meaningless for skewed
+    data; rank error is what t-digest bounds)."""
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    n = docs.count()
+    exact_sorted = [
+        r["n_chars"]
+        for r in docs.select("n_chars").orderBy("n_chars").collect()
+    ]
+    row = docs.agg(
+        F.expr(
+            "approx_percentile(n_chars, array(0.5e0, 0.9e0, 0.99e0), 1000)"
+        ).alias("p")
+    ).first()
+    for q, got in zip((0.5, 0.9, 0.99), row["p"]):
+        # rank of the returned value in the exact sorted data
+        import bisect
+
+        lo = bisect.bisect_left(exact_sorted, got) / n
+        hi = bisect.bisect_right(exact_sorted, got) / n
+        assert lo - 0.02 <= q <= hi + 0.02, (q, got, lo, hi)
