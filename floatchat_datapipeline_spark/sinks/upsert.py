@@ -158,3 +158,44 @@ def delete_keys(spark: SparkSession, path: str, bad_keys: DataFrame) -> None:
         return
     kept = existing.join(F.broadcast(bad_keys.distinct()), bad_keys.columns, "left_anti")
     _swap_write(kept, path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: tuple[str, ...] = (),
+) -> int:
+    """Small-file compaction: rewrite a parquet table into
+    ceil(total_bytes / target) files, optionally cluster-sorting rows so
+    min/max column stats become selective (scan skipping). Returns the
+    output file count.
+
+    The maintenance op every streamed/upserted table needs at scale —
+    micro-batch appends and per-key MERGEs accrete row-group-per-file
+    parquet, and a 100 TB table read through 10⁶ tiny files is seek-bound
+    (driver file-listing and task-scheduling overhead dominate). Uses the
+    same staged-rename publish as every keyed sink, so readers never see
+    a half-compacted table; repartition(n) (not coalesce) so the rewrite
+    itself parallelizes across the cluster before funneling into n
+    output files.
+    """
+    import math
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_by:
+        # cluster within output files: range-partition then in-file sort
+        df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        df = df.repartition(n_files)
+    _swap_write(df, path)
+    return n_files

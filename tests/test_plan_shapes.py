@@ -97,3 +97,38 @@ def test_fuzzy_theta_join_broadcasts(spark, sf_dir):
     plan = plan_string(q(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_chunking_has_zero_shuffles(spark, sf_dir):
+    """L8 chunking is map-only by design: any Exchange means the scale
+    argument (one scan, no shuffle) silently broke."""
+    q = registry()["doc_chunks"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """L6: the holdout shingle set must broadcast (train side never
+    shuffles for the probe); the train side contributes only hash
+    aggregations for the per-doc count."""
+    q = registry()["doc_decontaminate"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rolling_window_single_shuffle(spark, sf_dir):
+    """TS5: one Exchange (hashpartitioning by user) feeding the range
+    frame — a second shuffle would mean the frame re-partitioned."""
+    q = registry()["events_rolling"].spark
+    plan = plan_string(q(spark, sf_dir))
+    # formatted mode lists each Exchange's spec on an Arguments: line
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_quantize_is_jvm_expression_only(spark, sf_dir):
+    """V9 runs as pure column expressions — no Python boundary."""
+    q = registry()["emb_quantize"].spark
+    plan = plan_string(q(spark, sf_dir))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan

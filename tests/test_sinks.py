@@ -12,6 +12,8 @@ import tempfile
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from floatchat_datapipeline_spark.sinks.upsert import append_new, delete_keys, upsert
 
 
@@ -119,3 +121,52 @@ def test_external_format_option_passthrough(spark, tmp_table):
     # append mode accumulates — the to_sql bulk-insert shape
     write_external(df, "parquet", {"path": tmp_table}, mode="append")
     assert load_external(spark, "parquet", {"path": tmp_table}).count() == 4
+
+
+def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
+    from floatchat_datapipeline_spark.sinks.upsert import compact_table
+
+    path = str(tmp_path / "frag")
+    # fragment: 20 files of 50 rows each
+    spark.range(1000).withColumn("v", F.col("id") * 2).repartition(
+        20
+    ).write.parquet(path)
+    import os
+
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n_before == 20
+    n_out = compact_table(spark, path, target_file_bytes=1 << 30)
+    assert n_out == 1
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n_after == 1
+    out = spark.read.parquet(path)
+    assert out.count() == 1000
+    assert out.agg(F.sum("v")).first()[0] == 999 * 1000  # sum 2i, i<1000
+
+
+def test_compact_table_cluster_sort_tightens_stats(spark, tmp_path):
+    from floatchat_datapipeline_spark.sinks.upsert import compact_table
+
+    path = str(tmp_path / "clust")
+    spark.range(10000).withColumn(
+        "k", (F.col("id") * 2654435761) % 10000  # scrambled order
+    ).repartition(16).write.parquet(path)
+    compact_table(spark, path, target_file_bytes=64 * 1024, sort_by=("k",))
+    import os
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) > 1
+    # range-partitioned + sorted: per-file k ranges must not overlap
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        ranges.append((min(t), max(t)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (ranges,)
