@@ -85,3 +85,84 @@ def test_late_event_dropped_fresh_event_counted(spark):
         assert rows2 == {"10:00": 3.0, "11:00": 4.0}, rows2
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+JOIN_SCHEMA = "u long, id long, t string, ts timestamp, v double"
+
+
+def _run_join(spark, src, ckpt, out):
+    from floatchat_datapipeline_spark.streaming.windows import (
+        interval_join_stream,
+    )
+
+    stream = spark.readStream.schema(
+        _parse_datatype_string(JOIN_SCHEMA)
+    ).json(src)
+    joined = interval_join_stream(
+        stream.filter(F.col("t") == "error"),
+        stream.filter(F.col("t") == "click"),
+        on="u",
+        window_seconds=600,
+        id_col="id",
+        ts_col="ts",
+        value_col="v",
+    )
+    query = (
+        joined.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return {
+        (r["probe_id"], r["match_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+
+def test_stream_join_drops_build_rows_below_watermark(spark):
+    """Cross-checkpoint late-data semantics for the stream-stream
+    interval join: a build-side row arriving BELOW the persisted
+    watermark must not resurrect a pair with an already-passed probe
+    row; fresh rows on both sides still pair."""
+    root = tempfile.mkdtemp(prefix="wmj-test-")
+    src, ckpt, out = (os.path.join(root, d) for d in ("src", "ckpt", "out"))
+    os.makedirs(src)
+    try:
+        # run 1: pairs (1,2) and (3,4); max ts 14:00 → watermark 13:00
+        with open(os.path.join(src, "b0.json"), "w") as f:
+            f.write(
+                "\n".join(
+                    json.dumps(r)
+                    for r in (
+                        {"u": 1, "id": 1, "t": "error", "ts": "2024-01-01 10:00:00", "v": 0.0},
+                        {"u": 1, "id": 2, "t": "click", "ts": "2024-01-01 10:05:00", "v": 1.0},
+                        {"u": 9, "id": 3, "t": "error", "ts": "2024-01-01 14:00:00", "v": 0.0},
+                        {"u": 9, "id": 4, "t": "click", "ts": "2024-01-01 14:00:00", "v": 2.0},
+                    )
+                )
+            )
+        pairs1 = _run_join(spark, src, ckpt, out)
+        assert pairs1 == {(1, 2), (3, 4)}, pairs1
+
+        # run 2: click id=5 @10:06 is below the persisted 13:00 watermark
+        # → dropped at input, must NOT pair with error id=1; the fresh
+        # (6,7) pair at 14:05/14:07 must emit.
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            f.write(
+                "\n".join(
+                    json.dumps(r)
+                    for r in (
+                        {"u": 1, "id": 5, "t": "click", "ts": "2024-01-01 10:06:00", "v": 9.0},
+                        {"u": 2, "id": 6, "t": "error", "ts": "2024-01-01 14:05:00", "v": 0.0},
+                        {"u": 2, "id": 7, "t": "click", "ts": "2024-01-01 14:07:00", "v": 3.0},
+                    )
+                )
+            )
+        pairs2 = _run_join(spark, src, ckpt, out)
+        assert (1, 5) not in pairs2, pairs2
+        assert pairs2 == {(1, 2), (3, 4), (6, 7)}, pairs2
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
