@@ -2844,6 +2844,78 @@ FROM q
 """
 
 
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: exact global top-20 tokens by occurrence
+    with document frequency — one explode + one hash agg (partial
+    map-side combine carries the heavy lifting; the token keyspace is
+    vocabulary-sized, so the shuffle is small no matter the corpus), then
+    TakeOrderedAndProject for the top-k (no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from floatchat_datapipeline_spark.functions.textstats import tokens
+
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.col("token"))
+        .limit(20)
+    )
+
+
+_VOCAB_TOP_TERMS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM tok GROUP BY token
+ORDER BY n_occurrences DESC, token LIMIT 20
+"""
+
+
+def q_doc_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 composed end-to-end: LSH candidate pairs → component closure →
+    one keeper per duplicate group (the group's minimum id — which IS the
+    component label) → every document flagged. The 'give me the
+    deduplicated corpus' query a training pipeline actually runs; docs in
+    no duplicate group keep themselves."""
+    from floatchat_datapipeline_spark.operators.clusters import (
+        connected_components,
+    )
+    from floatchat_datapipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(minhash_lsh_pairs(docs, spark)).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    return docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+        (
+            F.col("component").isNull()
+            | (F.col("component") == F.col("doc_id"))
+        ).alias("is_kept"),
+    )
+
+
+_DOC_DEDUP_APPLY_ORACLE = (
+    _DOC_DUP_CLUSTERS_ORACLE[
+        : _DOC_DUP_CLUSTERS_ORACLE.rindex("SELECT node")
+    ]
+    + """, comp AS (
+  SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
+  FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+  CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+  (c.component IS NULL OR c.component = d.doc_id) AS is_kept
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3104,5 +3176,13 @@ def registry() -> dict[str, QuerySpec]:
         ),
         "emb_quantize": QuerySpec(
             q_emb_quantize, _EMB_QUANTIZE_ORACLE, ("V9",)
+        ),
+        "vocab_top_terms": QuerySpec(
+            q_vocab_top_terms, _VOCAB_TOP_TERMS_ORACLE, ("text-analysis",)
+        ),
+        "doc_dedup_apply": QuerySpec(
+            q_doc_dedup_apply,
+            _DOC_DEDUP_APPLY_ORACLE,
+            ("D5", "dedup-lsh"),
         ),
     }
