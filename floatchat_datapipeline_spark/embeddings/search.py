@@ -60,23 +60,23 @@ def lsh_signature(
     (F.size), so the same expression serves the 64-d stub encoder and a
     384-d real encoder — a fixed-length plane would null-pad the zip and
     silently collapse every vector into one bucket. With `dim` set, the
-    plane components are Python-precomputed sin literals in a codegen-able
-    expansion — same left-fold product order, and sin() agrees bit-for-bit
-    across Python/JVM/DuckDB for these integer args. Measured trade-off:
-    the n_planes×dim expression tree costs seconds of Catalyst
-    analysis/codegen per plan, so it only pays off when row count is large
-    enough to amortize it (millions of rows); default None is faster at
-    test scale."""
-    import math
-
+    plane components are FOLDABLE `F.sin(lit)` subexpressions in a
+    codegen-able expansion: Catalyst constant-folds them with the same
+    JVM sin the default path evaluates at runtime, so both paths and the
+    DuckDB oracle bucket identically. (A Python `math.sin` literal here
+    is NOT safe — it differs from JVM sin in the last ulp for 8 of the
+    3072 plane args at dim=384.) Measured trade-off: the n_planes×dim
+    expression tree costs seconds of Catalyst analysis/codegen per plan,
+    so it only pays off when row count is large enough to amortize it
+    (millions of rows); default None is faster at test scale."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bits = []
     for p in range(n_planes):
         if dim is not None:
             dot = F.lit(0.0)
             for d in range(dim):
-                dot = dot + F.element_at(v, d + 1).cast("double") * F.lit(
-                    math.sin(997 * p + d)
+                dot = dot + F.element_at(v, d + 1).cast("double") * F.sin(
+                    F.lit(float(997 * p + d))
                 )
         else:
             dot = F.aggregate(

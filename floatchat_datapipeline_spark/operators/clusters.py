@@ -71,6 +71,7 @@ def connected_components(
     # strictly decreases iff any node changed — convergence is one scan
     # of the just-materialized round, never a labels-vs-labels join.
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iters):
         neighbor = und.join(
             labels.withColumnRenamed("node", "src"), "src"
@@ -83,8 +84,20 @@ def connected_components(
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Propagation moves the min label one hop per round, so a chain
+        # longer than max_iters would exit here with INTERMEDIATE labels —
+        # silently wrong groups (and a parity break vs the recursive-CTE
+        # oracle). Dup graphs are shallow; hitting this means the graph
+        # isn't the expected shape, so fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds max_iters); raise max_iters or use "
+            "large-star/small-star for deep graphs"
+        )
     return labels.select(
         F.col("node"), F.col("label").alias("component")
     )

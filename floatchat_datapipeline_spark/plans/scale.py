@@ -87,9 +87,25 @@ def rebalance(df: DataFrame, target: int | None = None) -> DataFrame:
     Width comes from the scan's file metadata (not ``df.rdd``, which would
     eagerly build an RDD lineage per call); non-file relations fall back
     to the RDD partition count — those are driver-local test inputs, never
-    the 100 TB path."""
+    the 100 TB path. A frame whose lineage already contains a
+    shuffle-introducing operator is left alone: its width is set by that
+    shuffle (AQE-sized), not by the leaf scan the file estimate reflects —
+    repartitioning it again would ADD a shuffle and could cut parallelism."""
     spark = df.sparkSession
     target = target or spark.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(
+        marker in plan
+        for marker in (
+            "Repartition",
+            "Join",
+            "Aggregate",
+            "Window",
+            "Sort",
+            "Deduplicate",
+        )
+    ):
+        return df
     width = _estimated_scan_partitions(df, spark)
     if width is None:
         width = df.rdd.getNumPartitions()

@@ -2839,7 +2839,11 @@ SELECT vec_id, round(scale, 6) AS scale,
         p -> abs(p[1] - p[2] * scale))), 6) AS max_err,
   list_min(qv) AS code_min,
   list_max(qv) AS code_max,
-  list_aggregate(list_transform(qv, x -> abs(x)), 'sum') AS code_l1
+  -- list_aggregate 'sum' widens to HUGEINT; Spark's fold seeds with an
+  -- int literal and stays INT — cast back or the driver's dtype-aware
+  -- hash diverges on identical values (the revenue_rollup lesson)
+  CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'sum') AS INT)
+    AS code_l1
 FROM q
 """
 

@@ -165,6 +165,7 @@ def compact_table(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by: tuple[str, ...] = (),
+    partition_by: tuple[str, ...] = (),
 ) -> int:
     """Small-file compaction: rewrite a parquet table into
     ceil(total_bytes / target) files, optionally cluster-sorting rows so
@@ -178,7 +179,8 @@ def compact_table(
     same staged-rename publish as every keyed sink, so readers never see
     a half-compacted table; repartition(n) (not coalesce) so the rewrite
     itself parallelizes across the cluster before funneling into n
-    output files.
+    output files. Pass the table's `partition_by` layout (same argument
+    as `upsert`) or the rewrite silently flattens a partitioned table.
     """
     import math
 
@@ -197,5 +199,5 @@ def compact_table(
         )
     else:
         df = df.repartition(n_files)
-    _swap_write(df, path)
+    _swap_write(df, path, partition_by=partition_by)
     return n_files
