@@ -180,10 +180,6 @@ KMEANS_ITERS = 2
 IVF_NPROBE = 2
 
 
-def _lit_vec(vals) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vals])
-
-
 def nearest_centroid(
     vec: Column, cents: list[tuple[int, list[float]]]
 ) -> Column:

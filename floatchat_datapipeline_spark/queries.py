@@ -2375,16 +2375,22 @@ def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from floatchat_datapipeline_spark.functions import textstats as T
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens("text")
 
     def tf(word: str):
         # NB: a two-parameter lambda in F.filter means (element, index) —
         # a `_w=word` default arg would silently bind `_w` to the index.
-        return F.size(F.filter(toks, lambda t: t == F.lit(word)))
+        return F.size(F.filter(F.col("_toks"), lambda t: t == F.lit(word)))
 
+    # Bind split() once: _toks is multi-referenced (one tf per query term)
+    # and non-cheap, so CollapseProject keeps the projection boundary and
+    # each row tokenizes ONCE instead of once per term.
     sel = docs.select(
         "doc_id",
         T.token_count("text").cast("double").alias("dl"),
+        T.tokens("text").alias("_toks"),
+    ).select(
+        "doc_id",
+        "dl",
         *[tf(w).cast("double").alias(f"tf_{w}") for w in _BM25_TERMS],
     )
     stats = sel.agg(
