@@ -304,3 +304,94 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+SEGMENT_TOKENS = 10
+SEGMENT_MAX_DOC_FREQ = 1
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_tokens: int = SEGMENT_TOKENS,
+    max_doc_freq: int = SEGMENT_MAX_DOC_FREQ,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document (segment-level) exact dedup — the MassiveText /
+    Falcon "line dedup" step, generalized to fixed-width token segments
+    because the test corpus has no newlines: split every document into
+    consecutive `seg_tokens`-token segments, drop every segment whose
+    64-bit content hash appears in more than `max_doc_freq` documents,
+    and reassemble the survivors in order.
+
+    Output: one row per input doc —
+    (id_col, clean_text, n_kept, n_dropped).
+
+    Scale design (the reason this is shaped unlike doc-level dedup):
+    - Segmentation is map-only: the token array is bound ONCE per row
+      (CollapseProject keeps the projection boundary for the non-cheap
+      multi-referenced split), segments come from one
+      posexplode(transform(sequence)) — no joins, no shuffle.
+    - The duplicated-segment set is computed with ONE partial-aggregated
+      groupBy on the 60-bit segment hash and then filtered to df >
+      max_doc_freq. That set is the corpus' repeated boilerplate — tiny
+      relative to the corpus (the same asymmetry ngram_decontaminate
+      exploits for its eval set), so it BROADCASTS and the corpus-side
+      segment stream is pruned with a map-side anti-join: the full
+      segment set itself is never shuffled by content.
+    - Reassembly shuffles by doc id once (groupBy + ordered array_join);
+      per-doc state is bounded by document length, not corpus size.
+    Skew: a boilerplate segment shared by millions of docs makes one
+    BIG count cell (fine — partial agg) but never a fan-out: this
+    operator drops hot segments instead of pairing them.
+    """
+    k = seg_tokens
+    base = docs.select(
+        F.col(id_col),
+        tokens(text_col).alias("_toks"),
+    ).select(
+        id_col,
+        "_toks",
+        ((F.size("_toks") + (k - 1)).cast("long") / k).cast("long").alias("_n_segs"),
+    )
+    segs = base.select(
+        id_col,
+        "_n_segs",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_n_segs") - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("_toks"), i * k + 1, k), " "
+                ),
+            )
+        ).alias("pos", "seg"),
+    ).withColumn("_h", md5_long("seg"))
+    dup_segments = (
+        segs.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("_h")
+    )
+    kept = segs.join(F.broadcast(dup_segments), "_h", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select(id_col, "_n_segs")
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("_n_segs") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

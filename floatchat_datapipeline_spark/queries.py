@@ -2926,6 +2926,43 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 )
 
 
+def q_doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9 — sub-document segment dedup (MassiveText/Falcon line-dedup
+    analog): drop every 10-token segment whose content hash appears in
+    more than one document, reassemble the survivors. The duplicated-
+    segment set broadcasts; the corpus-side segment stream is pruned
+    map-side and only the per-doc reassembly shuffles."""
+    from floatchat_datapipeline_spark.operators.dedup import segment_dedup
+
+    return segment_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_DOC_SEGMENT_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), segs AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(tk[(u.i*10+1):(u.i*10+10)], ' ') AS seg
+  FROM t, unnest(range(0, (len(tk)+9)//10)) AS u(i)
+), hashed AS (
+  SELECT doc_id, pos, seg, {_MD5_LONG_SQL.format(x='seg')} AS h FROM segs
+), bad AS (
+  SELECT h FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) > 1
+), kept AS (
+  SELECT doc_id, pos, seg FROM hashed ANTI JOIN bad USING (h)
+), agg AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(agg.clean_text, '') AS clean_text,
+       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST((len(tk)+9)//10 - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
+FROM t LEFT JOIN agg USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3194,5 +3231,10 @@ def registry() -> dict[str, QuerySpec]:
             q_doc_dedup_apply,
             _DOC_DEDUP_APPLY_ORACLE,
             ("D5", "dedup-lsh"),
+        ),
+        "doc_segment_dedup": QuerySpec(
+            q_doc_segment_dedup,
+            _DOC_SEGMENT_DEDUP_ORACLE,
+            ("L9", "dedup-exact"),
         ),
     }

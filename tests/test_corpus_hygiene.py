@@ -169,3 +169,45 @@ def test_quantize_roundtrip_and_zero_vector(spark):
     # zero vector: scale 0, all-zero codes, no NaN/NULL anywhere
     assert out[2]["s"] == 0.0 and out[2]["q"] == [0, 0, 0, 0]
     assert out[2]["recon"] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_segment_dedup_drops_shared_segments_and_reassembles(spark):
+    from floatchat_datapipeline_spark.operators.dedup import segment_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # one exact 10-token segment
+    uniq1 = " ".join(f"u{i}" for i in range(10))
+    uniq2 = " ".join(f"v{i}" for i in range(7))  # short trailing segment
+    docs = _docs(
+        spark,
+        [
+            (1, f"{boiler} {uniq1} {uniq2}"),  # 3 segments, 1st shared
+            (2, boiler),                        # doc is ONLY the boilerplate
+            (3, uniq1.replace("u", "w")),       # fully unique, untouched
+        ],
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs).collect()}
+    assert len(out) == 3
+    # shared segment dropped, survivors keep original order
+    assert out[1]["clean_text"] == f"{uniq1} {uniq2}"
+    assert out[1]["n_kept"] == 2 and out[1]["n_dropped"] == 1
+    # a doc that was pure boilerplate still appears, emptied
+    assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0
+    assert out[2]["n_dropped"] == 1
+    # unique doc passes through byte-identical
+    assert out[3]["clean_text"] == uniq1.replace("u", "w")
+    assert out[3]["n_dropped"] == 0
+
+
+def test_segment_dedup_respects_doc_freq_cap(spark):
+    from floatchat_datapipeline_spark.operators.dedup import segment_dedup
+
+    seg = " ".join(f"s{i}" for i in range(10))
+    docs = _docs(spark, [(1, seg), (2, seg), (3, seg)])
+    # cap 3: segment appears in exactly 3 docs -> NOT above cap -> kept
+    out = {
+        r["doc_id"]: r for r in segment_dedup(docs, max_doc_freq=3).collect()
+    }
+    assert all(out[i]["n_dropped"] == 0 for i in (1, 2, 3))
+    # default cap 1: all three copies dropped
+    out = {r["doc_id"]: r for r in segment_dedup(docs).collect()}
+    assert all(out[i]["clean_text"] == "" for i in (1, 2, 3))
