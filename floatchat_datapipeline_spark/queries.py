@@ -2963,6 +2963,66 @@ FROM t LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — count-min-sketch heavy hitters: build the d×w sketch from
+    the raw token stream (one hash agg, output bounded by the sketch
+    size, not the corpus), point-query every vocabulary term, and return
+    the top 20 by estimate with the exact count alongside as the audit
+    twin (est ≥ exact always; at 100 TB only the sketch path runs).
+
+    The sketch is deterministic (seeded 60-bit md5 buckets), so unlike
+    HLL/t-digest this approximate operator has a full value-level DuckDB
+    oracle."""
+    from floatchat_datapipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from floatchat_datapipeline_spark.functions.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    sketch = cms_build(tok)
+    est = cms_estimate(cnt, sketch)
+    return (
+        cnt.join(est, "token")
+        .select("token", "est", F.col("exact").cast("long").alias("exact"))
+        .orderBy(F.desc("est"), "token")
+        .limit(20)
+    )
+
+
+_CMS_SEED_HASH_SQL = _MD5_LONG_SQL.format(
+    x="CAST(u.j AS VARCHAR) || '|' || token"
+)
+
+_VOCAB_CMS_TOPK_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), cnt AS (
+  SELECT token, count(*) AS exact FROM tok GROUP BY token
+), coords AS (
+  SELECT u.j AS rw, CAST({_CMS_SEED_HASH_SQL} % 512 AS INT) AS bucket, exact
+  FROM cnt, unnest(range(0, 4)) AS u(j)
+), cms AS (
+  SELECT rw, bucket, CAST(sum(exact) AS BIGINT) AS c
+  FROM coords GROUP BY rw, bucket
+), est AS (
+  SELECT token, CAST(min(c) AS BIGINT) AS est
+  FROM (
+    SELECT cnt.token, cms.c
+    FROM cnt CROSS JOIN unnest(range(0, 4)) AS u(j)
+    JOIN cms ON cms.rw = u.j
+            AND cms.bucket = CAST({_CMS_SEED_HASH_SQL} % 512 AS INT)
+  ) GROUP BY token
+)
+SELECT cnt.token, est, CAST(exact AS BIGINT) AS exact
+FROM cnt JOIN est USING (token)
+ORDER BY est DESC, cnt.token
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3236,5 +3296,10 @@ def registry() -> dict[str, QuerySpec]:
             q_doc_segment_dedup,
             _DOC_SEGMENT_DEDUP_ORACLE,
             ("L9", "dedup-exact"),
+        ),
+        "vocab_cms_topk": QuerySpec(
+            q_vocab_cms_topk,
+            _VOCAB_CMS_TOPK_ORACLE,
+            ("A10", "text-analysis"),
         ),
     }

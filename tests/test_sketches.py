@@ -63,3 +63,46 @@ def test_tdigest_percentile_within_rank_error(spark):
         lo = bisect.bisect_left(exact_sorted, got) / n
         hi = bisect.bisect_right(exact_sorted, got) / n
         assert lo - 0.02 <= q <= hi + 0.02, (q, got, lo, hi)
+
+
+def test_cms_estimate_never_undercounts_and_collides_predictably(spark):
+    """Count-min guarantee: est >= exact for every value, with equality
+    when a value's buckets are collision-free. width=4 forces collisions
+    so the overestimate branch is actually exercised."""
+    from floatchat_datapipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(w,) for w, n in
+            [("a", 50), ("b", 30), ("c", 7), ("d", 3), ("e", 1)]
+            for _ in range(n)]
+    tok = spark.createDataFrame(rows, "token string")
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    sketch = cms_build(tok, width=4)
+    assert sketch.count() <= 4 * 4  # bounded by depth x width, not data
+    est = {
+        r["token"]: r["est"]
+        for r in cms_estimate(exact, sketch, width=4).collect()
+    }
+    ex = {r["token"]: r["exact"] for r in exact.collect()}
+    assert all(est[t] >= ex[t] for t in ex)
+    assert sum(est.values()) > sum(ex.values())  # width=4 must collide
+
+
+def test_cms_weighted_build_equals_raw_build(spark):
+    """Building from a pre-aggregated (value, count) table with
+    weight_col must produce the bit-identical sketch as the raw stream."""
+    from floatchat_datapipeline_spark.operators.sketches import cms_build
+    from pyspark.sql import functions as F
+
+    rows = [(w,) for w, n in [("x", 5), ("y", 2), ("z", 9)] for _ in range(n)]
+    tok = spark.createDataFrame(rows, "token string")
+    agg = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    raw = {(r["row"], r["bucket"]): r["c"] for r in cms_build(tok).collect()}
+    wtd = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in cms_build(agg, weight_col="n").collect()
+    }
+    assert raw == wtd and len(raw) > 0
