@@ -3023,6 +3023,83 @@ LIMIT 20
 """
 
 
+def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z1 — Morton (Z-order) clustering key over (user_id, event second):
+    quantize both dimensions to 16 bits by observed min/max, interleave,
+    and report per-zkey-bucket row counts and per-dimension spans. The
+    spans are the point: every bucket is bounded in BOTH dimensions at
+    once, which is what makes `compact_table(zorder_by=...)` files
+    prunable by either predicate. Key build is a pure codegen expression
+    (map-only); the only shuffle is the demo aggregation."""
+    from floatchat_datapipeline_spark.functions.zorder import (
+        quantize,
+        zvalue,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+    )
+    st = ev.agg(
+        F.min("user_id"),
+        F.max("user_id"),
+        F.min("sec"),
+        F.max("sec"),
+    ).first()
+    qx = quantize(F.col("user_id"), F.lit(st[0]), F.lit(st[1]))
+    qy = quantize(F.col("sec"), F.lit(st[2]), F.lit(st[3]))
+    return (
+        ev.withColumn("zkey", zvalue([qx, qy]))
+        .withColumn("bucket", F.shiftright(F.col("zkey"), 26).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("user_id") - F.min("user_id"))
+            .cast("long")
+            .alias("user_span"),
+            (F.max("sec") - F.min("sec")).cast("long").alias("sec_span"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _events_zorder_oracle() -> str:
+    from floatchat_datapipeline_spark.functions.zorder import zvalue_sql
+
+    def quant_sql(c: str, lo: str, hi: str) -> str:
+        return (
+            f"CASE WHEN {hi} = {lo} THEN 0 ELSE "
+            f"LEAST(GREATEST(CAST(floor(CAST({c} - {lo} AS DOUBLE) / "
+            f"CAST({hi} - {lo} AS DOUBLE) * 65536.0) AS BIGINT), 0), "
+            f"65535) END"
+        )
+
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec FROM events
+), st AS (
+  SELECT min(user_id) AS lou, max(user_id) AS hiu,
+         min(sec) AS los, max(sec) AS his
+  FROM ev
+), q AS (
+  SELECT event_id, user_id, sec,
+         {quant_sql('user_id', 'lou', 'hiu')} AS qx,
+         {quant_sql('sec', 'los', 'his')} AS qy
+  FROM ev CROSS JOIN st
+), z AS (
+  SELECT event_id, user_id, sec, {zvalue_sql(['qx', 'qy'])} AS zkey FROM q
+)
+SELECT CAST(zkey >> 26 AS BIGINT) AS bucket, count(*) AS n,
+       CAST(max(user_id) - min(user_id) AS BIGINT) AS user_span,
+       CAST(max(sec) - min(sec) AS BIGINT) AS sec_span
+FROM z GROUP BY bucket ORDER BY bucket
+"""
+
+
+_EVENTS_ZORDER_ORACLE = _events_zorder_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3301,5 +3378,8 @@ def registry() -> dict[str, QuerySpec]:
             q_vocab_cms_topk,
             _VOCAB_CMS_TOPK_ORACLE,
             ("A10", "text-analysis"),
+        ),
+        "events_zorder": QuerySpec(
+            q_events_zorder, _EVENTS_ZORDER_ORACLE, ("Z1",)
         ),
     }

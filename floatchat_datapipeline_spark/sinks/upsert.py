@@ -166,6 +166,7 @@ def compact_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by: tuple[str, ...] = (),
     partition_by: tuple[str, ...] = (),
+    zorder_by: tuple[str, ...] = (),
 ) -> int:
     """Small-file compaction: rewrite a parquet table into
     ceil(total_bytes / target) files, optionally cluster-sorting rows so
@@ -192,7 +193,22 @@ def compact_table(
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    if sort_by:
+    if zorder_by:
+        # multi-dimension clustering: range-partition + sort on the
+        # Morton key so EVERY zorder_by column's per-file min/max span
+        # is bounded at once (Delta OPTIMIZE ZORDER BY analog) — a
+        # plain sort_by only makes the leading column's stats selective.
+        from floatchat_datapipeline_spark.functions.zorder import (
+            with_zorder_key,
+        )
+
+        df = (
+            with_zorder_key(df, zorder_by)
+            .repartitionByRange(n_files, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+    elif sort_by:
         # cluster within output files: range-partition then in-file sort
         df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
             *sort_by

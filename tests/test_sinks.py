@@ -170,3 +170,96 @@ def test_compact_table_cluster_sort_tightens_stats(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, (ranges,)
+
+
+def test_compact_table_zorder_prunes_on_either_dimension(spark, tmp_path):
+    """Z-order layout: after compact_table(zorder_by=(x, y)), a point
+    predicate on EITHER column overlaps only a fraction of the files'
+    min/max ranges — the file-skipping property. A plain sort_by=(x,)
+    layout prunes on x but matches essentially every file for any y
+    predicate, which is exactly what z-ordering exists to fix."""
+    from floatchat_datapipeline_spark.sinks.upsert import compact_table
+    import os
+    import pyarrow.parquet as pq
+
+    # a TRUE 64x64 grid — x and y independent (deriving both from
+    # id % 64 would make them bijectively linked, i.e. 1-D data where
+    # any sort bounds both dims and z-order proves nothing)
+    base = (
+        spark.range(4096)
+        .withColumn("x", F.col("id") % 64)
+        .withColumn("y", (F.col("id") / 64).cast("long") % 64)
+    )
+
+    def ranges(path):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(path, f), columns=["x", "y"])
+            xs, ys = t["x"].to_pylist(), t["y"].to_pylist()
+            out.append((min(xs), max(xs), min(ys), max(ys)))
+        return out
+
+    def match_frac(rngs, col, probes):
+        """Mean fraction of files a point predicate on `col` overlaps."""
+        lo, hi = (0, 1) if col == "x" else (2, 3)
+        hits = [
+            sum(1 for r in rngs if r[lo] <= p <= r[hi]) / len(rngs)
+            for p in probes
+        ]
+        return sum(hits) / len(hits)
+
+    probes = [0, 13, 27, 42, 56, 63]
+
+    zpath = str(tmp_path / "zord")
+    base.repartition(8).write.parquet(zpath)
+    n = compact_table(
+        spark, zpath, target_file_bytes=2 * 1024, zorder_by=("x", "y")
+    )
+    assert n >= 8  # enough files for pruning fractions to mean anything
+    zr = ranges(zpath)
+    # both dimensions prune: a point predicate reads well under the
+    # whole table no matter which column it hits
+    assert match_frac(zr, "x", probes) <= 0.6, zr
+    assert match_frac(zr, "y", probes) <= 0.6, zr
+
+    lpath = str(tmp_path / "lin")
+    base.repartition(8).write.parquet(lpath)
+    compact_table(spark, lpath, target_file_bytes=2 * 1024, sort_by=("x",))
+    lr = ranges(lpath)
+    # linear layout: x prunes hard, y reads ~every file
+    assert match_frac(lr, "x", probes) <= 0.3, lr
+    assert match_frac(lr, "y", probes) >= 0.9, lr
+    # and z's worst dimension beats linear's worst dimension by 1.5x
+    z_worst = max(match_frac(zr, c, probes) for c in ("x", "y"))
+    l_worst = max(match_frac(lr, c, probes) for c in ("x", "y"))
+    assert z_worst * 1.5 <= l_worst, (z_worst, l_worst)
+
+
+def test_zorder_key_is_pure_expression(spark):
+    """with_zorder_key's output key must be computable without any
+    shuffle: the plan below the key projection is scan-only."""
+    from floatchat_datapipeline_spark.functions.zorder import (
+        with_zorder_key,
+        zvalue,
+        quantize,
+    )
+
+    df = spark.range(256).withColumn("a", F.col("id") % 16).withColumn(
+        "b", F.col("id") % 7
+    )
+    keyed = with_zorder_key(df, ("a", "b"), bits=4)
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # interleave sanity: a=0b0101 lands on even bit positions (1,0,1,0
+    # -> bits 0 and 4), b=0b0011 on odd positions (1,1,0,0 -> bits 1
+    # and 3): z = 0b11011 = 27
+    row = (
+        spark.range(1)
+        .select(
+            zvalue([F.lit(0b0101), F.lit(0b0011)], bits=4).alias("z")
+        )
+        .first()
+    )
+    assert row["z"] == 0b11011, bin(row["z"])
