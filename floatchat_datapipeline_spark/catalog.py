@@ -35,9 +35,37 @@ def ensure_session_confs(spark: SparkSession) -> None:
     SparkSession built without our session factory, so confs that gate a
     *read* must be set at the scan choke point, not only in session.py.
     ``spark.sql.legacy.parquet.nanosAsLong`` is runtime-settable and lets
-    the TIMESTAMP(NANOS) column in events.parquet read as long nanos.
+    a TIMESTAMP(NANOS) column in events.parquet read as long nanos;
+    ``inferTimestampNTZ.enabled=false`` makes a no-timezone
+    ``timestamp[us]`` parquet column read as TIMESTAMP (session-tz UTC)
+    instead of TIMESTAMP_NTZ, so event-time operators (watermarks,
+    unix_micros, long casts) work without per-consumer special-casing.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP regardless of how the
+    parquet writer encoded it. Type-driven, not writer-enumerated — the
+    driver's events.parquet has shipped as TIMESTAMP(NANOS) (read as long
+    nanos under nanosAsLong), as no-tz ``timestamp[us]`` (read as
+    TIMESTAMP_NTZ under Spark 4 defaults), and as plain TIMESTAMP; all
+    three normalize here. The session timezone is pinned UTC (session.py),
+    so NTZ→TIMESTAMP is a pure metadata re-tag, and nano values are
+    microsecond-aligned so the `div 1000` truncation is lossless.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        # `div` = integer division: double division would round 19-digit
+        # nano values (> 2^53) and corrupt the microsecond component.
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast(TimestampType()))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -47,16 +75,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {ALL_TABLES}")
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long nanos
-    # (session.py sets nanosAsLong); surface it as a microsecond timestamp.
-    # Values are microsecond-aligned, so the truncation is lossless.
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
-
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # `div` = integer division: double division would round 19-digit
-        # nano values (> 2^53) and corrupt the microsecond component.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_event_time(df, "ts")
     return df
 
 

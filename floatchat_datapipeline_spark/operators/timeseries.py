@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from floatchat_datapipeline_spark.functions.eventtime import epoch_micros, long_div
+
 
 def asof_join(
     left: DataFrame,
@@ -116,7 +118,7 @@ def binned_range_agg(
         F.col(probe_id),
         F.col(on),
         F.col(probe_ts).alias("_pts"),
-        F.expr(f"unix_micros({probe_ts}) div {us}").alias("_bin0"),
+        (long_div(epoch_micros(probe_ts), us)).alias("_bin0"),
     )
     p_bins = p.withColumn(
         "_bin", F.explode(F.array(F.col("_bin0"), F.col("_bin0") + 1))
@@ -124,7 +126,7 @@ def binned_range_agg(
     b = build.select(
         F.col(on),
         F.col(build_ts).alias("_bts"),
-        F.expr(f"unix_micros({build_ts}) div {us}").alias("_bin"),
+        (long_div(epoch_micros(build_ts), us)).alias("_bin"),
         # exact cents BEFORE the sum: double-sum order-dependence can't
         # bite, and the oracle's integer sum agrees bit-for-bit
         F.round(F.col(value_col) * 100, 0).cast("long").alias("_cents"),

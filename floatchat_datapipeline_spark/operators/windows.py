@@ -18,6 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from floatchat_datapipeline_spark.functions.eventtime import (
+    epoch_micros,
+    epoch_seconds,
+)
+
 SESSION_GAP_MIN = 30
 
 
@@ -60,7 +65,7 @@ def sessionize(df: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
     with_boundary = df.withColumn(
         "_new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
             > gap_sec,
             1,
         )
@@ -134,7 +139,7 @@ def rolling_window_agg(
     us = window_seconds * 1_000_000
     w = (
         Window.partitionBy(key)
-        .orderBy(F.unix_micros(F.col(ts_col)))
+        .orderBy(epoch_micros(ts_col))
         .rangeBetween(-us, 0)
     )
     cents = F.round(F.col(value_col) * 100, 0).cast("long")

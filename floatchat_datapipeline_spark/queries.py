@@ -16,6 +16,8 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from floatchat_datapipeline_spark.functions.eventtime import epoch_seconds
+
 from floatchat_datapipeline_spark.catalog import load_table
 from floatchat_datapipeline_spark.operators import cleaning
 from floatchat_datapipeline_spark.operators.aggregate import (
@@ -3046,7 +3048,7 @@ def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+        epoch_seconds("ts").alias("sec"),
     )
     st = ev.agg(
         F.min("user_id"),

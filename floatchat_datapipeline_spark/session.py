@@ -56,6 +56,9 @@ def get_spark(
         # TIMESTAMP(NANOS) parquet columns (events.ts) have no Spark type;
         # read them as long and convert in the catalog (catalog.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # No-tz timestamp[us] parquet must read as TIMESTAMP (UTC session
+        # tz), not TIMESTAMP_NTZ — watermarks/unix_micros need TIMESTAMP.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -19,9 +19,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructType
+from pyspark.sql.types import StructType
 
-from floatchat_datapipeline_spark.catalog import ALL_TABLES, ensure_session_confs
+from floatchat_datapipeline_spark.catalog import (
+    ALL_TABLES,
+    ensure_session_confs,
+    normalize_event_time,
+)
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -40,8 +44,8 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_event_time(df, "ts")
     return df
 
 
