@@ -9,16 +9,17 @@ drop near-identical vectors within each cluster — the SemDedup recipe
 of Abbas et al. 2023, arXiv:2303.09540).
 
 Scale design:
-- components: iterative min-label propagation (Pregel-style). Each round
-  is one equi-join + one groupBy-min, both shuffling by node id; rounds
-  needed = graph diameter (near-dup graphs are shallow — dup clusters
-  are cliques or short chains, so a handful of rounds). Each round's
-  label table is localCheckpoint'd: it is derived state a few % the size
-  of the edge set, and cutting lineage keeps round i from replaying
-  rounds 1..i-1 (the same O(iters·E) vs O(iters²·E) argument as k-means
-  training). Production-hardening step at extreme scale: alternating
-  large-star/small-star (Kiveris et al. 2014) cuts rounds to
-  O(log log n); the per-round plan is identical.
+- components: alternating large-star/small-star (Kiveris et al. 2014,
+  "Connected Components in MapReduce and Beyond"). Each half-round is
+  one groupBy-min + one equi-join shuffling by node id — the same plan
+  shape as naive min-label propagation — but the edge set contracts
+  toward per-component stars, so rounds needed are O(log diameter)
+  instead of O(diameter): a 1000-link dup chain converges in ~10 rounds,
+  not 1000. Each round's edge set is localCheckpoint'd: it is derived
+  state, and cutting lineage keeps round i from replaying rounds 1..i-1
+  (the same O(iters·E) vs O(iters²·E) argument as k-means training).
+  Convergence is detected from a per-round (count, hash-sum) checksum —
+  one tiny aggregate, never an edges-vs-edges join.
 - semdedup: cluster assignment is the cached IVF quantizer's map-only
   expression (no shuffle); in-cluster pairs come from the same
   collect_list + ordered-pair explode used by every pair generator here
@@ -34,6 +35,39 @@ from pyspark.sql import functions as F
 CC_MAX_ITERS = 20
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node u links each STRICTLY LARGER neighbor
+    to the minimum of its closed neighborhood. Input/output edges are
+    canonically oriented (u > v); orientation is preserved because the
+    emitted edge (v, m) has v > u >= m."""
+    b = e.select("u", "v").unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = b.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        b.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node u links each smaller-or-equal
+    neighbor (and itself) to the minimum of those neighbors. Input edges
+    are canonical (u > v), so the grouped v's ARE the smaller neighbors;
+    emitted edges (v, m) and (u, m) stay canonical."""
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        e.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
@@ -44,73 +78,91 @@ def connected_components(
     per node appearing in any edge: (node, component) where component =
     the minimum node id reachable from it.
 
-    Min-label propagation: every node starts labeled with itself; each
-    round every node takes the min of its own and its neighbors' labels;
-    stop when a round changes nothing (checked with a 1-row aggregate per
-    round — driver-side control flow over per-round DataFrame jobs, the
-    same pattern as k-means training)."""
-    # Checkpoint the edge set ONCE: every round joins against it, and
-    # without the cut each round would replay the (possibly expensive)
+    Alternating large-star/small-star (Kiveris et al. 2014): each round
+    rewires edges toward component minima, converging to one star per
+    component in O(log diameter) rounds — a 2^k-link chain needs ~k
+    rounds where min-label propagation needs 2^k. Convergence = the edge
+    set reaches a fixpoint, detected by a (count, hash-sum) checksum
+    aggregate per round (driver-side control flow over per-round
+    DataFrame jobs, the same pattern as k-means training)."""
+    # Canonical orientation (u > v), self-loops dropped; node set kept
+    # aside so self-loop-only / isolated-in-input nodes still get a row.
+    # Checkpoint ONCE so rounds never replay the (possibly expensive)
     # pair-generation lineage that produced the edges.
-    und = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(
-            edges.select(
-                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
-            )
-        )
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        und.select(F.col("src").alias("node"))
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
         .distinct()
-        .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    # Min-label propagation only ever DECREASES labels, so the label sum
-    # strictly decreases iff any node changed — convergence is one scan
-    # of the just-materialized round, never a labels-vs-labels join.
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    converged = False
-    for _ in range(max_iters):
-        neighbor = und.join(
-            labels.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), "label")
-        labels = (
-            labels.unionByName(neighbor)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+    e = (
+        edges.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("v"),
         )
-        new_sum = labels.agg(F.sum("label")).first()[0]
-        if new_sum == prev_sum:
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(df: DataFrame) -> tuple:
+        # bit_xor, not sum: ANSI mode overflows summing 2^63-range hashes
+        row = df.agg(
+            F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")
+        ).first()
+        return (row[0], row[1])
+
+    prev = checksum(e)
+    converged = prev[0] == 0
+    for _ in range(max_iters):
+        if converged:
+            break
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = checksum(e)
+        if cur == prev:
             converged = True
             break
-        prev_sum = new_sum
+        prev = cur
     if not converged:
-        # Propagation moves the min label one hop per round, so a chain
-        # longer than max_iters would exit here with INTERMEDIATE labels —
-        # silently wrong groups (and a parity break vs the recursive-CTE
-        # oracle). Dup graphs are shallow; hitting this means the graph
-        # isn't the expected shape, so fail loudly.
+        # A non-fixpoint edge set means INTERMEDIATE stars — silently
+        # wrong groups (and a parity break vs the recursive-CTE oracle);
+        # fail loudly instead.
         raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds "
-            "(graph diameter exceeds max_iters); raise max_iters or use "
-            "large-star/small-star for deep graphs"
+            f"connected_components did not converge in {max_iters} rounds; "
+            "raise max_iters"
         )
-    return labels.select(
-        F.col("node"), F.col("label").alias("component")
+    # Fixpoint edges are (member, component-min) stars; roots and
+    # edge-less nodes label themselves.
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
     )
+
+
+SEMDEDUP_MAX_CLUSTER = 4096
+
+
+def auto_n_centroids(corpus_size: int) -> int:
+    """k = max(8, floor(sqrt(N))): expected cluster membership is sqrt(N),
+    so the quadratic in-cluster pair stage totals O(N^1.5) corpus-wide.
+    math.isqrt matches the oracle's floor(sqrt(N)) exactly."""
+    import math
+
+    return max(8, math.isqrt(corpus_size))
 
 
 def semdedup(
     emb: DataFrame,
     threshold: float = 0.93,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cache_key: str | None = None,
     dim: int | None = None,
+    max_cluster: int | None = SEMDEDUP_MAX_CLUSTER,
 ) -> DataFrame:
     """SemDedup: IVF-cluster the embedding space, then inside each
     cluster mark every vector whose cosine to a LOWER-id cluster-mate is
@@ -119,15 +171,27 @@ def semdedup(
 
     Pairs are generated only within a cluster — the quantizer bounds the
     candidate set exactly like the LSH band key does for text, so the
-    pair stage is |cluster|² not |corpus|², and clusters are sized by
-    n_centroids. Cross-cluster near-dups are missed by construction —
-    the recall/cost trade SemDedup explicitly makes."""
+    pair stage is |cluster|² not |corpus|². n_centroids defaults to
+    ⌊√N⌋ (floor(sqrt(count)), mirrored exactly by the oracle's SQL), so
+    expected cluster membership is √N and total pair work is O(N^1.5) —
+    a fixed k would let membership, and thus the per-cluster quadratic
+    pair stage, grow O(N). `max_cluster` additionally drops degenerate
+    clusters past the cap (the same skew guard as the LSH buckets,
+    operators/dedup.py; never binds at test scale so oracle parity is
+    unaffected — an over-cap cluster's members are all marked kept).
+    Cross-cluster near-dups are missed by construction — the recall/cost
+    trade SemDedup explicitly makes."""
     from floatchat_datapipeline_spark.embeddings.search import (
         kmeans_centroids,
         nearest_centroid,
     )
     from floatchat_datapipeline_spark.functions.vector import dot, norm
+    from floatchat_datapipeline_spark.operators.dedup import _cap_key_frequency
 
+    if n_centroids is None:
+        # The count is a parquet-metadata read at scan time, not a data
+        # pass; both engines derive the same k from the same table.
+        n_centroids = auto_n_centroids(emb.count())
     cents = kmeans_centroids(
         emb, n_centroids, vec_col=vec_col, id_col=id_col, cache_key=cache_key
     )
@@ -162,8 +226,11 @@ def semdedup(
         F.col(vec_col).alias("_vb"),
         F.col("_n").alias("_nb"),
     )
+    pairable = _cap_key_frequency(
+        assigned.select(id_col, "cluster"), ["cluster"], max_cluster
+    )
     cand = (
-        assigned.groupBy("cluster")
+        pairable.groupBy("cluster")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .select(F.explode("ids").alias("id_a"), "ids")
         .repartition(F.col("id_a"))

@@ -1238,7 +1238,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_replay_sql(
-    k: int = 8,
+    k: int | str = 8,
     iters: int = 2,
     sfx: str = "",
     vec_sql: str = "CAST(embedding AS DOUBLE[])",
@@ -2540,9 +2540,18 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semdedup_oracle(threshold: float = _SEMDEDUP_THRESHOLD) -> str:
     cos = _COS_SQL.format(a="a.vec", b="b.vec")
+    # k = max(8, floor(sqrt(N))) — the exact formula the Spark side uses
+    # (math.isqrt on the corpus count), expressed as a scalar subquery so
+    # the oracle derives it from the same table at whatever SF the driver
+    # runs. IEEE sqrt is correctly rounded, so floor(sqrt(bigint)) ==
+    # isqrt for any realistic corpus size.
+    dyn_k = (
+        "(SELECT greatest(8, CAST(floor(sqrt(count(*))) AS INT))"
+        " FROM embeddings)"
+    )
     return (
         "WITH "
-        + _kmeans_replay_sql()
+        + _kmeans_replay_sql(k=dyn_k)
         + f""", dups AS (
   SELECT DISTINCT b.vec_id AS dup_id
   FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id

@@ -74,3 +74,38 @@ def test_cap_filter_shares_exchange_with_groupby(spark):
     )
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_semdedup_centroid_count_scales_sqrt():
+    """n_centroids defaults to max(8, isqrt(N)): 4x corpus -> 2x clusters,
+    so expected membership (and the quadratic in-cluster pair stage per
+    cluster) grows sqrt(N), not N."""
+    from floatchat_datapipeline_spark.operators.clusters import (
+        auto_n_centroids,
+    )
+
+    assert auto_n_centroids(64) == 8
+    assert auto_n_centroids(10_000) == 100
+    assert auto_n_centroids(40_000) == 200
+    assert auto_n_centroids(10_000) * auto_n_centroids(10_000) <= 10_000
+    # mean membership N/k == sqrt(N): doubles when corpus quadruples
+    assert 40_000 / auto_n_centroids(40_000) == 2 * (
+        10_000 / auto_n_centroids(10_000)
+    )
+
+
+def test_semdedup_over_cap_cluster_is_skipped_not_exploded(spark):
+    """A degenerate mega-cluster past max_cluster produces NO pairs (its
+    members all stay kept) instead of a quadratic pair explosion."""
+    from floatchat_datapipeline_spark.operators.clusters import semdedup
+
+    # all-identical vectors -> one cluster of 40, every non-min a dup
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0)).alias("embedding"),
+    )
+    dedup = semdedup(emb, threshold=0.9, n_centroids=2)
+    assert dedup.filter(~F.col("is_kept")).count() == 39
+    capped = semdedup(emb, threshold=0.9, n_centroids=2, max_cluster=10)
+    assert capped.filter(~F.col("is_kept")).count() == 0
+    assert capped.count() == 40

@@ -135,6 +135,27 @@ def test_connected_components_long_chain_converges(spark):
     assert len(out) == n + 1
 
 
+def test_connected_components_deep_chain_logarithmic_rounds(spark):
+    # large-star/small-star needs O(log diameter) rounds: a 256-link
+    # chain (diameter 256) must converge well under the 20-round cap
+    # (min-label propagation would need 256 rounds and raise).
+    n = 256
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = connected_components(edges, max_iters=10).collect()
+    assert {r["component"] for r in out} == {0}
+    assert len(out) == n + 1
+
+
+def test_connected_components_self_loop_and_isolated(spark):
+    edges = spark.createDataFrame(
+        [(40, 40), (7, 5)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {40: 40, 5: 5, 7: 5}
+
+
 def test_split_is_stable_under_corpus_growth(spark):
     small = spark.range(0, 100).withColumnRenamed("id", "doc_id")
     big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
