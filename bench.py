@@ -90,7 +90,7 @@ def main() -> None:
         if name == "ann_pq_topk":
             from floatchat_datapipeline_spark.embeddings import pq  # noqa: PLC0415
 
-            pq._PQ_CACHE.clear()
+            pq.reset_caches()
             timings["ann_pq_topk_train"] = round(run_once(name), 3)
             timings["ann_pq_topk_warm"] = round(
                 min(run_once(name), run_once(name)), 3

@@ -43,6 +43,25 @@ PQ_RERANK = 50
 
 _PQ_CACHE: dict[tuple, list[list[tuple[int, list[float]]]]] = {}
 
+# Encoded-corpus cache: the codes TABLE is the other half of the index —
+# FAISS builds train+encode once (`index.add`) and every query scans the
+# stored codes. Keyed like _PQ_CACHE; values are persisted DataFrames of
+# (id, _code0.._code{m-1}) — ~m bytes/row, the 64× compression that lets
+# the whole index live in cluster memory at 100 TB.
+_PQ_INDEX_CACHE: dict[tuple, "DataFrame"] = {}
+
+
+def reset_caches() -> None:
+    """Drop trained codebooks and unpersist encoded-corpus tables (bench
+    cold-path isolation; tests)."""
+    for df in _PQ_INDEX_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _PQ_INDEX_CACHE.clear()
+    _PQ_CACHE.clear()
+
 
 def pq_train(
     emb: DataFrame,
@@ -166,6 +185,58 @@ def pq_codes(
     )
 
 
+def pq_index(
+    emb: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cache_key: str | None = None,
+):
+    """Build (or fetch) the full PQ index for a corpus: trained codebooks
+    PLUS the encoded corpus as a persisted (id, _code0.._code{m-1})
+    DataFrame. Encoding pays the m-argmax expression once per corpus at
+    build time; after that, every query's scan touches only the tiny
+    codes table — never the float vectors and never the m-argmax tree
+    (whose Catalyst analysis alone costs seconds at m=16, ksub=32).
+
+    Returns (codebooks, codes_df)."""
+    from floatchat_datapipeline_spark.embeddings.search import (
+        nearest_centroid,
+    )
+
+    books = pq_train(
+        emb, dim, m, ksub, iters, vec_col, id_col, cache_key=cache_key
+    )
+    memo = (
+        (cache_key, dim, m, ksub, iters, vec_col, id_col)
+        if cache_key
+        else None
+    )
+    if memo is not None and memo in _PQ_INDEX_CACHE:
+        return books, _PQ_INDEX_CACHE[memo]
+    dsub = dim // m
+    base = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    coded = base.select(
+        id_col,
+        *[
+            nearest_centroid(
+                F.slice(F.col(vec_col), s * dsub + 1, dsub), books[s]
+            ).alias(f"_code{s}")
+            for s in range(m)
+        ],
+    )
+    if memo is not None:
+        coded = coded.persist()
+        coded.count()  # materialize at build time, not first query
+        _PQ_INDEX_CACHE[memo] = coded
+    return books, coded
+
+
 def pq_adc_topk(
     emb: DataFrame,
     query_id: int,
@@ -190,8 +261,16 @@ def pq_adc_topk(
     computed driver-side with the same left-fold order as the engines
     (pure +/× — IEEE-identical everywhere, unlike transcendentals), then
     6dp-rounded INSIDE the plan so both engines round the same double
-    the same way. Output: (vec_id, adc_score, exact_score)."""
-    books = pq_train(
+    the same way. Output: (vec_id, adc_score, exact_score).
+
+    Warm-path shape: the scan runs over the persisted codes table
+    (pq_index) with a plan of m element_at lookups — the m-argmax encode
+    tree is never rebuilt per query — and the exact inner product is
+    computed ONLY for the shortlist (a broadcast semi-join fetches those
+    `rerank` full-precision vectors), never for the whole corpus. That is
+    the two-stage IVF-PQ query exactly as run at 100 TB: compressed-domain
+    scan, then ~50 vector fetches."""
+    books, coded = pq_index(
         emb, dim, m, ksub, iters, vec_col, id_col, cache_key=cache_key
     )
     dsub = dim // m
@@ -211,29 +290,12 @@ def pq_adc_topk(
                 acc = acc + a * b
             lut.append(acc)
         luts.append(lut)
-    from floatchat_datapipeline_spark.embeddings.search import (
-        nearest_centroid,
-    )
-
-    base = emb.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
-    )
     # Codes as SEPARATE columns, ADC as an explicit left-assoc sum of
     # per-subspace LUT hits (same association order as the oracle's
     # l0.w + l1.w + ...). A codes ARRAY referenced from inside an
     # aggregate-HOF fold was measured ~2.5× slower: the fold references
     # the array once per step and CollapseProject inlines the whole
     # m-argmax array into every step — m² argmax evaluations per row.
-    coded = base.select(
-        id_col,
-        vec_col,
-        *[
-            nearest_centroid(
-                F.slice(F.col(vec_col), s * dsub + 1, dsub), books[s]
-            ).alias(f"_code{s}")
-            for s in range(m)
-        ],
-    )
     terms = [
         F.round(F.element_at(F.lit(luts[s]), F.col(f"_code{s}") + 1), 6)
         for s in range(m)
@@ -242,11 +304,22 @@ def pq_adc_topk(
     for t in terms[1:]:
         adc = adc + t
     scored = coded.filter(F.col(id_col) != query_id).select(
-        id_col,
-        F.round(adc, 6).alias("adc_score"),
-        F.round(dot(F.col(vec_col), F.lit(q)), 6).alias("exact_score"),
+        id_col, F.round(adc, 6).alias("adc_score")
+    )
+    vecs = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    shortlist = scored.orderBy(F.desc("adc_score"), id_col).limit(
+        rerank if rerank > 0 else k
+    )
+    with_exact = (
+        vecs.join(F.broadcast(shortlist), id_col)
+        .select(
+            id_col,
+            "adc_score",
+            F.round(dot(F.col("_v"), F.lit(q)), 6).alias("exact_score"),
+        )
     )
     if rerank > 0:
-        shortlist = scored.orderBy(F.desc("adc_score"), id_col).limit(rerank)
-        return shortlist.orderBy(F.desc("exact_score"), id_col).limit(k)
-    return scored.orderBy(F.desc("adc_score"), id_col).limit(k)
+        return with_exact.orderBy(F.desc("exact_score"), id_col).limit(k)
+    return with_exact.orderBy(F.desc("adc_score"), id_col).limit(k)

@@ -224,6 +224,23 @@ def nearest_centroid(
 # corpus identity (e.g. the table path) plus the training hyperparams.
 _CENTROID_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
 
+# Assigned-corpus cache: (id, vec, cluster) persisted per corpus — the
+# IVF-flat inverted lists themselves. Building it pays the k×d argmax
+# scan once per corpus; warm queries then read nprobe clusters out of
+# memory instead of re-assigning the whole corpus per query. At 100 TB
+# this is the cluster-partitioned table the docstrings describe.
+_IVF_INDEX_CACHE: dict[tuple, DataFrame] = {}
+
+
+def reset_caches() -> None:
+    for df in _IVF_INDEX_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _IVF_INDEX_CACHE.clear()
+    _CENTROID_CACHE.clear()
+
 
 def kmeans_centroids(
     emb: DataFrame,
@@ -326,10 +343,24 @@ def ann_ivf_topk(
     base = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )
-    assigned = base.withColumn(
-        "cluster", nearest_centroid(F.col(vec_col), cents)
+    memo = (
+        (cache_key, n_centroids, iters, vec_col, id_col)
+        if cache_key
+        else None
     )
-    q = base.filter(F.col(id_col) == query_id).select(
+    if memo is not None and memo in _IVF_INDEX_CACHE:
+        assigned = _IVF_INDEX_CACHE[memo]
+    else:
+        assigned = base.withColumn(
+            "cluster", nearest_centroid(F.col(vec_col), cents)
+        )
+        if memo is not None:
+            assigned = assigned.persist()
+            assigned.count()  # build the inverted lists at index time
+            _IVF_INDEX_CACHE[memo] = assigned
+    # Read the query vector out of the (possibly cached) assigned table —
+    # under a warm index this is an in-memory lookup, not a parquet scan.
+    q = assigned.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("qvec")
     )
     cents_df = emb.sparkSession.createDataFrame(

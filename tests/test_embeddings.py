@@ -222,3 +222,50 @@ def test_pq_adc_overestimates_track_exact(spark, sf_dir):
         .first()
     )
     assert codes[0] >= 0 and codes[1] < PQ_KSUB
+
+
+def test_pq_warm_query_scans_cached_codes_not_vectors(spark, sf_dir):
+    """A warm PQ query must read the persisted codes table (the index),
+    not re-run the m-argmax encode tree over the parquet vectors — the
+    re-encode was measured at ~7 s/query of pure plan overhead at sf0.1."""
+    from floatchat_datapipeline_spark.embeddings import pq
+    from floatchat_datapipeline_spark.plans.checks import plan_string
+
+    pq.reset_caches()
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = f"{sf_dir}/embeddings.parquet#test-warm"
+    pq.pq_adc_topk(emb, query_id=1, k=5, cache_key=key, rerank=10).collect()
+    warm = pq.pq_adc_topk(emb, query_id=2, k=5, cache_key=key, rerank=10)
+    plan = plan_string(warm)
+    assert "InMemoryTableScan" in plan, plan
+    # the compressed-domain scan must not touch the embedding column
+    scan_cols = [
+        line for line in plan.splitlines() if "InMemoryTableScan" in line
+    ]
+    assert not any("embedding" in line for line in scan_cols), scan_cols
+    pq.reset_caches()
+
+
+def test_ivf_warm_query_uses_cached_inverted_lists(spark, sf_dir):
+    from floatchat_datapipeline_spark.embeddings import search as s
+    from floatchat_datapipeline_spark.plans.checks import plan_string
+
+    s.reset_caches()
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = f"{sf_dir}/embeddings.parquet#test-warm-ivf"
+    s.ann_ivf_topk(emb, query_id=1, k=5, cache_key=key).collect()
+    warm = s.ann_ivf_topk(emb, query_id=2, k=5, cache_key=key)
+    assert "InMemoryTableScan" in plan_string(warm)
+    s.reset_caches()
+
+
+def test_pq_reset_caches_clears_index(spark, sf_dir):
+    from floatchat_datapipeline_spark.embeddings import pq
+
+    pq.reset_caches()
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = f"{sf_dir}/embeddings.parquet#test-reset"
+    pq.pq_adc_topk(emb, query_id=1, k=5, cache_key=key, rerank=10).collect()
+    assert pq._PQ_INDEX_CACHE and pq._PQ_CACHE
+    pq.reset_caches()
+    assert not pq._PQ_INDEX_CACHE and not pq._PQ_CACHE
