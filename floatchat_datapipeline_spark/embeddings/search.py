@@ -180,8 +180,18 @@ KMEANS_ITERS = 2
 IVF_NPROBE = 2
 
 
+def _double_sql(x: float) -> str:
+    """A SQL double literal with the exact bits of `x` (repr is the
+    shortest round-tripping decimal; Java's parseDouble is correctly
+    rounded, so the JVM reconstructs the identical binary64)."""
+    r = repr(float(x))
+    if r in ("inf", "-inf", "nan"):  # never in trained model state
+        raise ValueError(f"non-finite centroid component: {x}")
+    return f"CAST('{r}' AS DOUBLE)"
+
+
 def nearest_centroid(
-    vec: Column, cents: list[tuple[int, list[float]]]
+    vec: Column | str, cents: list[tuple[int, list[float]]]
 ) -> Column:
     """IVF coarse quantization as a PURE per-row expression: with the k×d
     centroid matrix inlined as literals (model state, broadcast by value
@@ -197,7 +207,17 @@ def nearest_centroid(
     The centroid matrix is inlined ONCE as a nested array literal and
     traversed with zip_with, and ‖v‖ is computed once per row — a flat
     per-centroid expansion would repeat the k×d literals per cosine and
-    blow up Catalyst analysis time (measured ~1 s/plan at k=8, d=64)."""
+    blow up Catalyst analysis time (measured ~1 s/plan at k=8, d=64).
+
+    `vec` may be a Column or a SQL expression STRING. Prefer the string:
+    the whole argmax is then assembled as ONE SQL text and handed to the
+    parser in a single py4j call — building the same tree through the
+    Column API costs thousands of py4j round trips (measured ~4 s just to
+    CONSTRUCT the m=16 encode projection at PQ's 32×4 codebooks, and
+    worse at SemDedup's √N×64 matrix). Both paths parse/build the
+    identical expression, so results are bit-for-bit the same."""
+    if isinstance(vec, str):
+        return F.expr(_nearest_centroid_sql(vec, cents))
     from floatchat_datapipeline_spark.functions.vector import dot, norm
 
     # single nested-array Literal (one plan node for the whole k×d matrix)
@@ -215,6 +235,37 @@ def nearest_centroid(
         )
     )
     return (-best.getField("neg_cid")).cast("int")
+
+
+def _nearest_centroid_sql(
+    vec_sql: str, cents: list[tuple[int, list[float]]]
+) -> str:
+    """The same expression as the Column path of `nearest_centroid`,
+    rendered as Spark-SQL text: identical function composition (aggregate
+    folds from 0.0 double, zip_with products, 6dp round before argmax,
+    neg-cid tie-break), so the parsed tree evaluates bit-identically."""
+    mat = ", ".join(
+        "array(" + ", ".join(_double_sql(x) for x in cvec) + ")"
+        for _, cvec in cents
+    )
+    cids = ", ".join(str(int(cid)) for cid, _ in cents)
+    dot_sql = (
+        f"aggregate(zip_with({vec_sql}, cvec, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    norm_sql = (
+        "sqrt(aggregate({v}, CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    vnorm = norm_sql.format(v=vec_sql)
+    cnorm = norm_sql.format(v="cvec")
+    return (
+        f"CAST(-((array_max(zip_with(array({mat}), array({cids}), "
+        f"(cvec, cid) -> named_struct("
+        f"'sim', round({dot_sql} / ({vnorm} * {cnorm}), 6), "
+        f"'neg_cid', -cid)))).neg_cid) AS INT)"
+    )
 
 
 # Trained-quantizer cache: centroids are MODEL STATE — an IVF index is
@@ -290,7 +341,7 @@ def kmeans_centroids(
     ]
     for _ in range(iters):
         assigned = base.withColumn(
-            "cluster", nearest_centroid(F.col(vec_col), cents)
+            "cluster", nearest_centroid(f"`{vec_col}`", cents)
         )
         comp = (
             assigned.select(
@@ -352,7 +403,7 @@ def ann_ivf_topk(
         assigned = _IVF_INDEX_CACHE[memo]
     else:
         assigned = base.withColumn(
-            "cluster", nearest_centroid(F.col(vec_col), cents)
+            "cluster", nearest_centroid(f"`{vec_col}`", cents)
         )
         if memo is not None:
             assigned = assigned.persist()

@@ -199,7 +199,7 @@ def semdedup(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )
     assigned = base.withColumn(
-        "cluster", nearest_centroid(F.col(vec_col), cents)
+        "cluster", nearest_centroid(f"`{vec_col}`", cents)
     )
     # Pair generation collects IDS only (vectors stay out of the lists —
     # an id list is ~8 B/member, a vector list ~100×that), explodes once,

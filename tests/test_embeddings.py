@@ -269,3 +269,26 @@ def test_pq_reset_caches_clears_index(spark, sf_dir):
     assert pq._PQ_INDEX_CACHE and pq._PQ_CACHE
     pq.reset_caches()
     assert not pq._PQ_INDEX_CACHE and not pq._PQ_CACHE
+
+
+def test_nearest_centroid_sql_path_matches_column_path(spark, sf_dir):
+    """The SQL-text fast path (one F.expr parse) must assign every vector
+    to the same centroid as the Column-API tree — bit-for-bit, since both
+    build the identical 6dp-rounded argmax expression."""
+    from floatchat_datapipeline_spark.embeddings.search import (
+        kmeans_centroids,
+        nearest_centroid,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, 8)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a = base.select(
+        "vec_id", nearest_centroid(F.col("embedding"), cents).alias("c")
+    )
+    b = base.select(
+        "vec_id", nearest_centroid("`embedding`", cents).alias("c")
+    )
+    assert a.join(b, "vec_id").filter(a["c"] != b["c"]).count() == 0
