@@ -117,7 +117,11 @@ def connected_components(
     for _ in range(max_iters):
         if converged:
             break
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # Lazy checkpoint: the checksum aggregate is the round's ONE
+        # action and materializes the checkpoint as a side effect — an
+        # eager checkpoint would run a second full job per round for the
+        # same result.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = checksum(e)
         if cur == prev:
             converged = True

@@ -1,0 +1,68 @@
+"""Bucketed-table layout — co-located joins without a shuffle.
+
+The reference leans on Postgres btree indexes (`ingest/schema.sql:36-40`,
+float_id/profile_time/lat/lon) to make its per-float lookups and joins
+cheap. The Spark-native analog for JOIN locality is table bucketing:
+hash-partition rows into a fixed number of buckets on the join key AT
+WRITE TIME, record the layout in the catalog, and every subsequent join
+or aggregation on that key reads co-located buckets instead of shuffling
+the table.
+
+Why this matters at 100 TB: a fact-fact join (e.g. profiles ⋈ floats on
+float_id, or events ⋈ events self-joins) shuffles BOTH sides on every
+query — at 100 TB that is the dominant cost and the least reliable stage
+(disk spill, fetch failures). Bucketing moves that shuffle to write time,
+once, amortized over every downstream query. Spark's scan reports the
+bucket spec to the planner, which elides the Exchange on both sides of a
+sort-merge join when bucket counts match (tests/test_bucketed.py pins
+exactly that plan shape).
+
+Bucket-count sizing: buckets are the unit of join parallelism AND the
+file count per partition — pick `n_buckets` so a bucket of the LARGER
+table is a few hundred MB (e.g. 100 TB / 512 MB ≈ 200k buckets is too
+many files; bucket the 100 TB fact at ~4096-16384 and let AQE handle the
+rest). Both join sides must share the bucket count (or be exact
+multiples, which Spark 3.1+ coalesces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: tuple[str, ...],
+    n_buckets: int,
+    path: str | None = None,
+    sort_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Persist `df` as a bucketed parquet table registered in the session
+    catalog. One output file per bucket (the pre-write repartition below),
+    so the optional `sort_by` order survives and sort-merge joins skip
+    their Sort as well as their Exchange.
+
+    `path` makes it an external table (local tests use a tmp dir); omit
+    for a managed table under the warehouse."""
+    from pyspark.sql import functions as F
+
+    # One file per bucket: co-partition by the same hash Spark's bucket
+    # scan assumes, so each task writes exactly its bucket's rows.
+    out = df.repartition(n_buckets, *[F.col(k) for k in keys])
+    writer = out.write.format("parquet").mode(mode).bucketBy(
+        n_buckets, *keys
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Scan a bucketed table THROUGH THE CATALOG — `spark.table` carries
+    the bucket spec into planning; a raw `spark.read.parquet(path)` of
+    the same files would not, and every join would shuffle again."""
+    return spark.table(table)

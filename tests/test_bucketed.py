@@ -1,0 +1,75 @@
+"""Bucketed-table plan pins: the write-time shuffle must buy back the
+query-time Exchange (the whole point of sinks/bucketed.py at 100 TB)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from floatchat_datapipeline_spark.catalog import load_table
+from floatchat_datapipeline_spark.plans.checks import plan_string
+from floatchat_datapipeline_spark.sinks.bucketed import (
+    read_bucketed,
+    write_bucketed,
+)
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force sort-merge joins so the test observes Exchange elision, not
+    broadcasting (small test tables would otherwise all broadcast)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_elides_both_exchanges(
+    spark, sf_dir, tmp_path, no_broadcast
+):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(
+        orders, "b_orders", ("o_orderkey",), 4, path=str(tmp_path / "bo")
+    )
+    write_bucketed(
+        lineitem, "b_lineitem", ("l_orderkey",), 4, path=str(tmp_path / "bl")
+    )
+    joined = read_bucketed(spark, "b_orders").join(
+        read_bucketed(spark, "b_lineitem"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    plan = plan_string(joined)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    # and the answer is still the plain join's answer
+    expected = orders.join(
+        lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+    ).count()
+    assert joined.count() == expected
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_aggregation_elides_exchange(
+    spark, sf_dir, tmp_path, no_broadcast
+):
+    """groupBy on the bucket key also reuses the write-time layout."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(
+        lineitem, "b_li_agg", ("l_orderkey",), 4, path=str(tmp_path / "bla")
+    )
+    agg = (
+        read_bucketed(spark, "b_li_agg")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    assert "Exchange" not in plan_string(agg), plan_string(agg)
+    assert agg.count() == lineitem.select("l_orderkey").distinct().count()
+    spark.sql("DROP TABLE IF EXISTS b_li_agg")
