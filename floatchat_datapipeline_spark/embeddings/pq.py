@@ -172,7 +172,12 @@ def pq_codes(
     `vec` as a STRING is SQL expression text (e.g. a backtick-quoted
     column name) — each subspace argmax is then assembled as one SQL
     string (see nearest_centroid), which is ~10× cheaper to construct
-    and analyze than the Column-API tree."""
+    and analyze than the Column-API tree. A fully FLAT expansion
+    (per-centroid explicit dot chains, driver-precomputed centroid
+    norms) was also tried: bit-identical, but 3× slower end-to-end —
+    the ~15k-node projection pushes Janino codegen from ~1 s to ~15 s,
+    dwarfing what it saves in interpreted HOF evaluation. The fold
+    form is the measured optimum at these shapes."""
     from floatchat_datapipeline_spark.embeddings.search import (
         nearest_centroid,
     )
