@@ -77,7 +77,11 @@ def main() -> None:
     # amortized across every query at scale), so a single min-of-2 number
     # conflates a train-once cost with the per-query scoring path. The
     # cold row clears the training memo first; the warm row reuses it.
+    # One broken query must not zero out the whole bench (round 4: a
+    # single AnalysisException produced rc=1 and NO timings at all).
+    # Failures are recorded per query and the run keeps going.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def run_once(name: str) -> float:
         t0 = time.time()
@@ -87,16 +91,19 @@ def main() -> None:
         return time.time() - t0
 
     for name in names:
-        if name == "ann_pq_topk":
-            from floatchat_datapipeline_spark.embeddings import pq  # noqa: PLC0415
+        try:
+            if name == "ann_pq_topk":
+                from floatchat_datapipeline_spark.embeddings import pq  # noqa: PLC0415
 
-            pq.reset_caches()
-            timings["ann_pq_topk_train"] = round(run_once(name), 3)
-            timings["ann_pq_topk_warm"] = round(
-                min(run_once(name), run_once(name)), 3
-            )
-            continue
-        timings[name] = round(min(run_once(name), run_once(name)), 3)
+                pq.reset_caches()
+                timings["ann_pq_topk_train"] = round(run_once(name), 3)
+                timings["ann_pq_topk_warm"] = round(
+                    min(run_once(name), run_once(name)), 3
+                )
+                continue
+            timings[name] = round(min(run_once(name), run_once(name)), 3)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     # Headline total is the steady-state per-query cost: one-time train
     # rows (model builds, memoized for the corpus lifetime) are reported
@@ -114,6 +121,8 @@ def main() -> None:
         ),
         "sf": sf,
     }
+    if errors:
+        result["errors"] = errors
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULT.json"
     )

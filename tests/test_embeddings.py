@@ -292,3 +292,38 @@ def test_nearest_centroid_sql_path_matches_column_path(spark, sf_dir):
         "vec_id", nearest_centroid("`embedding`", cents).alias("c")
     )
     assert a.join(b, "vec_id").filter(a["c"] != b["c"]).count() == 0
+
+
+def test_double_sql_literals_reconstruct_exact_bits(spark):
+    """CAST('<repr>' AS DOUBLE) must reproduce the exact binary64 of any
+    Python float — the property the SQL-text expression path rests on.
+    Checked for adversarial magnitudes (denormals, huge, tiny, negative
+    zero) plus 1000 seeded-random doubles, all in one Spark job."""
+    import random
+    import struct
+
+    from floatchat_datapipeline_spark.embeddings.search import _double_sql
+
+    rng = random.Random(42)
+    vals = [
+        0.0,
+        -0.0,
+        1.0,
+        -1.0,
+        3.141592653589793,
+        2.2250738585072014e-308,  # smallest normal
+        5e-324,  # smallest denormal
+        1.7976931348623157e308,  # largest finite
+        1e-300,
+        -1e300,
+        0.1,
+        1 / 3,
+    ] + [rng.uniform(-1e6, 1e6) for _ in range(500)] + [
+        rng.uniform(-1, 1) * 10 ** rng.randint(-30, 30) for _ in range(500)
+    ]
+    exprs = ", ".join(_double_sql(v) for v in vals)
+    row = spark.sql(f"SELECT array({exprs}) AS a").first()
+    got = row["a"]
+    assert len(got) == len(vals)
+    for v, g in zip(vals, got):
+        assert struct.pack("<d", v) == struct.pack("<d", g), (v, g)
