@@ -52,6 +52,13 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
     ]
+    # The PQ cold (train) row runs LAST: early in the session it absorbs
+    # whatever Janino/JIT warmup the session still owes (measured 15-28 s
+    # run-to-run variance in the same code); at the end it measures the
+    # index build itself.
+    if "ann_pq_topk" in names:
+        names.remove("ann_pq_topk")
+        names.append("ann_pq_topk")
 
     # Warm the JVM/readers AND the Python UDF workers once so per-query
     # numbers measure the queries, not session/daemon startup (the first

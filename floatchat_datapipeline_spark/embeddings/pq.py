@@ -129,9 +129,9 @@ def pq_train(
             )
             .groupBy("s", "cluster", "pos")
             .agg(
-                F.round(
-                    F.round(F.sum("val"), 6) / F.count(F.lit(1)), 6
-                ).alias("mval")
+                # rounded sum / raw quotient — same parity rule as
+                # kmeans_centroids (no outer round on quotients)
+                (F.round(F.sum("val"), 6) / F.count(F.lit(1))).alias("mval")
             )
             .collect()
         )

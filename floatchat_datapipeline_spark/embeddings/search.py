@@ -306,9 +306,11 @@ def kmeans_centroids(
     Seeds are the `n_centroids` lowest-id vectors renumbered 0..k-1; each
     iteration reassigns every vector (cosine argmax, 6dp-rounded for
     cross-engine tie stability) and recomputes centroids as per-position
-    means. Means are computed IN SPARK as `round(round(sum,6)/n, 6)` so
-    Spark's and the oracle's partial-aggregation orders can't diverge in
-    the last bit.
+    means. Means are computed IN SPARK as `round(sum,6)/n` — the rounded
+    sum makes the value partial-aggregation-order independent, and the
+    quotient stays a raw IEEE double because an outer round lands on
+    decimal half boundaries (short-decimal sums over integer counts) that
+    Spark and DuckDB round in opposite directions.
 
     Plan shape: each Lloyd iteration is ONE map-only assignment expression
     (`nearest_centroid`, no shuffle) feeding a posexplode →
@@ -349,9 +351,12 @@ def kmeans_centroids(
             )
             .groupBy("cluster", "_pos")
             .agg(
-                F.round(
-                    F.round(F.sum("_val"), 6) / F.count(F.lit(1)), 6
-                ).alias("_m")
+                # round the SUM (order-independence); the quotient stays a
+                # raw IEEE double — an outer round lands on decimal half
+                # boundaries for short-decimal/int quotients and Spark and
+                # DuckDB round those in opposite directions (see
+                # operators/windows.py hourly_rollup note)
+                (F.round(F.sum("_val"), 6) / F.count(F.lit(1))).alias("_m")
             )
         )
         rows = (

@@ -40,11 +40,15 @@ def hourly_rollup(df: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-            # avg derived from the rounded sum: double sums are partition-
-            # order dependent in the last bits, and round(avg, 4) can land
-            # exactly on a rounding boundary; rounding the sum first makes
-            # the result order-independent (and engine-independent).
-            F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias(
+            # avg = rounded_sum / count, with NO outer round: rounding the
+            # sum makes the value partition-order independent, and the raw
+            # IEEE quotient is then bit-identical in every engine. An
+            # outer round(·, 4) is NOT parity-safe — quotients of a 2dp
+            # sum by a small count routinely land exactly on a decimal
+            # half boundary (1512.12/32 = 47.25375), where Spark HALF_UPs
+            # the shortest repr but DuckDB rounds the binary value one ulp
+            # below it (measured: 4 of 3600 groups flipped at sf0.1).
+            (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias(
                 "avg_value"
             ),
         )

@@ -196,13 +196,16 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(charge), 2).alias("sum_charge"),
             # avgs derived from rounded sums — order/engine independent
             # (see operators/windows.py hourly_rollup note)
-            F.round(F.sum("l_quantity") / F.count(F.lit(1)), 2).alias("avg_qty"),
-            F.round(
-                F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 2
-            ).alias("avg_price"),
-            F.round(
-                F.round(F.sum("l_discount"), 4) / F.count(F.lit(1)), 4
-            ).alias("avg_disc"),
+            # raw IEEE quotients of (exact or rounded) sums — an outer
+            # round is not parity-safe on decimal half boundaries (see
+            # operators/windows.py hourly_rollup note)
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (F.round(F.sum("l_discount"), 4) / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -215,9 +218,9 @@ SELECT
   round(sum(l_extendedprice), 2) AS sum_base_price,
   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  round(sum(l_quantity) / count(*), 2) AS avg_qty,
-  round(round(sum(l_extendedprice), 2) / count(*), 2) AS avg_price,
-  round(round(sum(l_discount), 4) / count(*), 4) AS avg_disc,
+  sum(l_quantity) / count(*) AS avg_qty,
+  round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+  round(sum(l_discount), 4) / count(*) AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -307,7 +310,7 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
        round(sum(value), 2) AS sum_value,
-       round(round(sum(value), 2) / count(*), 4) AS avg_value
+       round(sum(value), 2) / count(*) AS avg_value
 FROM events GROUP BY 1, 2
 """
 
@@ -362,14 +365,17 @@ def q_events_props_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = parse_props(load_table(spark, sf_dir, "events"))
     return ev.groupBy("event_type").agg(
         F.count("prop_k").alias("n_with_k"),
-        F.round(F.avg("prop_k"), 4).alias("avg_k"),
+        # raw quotient of exact int sums — round(avg, 4) hits decimal
+        # half boundaries (see operators/windows.py hourly_rollup note)
+        (F.sum("prop_k") / F.count("prop_k")).alias("avg_k"),
     )
 
 
 _EVENTS_PROPS_ORACLE = """
 SELECT event_type,
        count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+         / count(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k
 FROM events GROUP BY event_type
 """
 
@@ -1275,7 +1281,7 @@ def _kmeans_replay_sql(
 , c{i}{sfx} AS (
   SELECT cluster AS cid, list(m ORDER BY pos) AS cvec FROM (
     SELECT a.cluster, u.i AS pos,
-           round(round(sum(u.x), 6) / count(*), 6) AS m
+           round(sum(u.x), 6) / count(*) AS m
     FROM a{i}{sfx} a,
     LATERAL (SELECT unnest(vec) AS x,
                     unnest(generate_series(1, len(vec))) AS i) u
