@@ -2816,6 +2816,35 @@ FROM documents GROUP BY source
 """
 
 
+def q_source_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 scale path — the SAME rollup through `approx_percentile`
+    (Greenwald-Khanna quantile summaries: partial-aggregable, bounded
+    memory per group), i.e. the form that actually runs at 100 TB where
+    `percentile`'s per-group value buffer cannot. accuracy=10000 bounds
+    rank error at n/10000. No value oracle — the sketch layout and merge
+    order are engine-internal — so the driver records a rows-only check;
+    tests/test_sketches.py bounds its error against the exact twin
+    instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "approx_percentile(n_chars, array(0.5e0, 0.9e0, 0.99e0),"
+                " 10000)"
+            ).alias("_p"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.element_at("_p", 1).cast("double").alias("p50"),
+            F.element_at("_p", 2).cast("double").alias("p90"),
+            F.element_at("_p", 3).cast("double").alias("p99"),
+        )
+    )
+
+
 def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V9 — int8 scalar quantization audit: per vector, the quantization
     scale, max reconstruction error, and code summary (no array columns —
@@ -3231,7 +3260,11 @@ def _coverage_rotation_offset(n_queries: int) -> int:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     n_rounds = len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-    stride = 32  # = |registry| - window, so consecutive windows are disjoint
+    # 32 ≈ |registry| - window keeps consecutive windows near-disjoint;
+    # tests/test_registry_rotation.py asserts every query enters the
+    # driver's 50-wide window within a few rounds at the CURRENT registry
+    # size, so the stride need not track the count exactly.
+    stride = 32
     return (stride * n_rounds) % max(n_queries, 1)
 
 
@@ -3494,6 +3527,9 @@ def _base_registry() -> dict[str, QuerySpec]:
         ),
         "source_quantiles": QuerySpec(
             q_source_quantiles, _SOURCE_QUANTILES_ORACLE, ("A9",)
+        ),
+        "source_quantiles_sketch": QuerySpec(
+            q_source_quantiles_sketch, None, ("A9",)
         ),
         "emb_quantize": QuerySpec(
             q_emb_quantize, _EMB_QUANTIZE_ORACLE, ("V9",)

@@ -106,3 +106,32 @@ def test_cms_weighted_build_equals_raw_build(spark):
         for r in cms_build(agg, weight_col="n").collect()
     }
     assert raw == wtd and len(raw) > 0
+
+
+def test_source_quantiles_sketch_tracks_exact(spark, sf_dir):
+    """The approx_percentile (GK summary) scale path must track the exact
+    percentile rollup within the sketch's rank-error bound. accuracy=10⁴
+    bounds rank error at n/10⁴ — far below one rank at test scale, so the
+    approx answer must land between the neighboring exact ranks (checked
+    loosely as a small relative band on the value scale)."""
+    from floatchat_datapipeline_spark.queries import (
+        q_source_quantiles,
+        q_source_quantiles_sketch,
+    )
+
+    exact = {
+        r["source"]: r
+        for r in q_source_quantiles(spark, sf_dir).collect()
+    }
+    approx = {
+        r["source"]: r
+        for r in q_source_quantiles_sketch(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for src, e in exact.items():
+        a = approx[src]
+        assert a["n_docs"] == e["n_docs"]
+        for p in ("p50", "p90", "p99"):
+            # GK returns an actual data value at the bounded rank; exact
+            # interpolates between ranks — allow one interpolation step.
+            assert abs(a[p] - e[p]) <= max(0.02 * e[p], 50.0), (src, p, a[p], e[p])
