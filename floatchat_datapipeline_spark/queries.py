@@ -1471,6 +1471,76 @@ LIMIT 10
 _SEMANTIC_SEARCH_ORACLE = _stub_search_oracle(_SEARCH_QUERY_TEXT)
 
 
+_BATCH_QUERIES = {
+    "warm": "warm tropical surface water temperature",
+    "deep": "deep cold salinity profile measurements",
+    "drift": "float drift trajectory across the basin",
+}
+
+
+def q_semantic_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7/F10 batch form — N queries in ONE corpus scan: the corpus is
+    encoded once, the encoded query set is broadcast, a per-query window
+    ranks top-k. At 100 TB, N queries cost one scan, not N (see
+    embeddings/search.semantic_search_batch). Zero-score docs are
+    excluded on both sides (the oracle's sparse bucket join cannot see
+    them), exactly as in `semantic_search`."""
+    from floatchat_datapipeline_spark.embeddings.search import (
+        semantic_search_batch,
+    )
+    from floatchat_datapipeline_spark.plans.scale import rebalance
+
+    docs = rebalance(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    out = semantic_search_batch(docs, _BATCH_QUERIES, k=10)
+    return out.filter(F.col("score") > 0)
+
+
+def _batch_search_oracle(queries: dict[str, str]) -> str:
+    from floatchat_datapipeline_spark.embeddings.encoder import stub_encoder_sql
+
+    per_q = []
+    for qid, text in queries.items():
+        per_q.append(
+            f"""qtok_{qid} AS (
+  SELECT unnest(string_split('{text}', ' ')) AS tok),
+qb_{qid} AS (
+  SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+         count(*) AS c
+  FROM qtok_{qid} GROUP BY 1),
+qn_{qid} AS (SELECT sqrt(sum(CAST(c * c AS DOUBLE))) AS nrm FROM qb_{qid}),
+qv_{qid} AS (
+  SELECT bucket, CAST(c AS DOUBLE) / (SELECT nrm FROM qn_{qid}) AS w
+  FROM qb_{qid}),
+scores_{qid} AS (
+  SELECT '{qid}' AS query_id, v._id AS doc_id,
+         round(sum(v.w * qv.w), 6) AS score
+  FROM _vec v JOIN qv_{qid} qv USING (bucket)
+  GROUP BY 2)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM scores_{qid}" for qid in queries
+    )
+    return f"""
+WITH {stub_encoder_sql("text", "documents", "doc_id")},
+{', '.join(per_q)},
+allq AS ({unions}),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM allq
+)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10 AND score > 0
+ORDER BY query_id, rank
+"""
+
+
+_SEMANTIC_SEARCH_BATCH_ORACLE = _batch_search_oracle(_BATCH_QUERIES)
+
+
 def q_embedding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V5 — null-out every 13th embedding, repair by re-encoding, report
     per-doc active-bucket counts (proves repaired vectors are real)."""
@@ -3435,6 +3505,11 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_semantic_search,
             _SEMANTIC_SEARCH_ORACLE,
             ("V1", "V2", "V3", "V7", "O3", "O4", "F10"),
+        ),
+        "semantic_search_batch": QuerySpec(
+            q_semantic_search_batch,
+            _SEMANTIC_SEARCH_BATCH_ORACLE,
+            ("V7", "O3", "F10"),
         ),
         "embedding_repair": QuerySpec(
             q_embedding_repair, _EMBEDDING_REPAIR_ORACLE, ("V5",)
