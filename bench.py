@@ -127,6 +127,10 @@ def main() -> None:
             sum(v for n, v in timings.items() if n.endswith("_train")), 3
         ),
         "sf": sf,
+        # Ambient host load when the run started/ended: identical code
+        # measured 66-74 s at load <1 and 96-112 s at load 5-6.5 on this
+        # box, so totals are uninterpretable without it.
+        "load_avg_1m": round(os.getloadavg()[0], 2),
     }
     if errors:
         result["errors"] = errors
