@@ -159,3 +159,56 @@ def rolling_window_agg(
         F.count(F.lit(1)).over(w).alias("n_window"),
         F.sum("_cents").over(w).alias("cents_window"),
     )
+
+
+def distinct_users_rollup(df: DataFrame, approx: bool = False) -> DataFrame:
+    """Daily distinct-user rollup per event_type (reference analog: the
+    dashboard's per-day unique-user counts, fastapi_app.py §stats).
+
+    Exact form: `count(distinct user_id)` — Spark plans it as an Expand
+    + two-phase hash aggregate, so the distinct set shuffles by
+    (day, event_type, user_id); correct at any scale but the per-group
+    distinct state is O(users). `approx=True` swaps in HLL++
+    (`approx_count_distinct`, rsd 1%) — the 100 TB path: a fixed-size
+    mergeable sketch per group, partial-aggregable, no per-user state.
+    tests/test_sketches.py bounds the sketch's relative error against
+    this exact twin."""
+    n_users = (
+        F.approx_count_distinct("user_id", 0.01)
+        if approx
+        else F.countDistinct("user_id")
+    )
+    return df.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        n_users.alias("n_users"),
+    )
+
+
+def retention_cohort(df: DataFrame) -> DataFrame:
+    """Weekly cohort retention: bucket users by first-seen week, then
+    count how many are active k weeks later — the classic retention
+    triangle (one row per cohort_week × week_offset).
+
+    Scale design: raw events collapse FIRST to distinct (user_id, week)
+    activity — the only pass over the full table, a partial-aggregable
+    distinct. First-seen derives from that activity by a groupBy(user_id)
+    min; the activity⋈first join keys on user_id, reusing the
+    aggregation's hash partitioning (no extra shuffle under AQE), and
+    the final (cohort, offset) rollup is tiny regardless of corpus
+    size. After the distinct, (user_id, week) is unique and each user
+    has exactly one cohort, so the per-cell count(*) IS the distinct
+    user count — no second distinct needed."""
+    activity = df.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    first = activity.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            F.to_date("cohort").alias("cohort_week"),
+            (F.datediff(F.to_date("wk"), F.to_date("cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -3310,6 +3310,121 @@ _ANN_PQ_ORACLE = _ann_pq_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Audience analytics — distinct-user rollups, CUBE, cohort retention
+# (reference analog: fastapi_app.py dashboard stats; SURVEY.md §2.7 A6-A8)
+# ---------------------------------------------------------------------------
+
+
+def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sketch-hll exact twin — daily distinct users per event_type via
+    exact count(distinct) (Expand + two-phase hash agg). Doubles as the
+    recall oracle for the HLL sketch twin below."""
+    from floatchat_datapipeline_spark.operators.windows import (
+        distinct_users_rollup,
+    )
+
+    return distinct_users_rollup(load_table(spark, sf_dir, "events")).withColumn(
+        "day", F.col("day").cast("string")
+    )
+
+
+_EVENTS_DISTINCT_USERS_ORACLE = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sketch-hll scale path — the SAME rollup through HLL++
+    (`approx_count_distinct`, rsd 1%): fixed-size mergeable sketch per
+    group, partial-aggregable — the form that runs at 100 TB where the
+    exact distinct's per-group user set cannot. No value oracle (the
+    sketch layout is engine-internal); the driver records a rows-only
+    check and tests/test_sketches.py bounds the error vs the exact
+    twin."""
+    from floatchat_datapipeline_spark.operators.windows import (
+        distinct_users_rollup,
+    )
+
+    return distinct_users_rollup(
+        load_table(spark, sf_dir, "events"), approx=True
+    )
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping-sets — CUBE over (day, event_type): all four
+    granularities (cell, per-day, per-type, grand total) in ONE pass.
+    Spark expands the grouping sets before the shuffle and partial
+    aggregation still applies, so the cube costs one shuffle — not four
+    scans. gid (grouping_id bitmask, same bit convention as DuckDB
+    GROUPING()) disambiguates a real 'ALL' value from the rollup rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    return (
+        ev.cube("day", "event_type")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias(
+                "day"
+            ),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "gid",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_EVENTS_CUBE_ORACLE = """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, value FROM events
+)
+SELECT COALESCE(CAST(day AS VARCHAR), 'ALL') AS day,
+       COALESCE(event_type, 'ALL') AS event_type,
+       CAST(GROUPING(day, event_type) AS INT) AS gid,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM e GROUP BY CUBE (day, event_type)
+"""
+
+
+def q_user_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cohort-retention — weekly first-seen cohorts × week offset with
+    distinct active users per cell (the retention triangle). See
+    operators/windows.retention_cohort for the one-pass-over-raw-data
+    scale design."""
+    from floatchat_datapipeline_spark.operators.windows import (
+        retention_cohort,
+    )
+
+    return retention_cohort(load_table(spark, sf_dir, "events")).withColumn(
+        "cohort_week", F.col("cohort_week").cast("string")
+    )
+
+
+_USER_RETENTION_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+), f AS (
+  SELECT user_id, min(wk) AS cohort FROM a GROUP BY user_id
+)
+SELECT CAST(CAST(f.cohort AS DATE) AS VARCHAR) AS cohort_week,
+       CAST(date_diff('day', CAST(f.cohort AS DATE), CAST(a.wk AS DATE)) // 7
+            AS INT) AS week_offset,
+       count(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3632,5 +3747,21 @@ def _base_registry() -> dict[str, QuerySpec]:
         ),
         "ann_pq_topk": QuerySpec(
             q_ann_pq_topk, _ANN_PQ_ORACLE, ("V10", "ann-ivf")
+        ),
+        "events_distinct_users": QuerySpec(
+            q_events_distinct_users,
+            _EVENTS_DISTINCT_USERS_ORACLE,
+            ("sketch-hll", "A7"),
+        ),
+        "events_distinct_users_sketch": QuerySpec(
+            q_events_distinct_users_sketch, None, ("sketch-hll",)
+        ),
+        "events_cube": QuerySpec(
+            q_events_cube, _EVENTS_CUBE_ORACLE, ("grouping-sets",)
+        ),
+        "user_retention_cohort": QuerySpec(
+            q_user_retention_cohort,
+            _USER_RETENTION_ORACLE,
+            ("cohort-retention",),
         ),
     }

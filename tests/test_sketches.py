@@ -135,3 +135,25 @@ def test_source_quantiles_sketch_tracks_exact(spark, sf_dir):
             # GK returns an actual data value at the bounded rank; exact
             # interpolates between ranks — allow one interpolation step.
             assert abs(a[p] - e[p]) <= max(0.02 * e[p], 50.0), (src, p, a[p], e[p])
+
+
+def test_registry_hll_twin_tracks_exact_twin(spark):
+    """The registry pair events_distinct_users / _sketch must agree per
+    (day, event_type) cell within the sketch's rsd — the driver can only
+    rows-check the sketch form, so this is its value gate."""
+    from floatchat_datapipeline_spark.queries import _base_registry
+
+    reg = _base_registry()
+    exact = {
+        (r["day"], r["event_type"]): r["n_users"]
+        for r in reg["events_distinct_users"].spark(spark, SF_CORRECT).collect()
+    }
+    approx = {
+        (str(r["day"]), r["event_type"]): r["n_users"]
+        for r in reg["events_distinct_users_sketch"]
+        .spark(spark, SF_CORRECT)
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for key, ex in exact.items():
+        assert abs(approx[key] - ex) / max(ex, 1) <= 0.05, (key, ex, approx[key])
