@@ -92,20 +92,42 @@ def _minhash_wide(
 ) -> DataFrame:
     """Wide signature: one row per doc with columns h0..h{n-1}.
 
-    Plan shape: explode shingles → one md5 → ONE groupBy(doc) computing
-    all n mins as wide aggregates (map-side partial, shuffle is n values
-    per doc). No per-seed row fan-out, one shuffle total.
+    Plan shape: MAP-ONLY. The shingle set and its per-shingle base
+    hashes are array expressions; each h_s is an array_min over an
+    affine remap of the shared `_bases` array (higher-order transform,
+    evaluated inside whole-stage codegen). No explode, no aggregate, no
+    shuffle beyond the input rebalance — the signature is computed
+    where the text already sits, which at 100 TB removes the former
+    per-doc partial-state exchange entirely. The `_bases` projection is
+    referenced n times, so CollapseProject keeps it materialized per
+    row: ONE md5 per shingle, n cheap affine traversals.
+
+    Docs with an empty shingle set (< 3 words) are dropped, matching
+    the previous explode semantics (explode emits no row for an empty
+    array).
     """
-    base = md5_long(F.col("tok")) % F.lit(MINHASH_P)
-    toks = rebalance(df.select(id_col, text_col)).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, 3))).alias("tok"),
+    shingles = F.array_distinct(word_shingles(text_col, 3))
+    with_bases = (
+        rebalance(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.transform(
+                shingles, lambda t: md5_long(t) % F.lit(MINHASH_P)
+            ).alias("_bases"),
+        )
+        .filter(F.size("_bases") > 0)
     )
-    return toks.select(F.col(id_col), base.alias("b")).groupBy(id_col).agg(
-        *[
-            F.min(_affine(F.col("b"), s)).alias(f"h{s}")
-            for s in range(n_hashes)
-        ]
+    def h(s: int):
+        # NOTE: the lambda must take exactly ONE parameter — transform
+        # passes a second argument as the ARRAY INDEX, which would shadow
+        # the seed. transform() invokes the lambda synchronously, so
+        # closing over the loop variable is safe.
+        return F.array_min(
+            F.transform("_bases", lambda b: _affine(b, s))
+        ).alias(f"h{s}")
+
+    return with_bases.select(
+        F.col(id_col), *[h(s) for s in range(n_hashes)]
     )
 
 
