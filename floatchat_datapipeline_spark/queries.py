@@ -3751,17 +3751,17 @@ def _base_registry() -> dict[str, QuerySpec]:
         "events_distinct_users": QuerySpec(
             q_events_distinct_users,
             _EVENTS_DISTINCT_USERS_ORACLE,
-            ("sketch-hll", "A7"),
+            ("A11", "sketch-hll", "A7"),
         ),
         "events_distinct_users_sketch": QuerySpec(
-            q_events_distinct_users_sketch, None, ("sketch-hll",)
+            q_events_distinct_users_sketch, None, ("A11", "sketch-hll")
         ),
         "events_cube": QuerySpec(
-            q_events_cube, _EVENTS_CUBE_ORACLE, ("grouping-sets",)
+            q_events_cube, _EVENTS_CUBE_ORACLE, ("A12", "grouping-sets")
         ),
         "user_retention_cohort": QuerySpec(
             q_user_retention_cohort,
             _USER_RETENTION_ORACLE,
-            ("cohort-retention",),
+            ("A13", "cohort-retention"),
         ),
     }
