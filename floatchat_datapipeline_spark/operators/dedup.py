@@ -229,31 +229,44 @@ def simhash(
 ) -> DataFrame:
     """SimHash per doc: sign of the per-bit sum of token-hash bits
     (frequency-weighted by token multiplicity). Output (doc_id, simhash
-    BIGINT). Bit extraction uses div/mod arithmetic (not shift-by-column,
-    which Spark's shiftright doesn't support) — mirrored in the oracle.
-    """
-    toks = (
+    BIGINT).
+
+    Plan shape: MAP-ONLY, like `_minhash_wide`. One aggregate() fold
+    over the token-hash array carries a 48-long bit-sum accumulator
+    (zip_with against a literal powers-of-two array; bit test is
+    bitwiseAND — exact on the 60-bit positive hashes, equivalent to the
+    oracle's `(h div 2^b) % 2`), then one zip_with+fold turns the sign
+    vector into the fingerprint. No explode, no groupBy, no shuffle —
+    the former shape shuffled a 48-column partial-state row per doc.
+    Docs with no tokens are dropped (explode parity)."""
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
+    zero = F.array_repeat(F.lit(0).cast("long"), n_bits)
+    hashes = F.transform(tokens(text_col), lambda t: md5_long(t))
+    bit_sums = F.aggregate(
+        F.col("_hashes"),
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda a, p: a
+            + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            F.col("_sums"),
+            powers,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
         rebalance(df.select(id_col, text_col))
-        .select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-        .select(id_col, md5_long(F.col("tok")).alias("h"))
-    )
-    # One groupBy(doc) with n_bits wide sum aggregates — no per-bit row
-    # fan-out (the naive broadcast-join form multiplies the token stream
-    # by 48 before its first aggregate). Integer `div`, not double
-    # division: 60-bit hashes exceed 2^53 and doubles would corrupt the
-    # low bits.
-    per_doc = toks.groupBy(id_col).agg(
-        *[
-            F.sum(F.expr(f"((h div {1 << b}) % 2) * 2 - 1")).alias(f"s{b}")
-            for b in range(n_bits)
-        ]
-    )
-    simhash_col = None
-    for b in range(n_bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        simhash_col = term if simhash_col is None else simhash_col + term
-    return per_doc.select(
-        F.col(id_col), simhash_col.cast("bigint").alias("simhash")
+        .select(F.col(id_col), hashes.alias("_hashes"))
+        .filter(F.size("_hashes") > 0)
+        .select(F.col(id_col), bit_sums.alias("_sums"))
+        .select(F.col(id_col), fingerprint.cast("bigint").alias("simhash"))
     )
 
 
