@@ -20,11 +20,9 @@ Scale design:
   `broadcast_eval=False` the same plan degrades to a shuffle join for
   pathologically large holdouts. Shingles travel as 60-bit hashes
   (8 B), never strings.
-- repetition: one explode of (doc, gram) for both gram sizes in the
-  same pass, partial-aggregated count, then a per-doc max/sum — two
-  hash aggregations on (doc_id, n, gram) then (doc_id, n); no joins at
-  gram cardinality, no windows. Skew-safe: the hot key space is
-  (doc_id × gram), which is as fine-grained as the data itself.
+- repetition: map-only — the top-gram mass is a run-length fold over
+  the sorted per-doc gram array (no explode, no shuffle, no windows);
+  per-doc cost O(tokens log tokens), cluster cost exactly one scan.
 """
 
 from __future__ import annotations
@@ -91,59 +89,64 @@ def repetition_stats(
     bigram. Output: (id_col, n_tokens, top_word_frac, top_bigram_frac,
     is_repetitive) — fractions rounded to 6, flag true when either
     exceeds its threshold (compared on the ROUNDED value, so the oracle
-    agrees at the boundary)."""
-    grams = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(1).alias("n"),
-                    word_shingles(text_col, 1).alias("grams"),
-                ),
-                F.struct(
-                    F.lit(2).alias("n"),
-                    word_shingles(text_col, 2).alias("grams"),
-                ),
+    agrees at the boundary).
+
+    Plan shape: MAP-ONLY. The top-gram count is a run-length fold over
+    the SORTED gram array (`aggregate()` carrying (prev, run, best)),
+    so the mode frequency never leaves the row — the former shape
+    shuffled (doc, n, gram) count state through three chained hash
+    aggregations. Per-doc cost is O(tokens log tokens) for the sort;
+    shuffle cost is zero."""
+
+    def _mode_count(arr):
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+
+        def step(acc, x):
+            run = (
+                F.when(x == acc["prev"], acc["run"] + F.lit(1))
+                .otherwise(F.lit(1))
+                .cast("long")
             )
-        ).alias("g"),
-    ).select(
-        id_col, F.col("g.n").alias("_n"), F.explode("g.grams").alias("_gram")
-    )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(F.sort_array(arr), zero, step, lambda a: a["best"])
+
     per_doc = (
-        grams.groupBy(id_col, "_n", "_gram")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .groupBy(id_col, "_n")
-        .agg(
-            F.max("_cnt").alias("_top"),
-            F.sum("_cnt").alias("_total"),
+        docs.select(
+            F.col(id_col),
+            word_shingles(text_col, 1).alias("_w"),
+            word_shingles(text_col, 2).alias("_b"),
         )
-        .groupBy(id_col)
-        .agg(
-            F.max(F.when(F.col("_n") == 1, F.col("_total"))).alias("_toks"),
-            F.round(
-                F.max(
-                    F.when(F.col("_n") == 1, F.col("_top") / F.col("_total"))
-                ),
-                6,
-            ).alias("top_word_frac"),
-            F.round(
-                F.max(
-                    F.when(F.col("_n") == 2, F.col("_top") / F.col("_total"))
-                ),
-                6,
-            ).alias("top_bigram_frac"),
+        # zero-token docs emitted no exploded rows in the old shape —
+        # keep them absent
+        .filter(F.size("_w") > 0)
+        .select(
+            F.col(id_col),
+            F.size("_w").cast("long").alias("_toks"),
+            _mode_count(F.col("_w")).alias("_top_w"),
+            F.size("_b").cast("long").alias("_nb"),
+            _mode_count(F.col("_b")).alias("_top_b"),
         )
     )
+    top_word = F.round(F.col("_top_w") / F.col("_toks"), 6)
+    # single-word docs have no bigrams — 0.0, not NULL (old: no bigram row)
+    top_bigram = F.when(
+        F.col("_nb") > 0, F.round(F.col("_top_b") / F.col("_nb"), 6)
+    ).otherwise(F.lit(0.0))
     return per_doc.select(
         id_col,
-        F.col("_toks").cast("long").alias("n_tokens"),
-        "top_word_frac",
-        # single-word docs have no bigram row — 0.0, not NULL
-        F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias(
-            "top_bigram_frac"
+        F.col("_toks").alias("n_tokens"),
+        top_word.alias("top_word_frac"),
+        top_bigram.alias("top_bigram_frac"),
+        ((top_word > top_word_max) | (top_bigram > top_bigram_max)).alias(
+            "is_repetitive"
         ),
-        (
-            (F.col("top_word_frac") > top_word_max)
-            | (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) > top_bigram_max)
-        ).alias("is_repetitive"),
     )
