@@ -23,6 +23,15 @@ Scale design:
 - repetition: map-only — the top-gram mass is a run-length fold over
   the sorted per-doc gram array (no explode, no shuffle, no windows);
   per-doc cost O(tokens log tokens), cluster cost exactly one scan.
+- bloom decontaminate: the SCALE path for holdouts too big to ship as
+  an exact hash set. The filter is m bits regardless of holdout size
+  (vs 8 B per distinct shingle for the semi-join set), the build is one
+  bounded aggregation (≤ m/64 packed words collected — model state
+  sized by a hyperparameter, never by data), and the probe is MAP-ONLY:
+  zero joins, zero shuffles on the 100 TB train side. The trade is
+  one-sided error — no false negatives (bloom flags ⊇ exact flags,
+  pinned in tests/test_bloom_decontam.py), a bounded false-positive
+  rate from filter saturation.
 """
 
 from __future__ import annotations
@@ -74,6 +83,91 @@ def ngram_decontaminate(
         id_col,
         F.coalesce(F.col("_n_shared"), F.lit(0)).cast("long").alias("n_shared"),
         F.col("_n_shared").isNotNull().alias("contaminated"),
+    )
+
+
+BLOOM_BITS = 1 << 16  # 65,536 bits = 1,024 packed longs (~8 KB broadcast)
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(s, k: int = BLOOM_HASHES, m: int = BLOOM_BITS) -> list:
+    """k bit positions for shingle `s` via Kirsch–Mitzenmacher double
+    hashing: pos_i = (h1 + i*h2) mod m. Both base hashes are the 60-bit
+    md5 long every cross-engine operator here uses, so the DuckDB oracle
+    replays the EXACT filter — bloom membership is deterministic, not a
+    tolerance check. i*h2 ≤ 3·2^60 < 2^62, so the sum never overflows
+    a bigint even under ANSI mode."""
+    h1 = md5_long(s)
+    h2 = md5_long(F.concat(F.lit("bloom:"), s))
+    return [(h1 + F.lit(i) * h2) % F.lit(m) for i in range(k)]
+
+
+def bloom_build(
+    holdout: DataFrame,
+    n: int = DECONTAM_NGRAM,
+    text_col: str = "text",
+) -> list[int]:
+    """Build the packed bloom filter (m/64 longs) over the holdout's
+    distinct word n-grams. One explode + two distincts + one bounded
+    aggregation; the collect is ≤ BLOOM_BITS/64 rows — fixed-size model
+    state like k-means centroids, independent of holdout row count."""
+    pos = (
+        holdout.select(F.explode(word_shingles(text_col, n)).alias("_s"))
+        .distinct()
+        .select(F.explode(F.array(*_bloom_positions(F.col("_s")))).alias("p"))
+        .distinct()
+    )
+    rows = (
+        pos.groupBy(F.expr("CAST(p div 64 AS INT)").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").alias("bits"))
+        .collect()
+    )
+    words = [0] * (BLOOM_BITS // 64)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    bloom_words: list[int],
+    n: int = DECONTAM_NGRAM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe-side of bloom decontamination: flag training docs with any
+    n-gram whose k filter bits are ALL set. Same output shape as
+    `ngram_decontaminate` — (id_col, n_flagged, contaminated), n_flagged
+    counting DISTINCT flagged n-grams.
+
+    Plan shape: MAP-ONLY. The filter rides along as one 1,024-element
+    long-array literal; each distinct per-doc shingle evaluates k
+    element_at + bit_get tests inside an array `filter` lambda — no
+    explode, no join, no shuffle anywhere on the train side (pinned in
+    tests/test_bloom_decontam.py)."""
+    blit = F.lit(bloom_words)
+
+    def is_hit(s):
+        cond = None
+        for p in _bloom_positions(s):
+            widx = (p - (p % F.lit(64))) / F.lit(64)
+            t = (
+                F.bit_get(
+                    F.element_at(blit, widx.cast("int") + F.lit(1)),
+                    (p % F.lit(64)).cast("int"),
+                )
+                == F.lit(1)
+            )
+            cond = t if cond is None else cond & t
+        return cond
+
+    arr = F.array_distinct(word_shingles(text_col, n))
+    out = train.select(
+        F.col(id_col),
+        F.size(F.filter(arr, is_hit)).cast("long").alias("n_flagged"),
+    )
+    return out.select(
+        id_col, "n_flagged", (F.col("n_flagged") > 0).alias("contaminated")
     )
 
 

@@ -1,0 +1,69 @@
+"""Unigram language-model scoring — corpus-frequency log-probabilities
+as a document quality signal.
+
+The KenLM-perplexity filter every LLM data pipeline runs (CCNet,
+Wenzek et al. 2020) reduced to its distributable core: train a unigram
+LM over the corpus itself (token → count, add-one smoothed), then score
+each document by its mean token log-probability. Low scores surface
+gibberish, boilerplate, and wrong-language docs that per-doc heuristics
+(functions/textstats.quality_score) miss because they never see corpus
+frequencies. Reference analog: none — the reference pipeline
+(preprocess.py) has no corpus-level text statistics; parity-plus
+alongside the L-family corpus operators.
+
+Scale design: the vocab is one hash aggregation (token cardinality ≪
+corpus cardinality — Heaps' law); the score pass joins tokens to vocab
+on the token key — broadcast while the vocab fits (default), a plain
+co-partitioned shuffle-hash join beyond that. The (N, |V|) normalizer
+is a 1-row aggregate crossed in via broadcast. Everything else is
+map-side; no driver-side state at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from floatchat_datapipeline_spark.functions.textstats import tokens
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    add-one-smoothed unigram LM: p(t) = (c(t)+1)/(N+|V|).
+
+    Output: (id_col, n_tokens, sum_logprob, avg_logprob) — the sum is
+    rounded to 4 places BEFORE the division (cross-engine quotient
+    parity; see the hourly_rollup note in operators/windows.py)."""
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    stats = vocab.agg(F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_v"))
+    v = F.broadcast(vocab) if broadcast_vocab else vocab
+    lp = (
+        toks.join(v, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            F.log(
+                (F.col("_c") + F.lit(1)).cast("double")
+                / (F.col("_n") + F.col("_v")).cast("double")
+            ).alias("_lp"),
+        )
+    )
+    return (
+        lp.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("_lp"), 4).alias("sum_logprob"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_logprob",
+            (F.col("sum_logprob") / F.col("n_tokens")).alias("avg_logprob"),
+        )
+    )

@@ -2570,8 +2570,10 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DOC_DUP_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE {_MINHASH_SIG_SQL},
+# Shared recursive-CTE replay of LSH pairs → connected components
+# (consumed by the dup-clusters oracle and the leakage-safe split
+# oracle; must follow a WITH RECURSIVE).
+_DUP_COMPONENTS_SQL = f"""{_MINHASH_SIG_SQL},
 keys AS (
   SELECT doc_id, CAST(seed // 4 AS INT) AS band,
          md5(string_agg(CAST(minhash AS STRING), ',' ORDER BY seed)) AS band_key
@@ -2591,9 +2593,15 @@ reach(node, lab) AS (
   SELECT src, src FROM und
   UNION
   SELECT u.dst, r.lab FROM reach r JOIN und u ON u.src = r.node
-)
-SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
-FROM reach GROUP BY node
+),
+comp AS (
+  SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
+  FROM reach GROUP BY node
+)"""
+
+_DOC_DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_DUP_COMPONENTS_SQL}
+SELECT doc_id, component FROM comp
 """
 
 _SEMDEDUP_THRESHOLD = 0.35
@@ -2691,6 +2699,143 @@ SELECT d.doc_id, CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
        n_shared IS NOT NULL AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
 LEFT JOIN hits USING (doc_id)
+"""
+
+
+def q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 scale path — bloom-filter decontamination: same train/holdout
+    split as `doc_decontaminate`, but the holdout shingle set is packed
+    into a 65,536-bit bloom filter (m/64 = 1,024 longs) and the train
+    side is probed MAP-ONLY — no join, no shuffle at all on the 100 TB
+    side. Double hashing uses the cross-engine md5 long, so the oracle
+    replays the exact filter bit-for-bit (false positives included)."""
+    from floatchat_datapipeline_spark.operators.decontam import (
+        bloom_build,
+        bloom_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = bloom_build(docs.filter(F.col("doc_id") % 20 == 0))
+    return bloom_decontaminate(docs.filter(F.col("doc_id") % 20 != 0), words)
+
+
+# Deterministic replay of the bloom filter: same md5 double-hash, same
+# m=65536/k=4, so flags match Spark's bit-for-bit (FPs included).
+_BLOOM_H1 = _MD5_LONG_SQL.format(x="s")
+_BLOOM_H2 = _MD5_LONG_SQL.format(x="'bloom:' || s")
+
+_DOC_BLOOM_DECONTAMINATE_ORACLE = f"""
+WITH ev AS (
+  SELECT DISTINCT s
+  FROM (SELECT unnest({_SHINGLES_5_SQL}) AS s
+        FROM (SELECT string_split(text, ' ') t FROM documents
+              WHERE doc_id % 20 = 0))
+), ks AS (SELECT unnest(generate_series(0, 3)) AS i),
+bits AS (
+  SELECT DISTINCT (h1 + i * h2) % 65536 AS pos
+  FROM (SELECT {_BLOOM_H1} AS h1, {_BLOOM_H2} AS h2 FROM ev), ks
+), tr AS (
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id, unnest({_SHINGLES_5_SQL}) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') t FROM documents
+              WHERE doc_id % 20 <> 0))
+), probe AS (
+  SELECT doc_id, s, (h1 + i * h2) % 65536 AS pos
+  FROM (SELECT doc_id, s, {_BLOOM_H1} AS h1, {_BLOOM_H2} AS h2 FROM tr), ks
+), flagged AS (
+  SELECT doc_id, s
+  FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+  GROUP BY doc_id, s
+  HAVING bool_and(b.pos IS NOT NULL)
+), hits AS (
+  SELECT doc_id, count(*) AS n_flagged FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(h.n_flagged, 0) AS BIGINT) AS n_flagged,
+       h.n_flagged IS NOT NULL AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score (CCNet-style perplexity filter reduced to
+    its distributable core): train an add-one-smoothed unigram LM over
+    the corpus, score each doc by mean token log-probability. Vocab is
+    one hash agg; the score join broadcasts it while small."""
+    from floatchat_datapipeline_spark.operators.langmodel import (
+        unigram_logprob,
+    )
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+_DOC_UNIGRAM_LOGPROB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), v AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), s AS (
+  SELECT sum(c) AS n, count(*) AS vsz FROM v
+), lp AS (
+  SELECT doc_id,
+         ln(CAST(c + 1 AS DOUBLE) / CAST(n + vsz AS DOUBLE)) AS l
+  FROM toks JOIN v USING (tok), s
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(l), 4) AS sum_logprob,
+       round(sum(l), 4) / count(*) AS avg_logprob
+FROM lp GROUP BY doc_id
+"""
+
+
+def q_doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: the L1 hash split upgraded to
+    DUP-CLUSTER granularity — membership hashes the connected-component
+    id (D5 closure over LSH candidate pairs), so near-duplicate docs can
+    never straddle train/test (the eval-leakage mode a row-hash split
+    cannot prevent; singleton docs hash their own id). Pinned invariant:
+    one split per component (tests/test_leakage_split.py)."""
+    from floatchat_datapipeline_spark.operators.clusters import (
+        connected_components,
+    )
+    from floatchat_datapipeline_spark.operators.dedup import minhash_lsh_pairs
+    from floatchat_datapipeline_spark.operators.sampling import (
+        train_test_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(minhash_lsh_pairs(docs, spark)).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+    return train_test_split(labeled, id_col="component", salt="groupsplit:")
+
+
+_GROUPSPLIT_HASH = _MD5_LONG_SQL.format(
+    x="'groupsplit:' || CAST(component AS VARCHAR)"
+)
+
+_DOC_LEAKAGE_SPLIT_ORACLE = f"""
+WITH RECURSIVE {_DUP_COMPONENTS_SQL},
+lab AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, component,
+  CAST({_GROUPSPLIT_HASH} % 100 AS INT) AS bucket,
+  CASE
+    WHEN {_GROUPSPLIT_HASH} % 100 < 80 THEN 'train'
+    WHEN {_GROUPSPLIT_HASH} % 100 < 90 THEN 'valid'
+    ELSE 'test'
+  END AS split
+FROM lab
 """
 
 
@@ -3033,20 +3178,13 @@ def q_doc_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DOC_DEDUP_APPLY_ORACLE = (
-    _DOC_DUP_CLUSTERS_ORACLE[
-        : _DOC_DUP_CLUSTERS_ORACLE.rindex("SELECT node")
-    ]
-    + """, comp AS (
-  SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
-  FROM reach GROUP BY node
-)
+_DOC_DEDUP_APPLY_ORACLE = f"""
+WITH RECURSIVE {_DUP_COMPONENTS_SQL}
 SELECT d.doc_id,
   CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
   (c.component IS NULL OR c.component = d.doc_id) AS is_kept
 FROM documents d LEFT JOIN comp c USING (doc_id)
 """
-)
 
 
 def q_doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3763,5 +3901,20 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_user_retention_cohort,
             _USER_RETENTION_ORACLE,
             ("A13", "cohort-retention"),
+        ),
+        "doc_bloom_decontaminate": QuerySpec(
+            q_doc_bloom_decontaminate,
+            _DOC_BLOOM_DECONTAMINATE_ORACLE,
+            ("L10", "L6", "sketch-bloom"),
+        ),
+        "doc_unigram_logprob": QuerySpec(
+            q_doc_unigram_logprob,
+            _DOC_UNIGRAM_LOGPROB_ORACLE,
+            ("L11", "text-quality", "lang-model"),
+        ),
+        "doc_leakage_safe_split": QuerySpec(
+            q_doc_leakage_safe_split,
+            _DOC_LEAKAGE_SPLIT_ORACLE,
+            ("L12", "L1", "D5", "leakage-safe-split"),
         ),
     }
