@@ -85,25 +85,28 @@ def connected_components(
     set reaches a fixpoint, detected by a (count, hash-sum) checksum
     aggregate per round (driver-side control flow over per-round
     DataFrame jobs, the same pattern as k-means training)."""
-    # Canonical orientation (u > v), self-loops dropped; node set kept
-    # aside so self-loop-only / isolated-in-input nodes still get a row.
-    # Checkpoint ONCE so rounds never replay the (possibly expensive)
-    # pair-generation lineage that produced the edges.
-    nodes = (
-        edges.select(F.col(src_col).alias("node"))
-        .unionByName(edges.select(F.col(dst_col).alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    e = (
+    # Canonicalize (u >= v, self-loops KEPT) and checkpoint ONCE: the
+    # (possibly expensive) pair-generation lineage that produced the
+    # edges runs exactly one time, and both the working edge set and the
+    # node roster derive from the checkpointed frame. (Deriving them
+    # independently — the previous shape — executed the LSH/candidate
+    # lineage twice, once per eager checkpoint.) Self-loops survive into
+    # e0 so self-loop-only nodes still get a roster row, then drop from
+    # the working set.
+    e0 = (
         edges.select(
             F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
             F.least(F.col(src_col), F.col(dst_col)).alias("v"),
         )
-        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    nodes = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    e = e0.filter(F.col("u") != F.col("v"))
 
     def checksum(df: DataFrame) -> tuple:
         # bit_xor, not sum: ANSI mode overflows summing 2^63-range hashes

@@ -67,3 +67,34 @@ def unigram_logprob(
             (F.col("sum_logprob") / F.col("n_tokens")).alias("avg_logprob"),
         )
     )
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    cut_quantile: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus quality gate: drop the lowest-scoring `cut_quantile` tail
+    of the unigram-LM distribution (the CCNet recipe — score with a LM,
+    keep the head/middle of the perplexity distribution). The threshold
+    is the EXACT R-7 percentile of avg_logprob (bit-identical to DuckDB
+    quantile_cont, same rule as the A9 quantile family); at 100 TB the
+    same plan swaps in approx_percentile exactly as A9 does.
+
+    Output: (id_col, n_tokens, avg_logprob, kept) for every scored doc;
+    kept ⇔ avg_logprob >= threshold. The threshold is a 1-row aggregate
+    crossed in via broadcast — the scored frame is evaluated twice (once
+    for the percentile, once for the comparison); a production run
+    persists the scored frame first, exactly like the warm ANN indexes
+    (embeddings/search.py) persist their assignment tables."""
+    scored = unigram_logprob(docs, text_col=text_col, id_col=id_col)
+    thr = scored.agg(
+        F.expr(f"percentile(avg_logprob, {cut_quantile}e0)").alias("_thr")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        id_col,
+        "n_tokens",
+        "avg_logprob",
+        (F.col("avg_logprob") >= F.col("_thr")).alias("kept"),
+    )

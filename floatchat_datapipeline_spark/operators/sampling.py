@@ -93,6 +93,53 @@ def stratified_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "temp:",
+) -> DataFrame:
+    """Temperature-based multilingual rebalancing (the exponential-
+    smoothing resample of mBERT/XLM-R, Conneau et al. 2020 §3.1,
+    reduced to a deterministic downsample): stratum keep-fraction
+    (n_min/n_l)^(1-α) — α=1 keeps everything, α=0 equalizes strata to
+    the smallest, α=0.5 (default) is the sqrt compromise. sqrt is
+    IEEE-correctly-rounded in every engine, so the default's
+    keep-fractions replay bit-identically in the DuckDB oracle (a
+    general pow may differ in the last ulp between libms).
+
+    Output: every input row as (id_col, stratum, keep_frac, kept) —
+    kept ⇔ hash(salt+id) mod 10^6 < keep_frac·10^6, so membership is
+    content-addressed and stable under corpus growth within a stratum
+    mix. One tiny per-stratum count agg broadcasts back; the decision
+    itself is map-only."""
+    if alpha != 0.5:
+        raise NotImplementedError(
+            "only alpha=0.5 (sqrt) has cross-engine bit parity; "
+            "other temperatures need a pow-tolerance oracle"
+        )
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        stratum_col,
+        F.round(
+            F.sqrt(F.col("_nmin").cast("double") / F.col("_n")), 6
+        ).alias("keep_frac"),
+    )
+    b = md5_long(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    ) % F.lit(1_000_000)
+    return df.join(F.broadcast(rates), stratum_col).select(
+        id_col,
+        F.col(stratum_col).alias("stratum"),
+        "keep_frac",
+        (b.cast("double") < F.col("keep_frac") * F.lit(1_000_000.0)).alias(
+            "kept"
+        ),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget_tokens: int = 2048,

@@ -2788,6 +2788,69 @@ FROM lp GROUP BY doc_id
 """
 
 
+def q_corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual rebalancing (Conneau et al. 2020
+    §3.1 as a deterministic downsample): per-lang keep-fraction
+    (n_min/n_lang)^0.5, membership by content hash. α=0.5 so the power
+    is an IEEE sqrt — bit-identical across engines."""
+    from floatchat_datapipeline_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    return temperature_sample(load_table(spark, sf_dir, "documents"))
+
+
+_CORPUS_TEMPERATURE_ORACLE = f"""
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), m AS (
+  SELECT min(n) AS nmin FROM c
+), r AS (
+  SELECT lang, round(sqrt(CAST(nmin AS DOUBLE) / n), 6) AS keep_frac
+  FROM c, m
+)
+SELECT doc_id, lang AS stratum, keep_frac,
+  CAST({_MD5_LONG_SQL.format(x="'temp:' || CAST(doc_id AS VARCHAR)")}
+       % 1000000 AS DOUBLE) < keep_frac * 1000000e0 AS kept
+FROM documents JOIN r USING (lang)
+"""
+
+
+def q_corpus_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality gate: score every doc with the corpus unigram
+    LM, drop the lowest-decile tail. The cut threshold is the exact R-7
+    percentile (bit-identical to DuckDB quantile_cont, same rule as A9);
+    at 100 TB the same plan swaps in approx_percentile."""
+    from floatchat_datapipeline_spark.operators.langmodel import (
+        perplexity_filter,
+    )
+
+    return perplexity_filter(load_table(spark, sf_dir, "documents"))
+
+
+_CORPUS_PERPLEXITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), v AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), s AS (
+  SELECT sum(c) AS n, count(*) AS vsz FROM v
+), lp AS (
+  SELECT doc_id,
+         ln(CAST(c + 1 AS DOUBLE) / CAST(n + vsz AS DOUBLE)) AS l
+  FROM toks JOIN v USING (tok), s
+), scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(sum(l), 4) / count(*) AS avg_logprob
+  FROM lp GROUP BY doc_id
+), thr AS (
+  SELECT quantile_cont(avg_logprob, 0.1e0) AS t FROM scored
+)
+SELECT doc_id, n_tokens, avg_logprob, avg_logprob >= t AS kept
+FROM scored, thr
+"""
+
+
 def q_doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/test split: the L1 hash split upgraded to
     DUP-CLUSTER granularity — membership hashes the connected-component
@@ -3916,5 +3979,15 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_doc_leakage_safe_split,
             _DOC_LEAKAGE_SPLIT_ORACLE,
             ("L12", "L1", "D5", "leakage-safe-split"),
+        ),
+        "corpus_temperature_sample": QuerySpec(
+            q_corpus_temperature_sample,
+            _CORPUS_TEMPERATURE_ORACLE,
+            ("L13", "L2", "temperature-sampling"),
+        ),
+        "corpus_perplexity_filter": QuerySpec(
+            q_corpus_perplexity_filter,
+            _CORPUS_PERPLEXITY_ORACLE,
+            ("L14", "L11", "A9", "text-quality"),
         ),
     }

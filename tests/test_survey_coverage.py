@@ -41,7 +41,7 @@ SURVEY_IDS = [
     # §2.14 parity-plus: time-series joins, corpus prep, dup-group closure
     "TS1", "TS2", "TS3", "TS4", "TS5",
     "L1", "L2", "L3", "L4", "L5", "L6", "L7", "L8", "L9", "L10", "L11",
-    "L12",
+    "L12", "L13", "L14",
     "D5", "V8", "A9", "A10", "A11", "A12", "A13", "V9", "V10", "Z1",
 ]
 
