@@ -2448,18 +2448,17 @@ FROM a
 _BM25_TERMS = ("hash", "join", "scan")
 
 
-def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5 — BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query
-    over the documents table: per-term tf as a map-side array expression,
-    corpus stats (N, avgdl, df) as ONE global aggregate broadcast back,
-    score as a pure column formula in fixed term order. Top-10.
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """Every doc's BM25 (k1=1.2, b=0.75) for the fixed `_BM25_TERMS`
+    query: per-term tf as a map-side array expression, corpus stats
+    (N, avgdl, df) as ONE global aggregate broadcast back, score as a
+    pure column formula in fixed term order. Shared by `doc_bm25`
+    (top-10) and `doc_hybrid_rrf` (lexical leg).
 
     Parity: idf is rounded to 7dp (ln may differ in the last ulp across
     engines), each term's score to 6dp, the sum to 6dp — both sides
     compute the identical expression tree."""
     from floatchat_datapipeline_spark.functions import textstats as T
-
-    docs = load_table(spark, sf_dir, "documents")
 
     def tf(word: str):
         # NB: a two-parameter lambda in F.filter means (element, index) —
@@ -2504,14 +2503,22 @@ def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = term_score(_BM25_TERMS[0])
     for w in _BM25_TERMS[1:]:
         score = score + term_score(w)
+    return j.select("doc_id", F.round(score, 6).alias("bm25"))
+
+
+def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 — BM25 retrieval scoring for the fixed query; top-10
+    (see `_bm25_scored` for the plan and parity notes)."""
     return (
-        j.select("doc_id", F.round(score, 6).alias("bm25"))
+        _bm25_scored(load_table(spark, sf_dir, "documents"))
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )
 
 
-def _bm25_oracle() -> str:
+def _bm25_scored_sql() -> str:
+    """DuckDB CTE chain ending in `lexall(doc_id, bm25)` — the oracle
+    twin of `_bm25_scored` (shared by the bm25 and hybrid-RRF oracles)."""
     tf_cols = ",\n    ".join(
         f"CAST(len(list_filter(string_split(text, ' '), t -> t = '{w}'))"
         f" AS DOUBLE) AS tf_{w}"
@@ -2528,8 +2535,7 @@ def _bm25_oracle() -> str:
         f" / (tf_{w} + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n))), 6)"
         for w in _BM25_TERMS
     )
-    return f"""
-WITH d AS (
+    return f"""d AS (
   SELECT doc_id,
     CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS dl,
     {tf_cols}
@@ -2538,15 +2544,131 @@ WITH d AS (
   SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sum_dl,
     {df_cols}
   FROM d
-)
-SELECT doc_id, round({terms}, 6) AS bm25
-FROM d, s
+), lexall AS (
+  SELECT doc_id, round({terms}, 6) AS bm25 FROM d, s
+)"""
+
+
+_DOC_BM25_ORACLE = f"""
+WITH {_bm25_scored_sql()}
+SELECT doc_id, bm25 FROM lexall
 ORDER BY bm25 DESC, doc_id
 LIMIT 10
 """
 
 
-_DOC_BM25_ORACLE = _bm25_oracle()
+_RRF_K = 60
+_RRF_DEPTH = 50
+
+
+def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — reciprocal-rank fusion of the BM25 lexical leg
+    (L5) and the stub-encoder cosine leg (O3/V7) for the same query
+    intent: rrf = Σ 1/(60 + rank) over the lists a doc appears in
+    (Cormack et al. 2009), top-10 fused.
+
+    Scale shape: each leg ends in a TakeOrderedAndProject top-50 — the
+    global candidate set is ALWAYS ≤ 2·depth rows regardless of corpus
+    size, so the rank windows and the full-outer fuse join run on a
+    driver-trivial frame; the corpus is scanned once per leg. 1/(60+r)
+    is an exact double quotient of small ints — bit-identical across
+    engines, no rounding needed."""
+    from pyspark.sql import Window
+
+    from floatchat_datapipeline_spark.embeddings.search import semantic_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = (
+        _bm25_scored(docs)
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn(
+            "r_lex",
+            F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")),
+        )
+    )
+    vec = (
+        semantic_search(
+            docs.select("doc_id", "text"),
+            " ".join(_BM25_TERMS),
+            k=_RRF_DEPTH,
+        )
+        .filter(F.col("score") > 0)
+        .withColumn(
+            "r_vec",
+            F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")),
+        )
+    )
+    one = F.lit(1.0)
+    zero = F.lit(0.0)
+    return (
+        lex.select("doc_id", "r_lex")
+        .join(vec.select("doc_id", "r_vec"), "doc_id", "full")
+        .select(
+            "doc_id",
+            F.col("r_lex").cast("int").alias("r_lex"),
+            F.col("r_vec").cast("int").alias("r_vec"),
+            (
+                F.coalesce(one / (F.lit(_RRF_K) + F.col("r_lex")), zero)
+                + F.coalesce(one / (F.lit(_RRF_K) + F.col("r_vec")), zero)
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from floatchat_datapipeline_spark.embeddings.encoder import stub_encoder_sql
+
+    q = " ".join(_BM25_TERMS)
+    return f"""
+WITH {stub_encoder_sql("text", "documents", "doc_id")},
+{_bm25_scored_sql()},
+lex AS (
+  SELECT doc_id, bm25 FROM lexall WHERE bm25 > 0
+  ORDER BY bm25 DESC, doc_id LIMIT {_RRF_DEPTH}
+),
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+  FROM lex
+),
+qtok AS (SELECT unnest(string_split('{q}', ' ')) AS tok),
+qb AS (
+  SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+         count(*) AS c
+  FROM qtok GROUP BY 1
+),
+qn AS (SELECT sqrt(sum(CAST(c * c AS DOUBLE))) AS nrm FROM qb),
+qv AS (SELECT bucket, CAST(c AS DOUBLE) / (SELECT nrm FROM qn) AS w FROM qb),
+vscores AS (
+  SELECT v._id AS doc_id, round(sum(v.w * qv.w), 6) AS score
+  FROM _vec v JOIN qv USING (bucket)
+  GROUP BY 1
+),
+vec AS (
+  SELECT doc_id, score FROM vscores WHERE score > 0
+  ORDER BY score DESC, doc_id LIMIT {_RRF_DEPTH}
+),
+vecr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r_vec
+  FROM vec
+)
+SELECT doc_id,
+       CAST(r_lex AS INT) AS r_lex,
+       CAST(r_vec AS INT) AS r_vec,
+       COALESCE(1e0 / ({_RRF_K} + r_lex), 0e0)
+         + COALESCE(1e0 / ({_RRF_K} + r_vec), 0e0) AS rrf
+FROM lexr FULL JOIN vecr USING (doc_id)
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
+_DOC_HYBRID_RRF_ORACLE = _hybrid_rrf_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -3989,5 +4111,10 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_corpus_perplexity_filter,
             _CORPUS_PERPLEXITY_ORACLE,
             ("L14", "L11", "A9", "text-quality"),
+        ),
+        "doc_hybrid_rrf": QuerySpec(
+            q_doc_hybrid_rrf,
+            _DOC_HYBRID_RRF_ORACLE,
+            ("V11", "L5", "O3", "V7", "hybrid-rrf"),
         ),
     }

@@ -42,7 +42,8 @@ SURVEY_IDS = [
     "TS1", "TS2", "TS3", "TS4", "TS5",
     "L1", "L2", "L3", "L4", "L5", "L6", "L7", "L8", "L9", "L10", "L11",
     "L12", "L13", "L14",
-    "D5", "V8", "A9", "A10", "A11", "A12", "A13", "V9", "V10", "Z1",
+    "D5", "V8", "A9", "A10", "A11", "A12", "A13", "V9", "V10", "V11",
+    "Z1",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
