@@ -132,3 +132,13 @@ def test_quantize_is_jvm_expression_only(spark, sf_dir):
     plan = plan_string(q(spark, sf_dir))
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, plan
+
+
+def test_hybrid_rrf_legs_end_in_takeordered(spark, sf_dir):
+    """V11: both retrieval legs must cut to top-depth via per-partition
+    heaps (TakeOrderedAndProject) — a global Sort before the limit would
+    be the 100 TB scale-killer this query's shape exists to avoid."""
+    q = registry()["doc_hybrid_rrf"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 3, plan  # 2 legs + fuse
+    assert "CartesianProduct" not in plan, plan
