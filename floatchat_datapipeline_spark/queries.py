@@ -616,6 +616,280 @@ SELECT o_custkey, o_orderkey, o_totalprice, rank_in_customer FROM (
 
 
 # ---------------------------------------------------------------------------
+# Hard relational shapes (SURVEY §2.14 J6-J9, O7, A14) — the correlated-
+# subquery / outer-distribution / self-join patterns of TPC-H Q13/Q17/Q21/
+# Q22/Q15/Q18, each hand-decorrelated into the join-agg form a 1000-executor
+# plan wants (the reference's pandas pipeline has no analog; this is the
+# query surface a warehouse migration would exercise).
+# ---------------------------------------------------------------------------
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 (TPC-H Q13 shape): how many customers placed k orders, for every
+    k including 0. Orders pre-aggregate to one slim (custkey, count) row
+    BEFORE the outer join, so the join shuffles |customers| + |custkeys|
+    rows, never raw orders; the second agg is tiny (distinct k values)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cust.select("c_custkey")
+        .join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_CUSTOMER_ORDER_DISTRIBUTION_ORACLE = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, coalesce(oc.n, 0) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) oc
+    ON c_custkey = o_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_part_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 (TPC-H Q17 shape): revenue lost to small orders — lineitems under
+    20% of their part's average quantity, one brand. The correlated scalar
+    subquery decorrelates to a per-part avg over the SAME brand-reduced
+    fact slice, which is dim-sized and broadcast back: the fact table is
+    touched once (brand dim broadcast-joined, filter pushed to scan) and
+    never shuffled. avg(l_quantity) is an exact integer sum over an exact
+    count, so the 0.2× threshold is bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    brand = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    brand_li = li.join(
+        F.broadcast(brand), li["l_partkey"] == brand["p_partkey"]
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    per_part = brand_li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(per_part),
+            brand_li["l_partkey"] == per_part["avg_partkey"],
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((F.round(F.sum("l_extendedprice"), 2) / 7).alias("avg_yearly"))
+    )
+
+
+_PART_SMALL_QTY_REVENUE_ORACLE = """
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+),
+per_part AS (
+  SELECT l_partkey AS avg_partkey, avg(l_quantity) AS avg_qty
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice), 2) / 7 AS avg_yearly
+FROM brand_li JOIN per_part ON l_partkey = avg_partkey
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def q_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 (TPC-H Q21 shape): suppliers who were the ONLY supplier with a
+    returned line in a multi-supplier order. Q21's EXISTS + NOT-EXISTS
+    double self-join collapses into per-order aggregation: distinct
+    supplier count, distinct returned-supplier count, and — because the
+    filter pins n_returned = 1 — max(returned supplier) IS the culprit.
+    Aggregation is two-level to keep distinct-counting expand-free:
+    level 1 dedupes to (orderkey, suppkey, returned?) — map-side partial
+    agg, ONE full shuffle — and level 2 reduces the already-slim pairs
+    per order, so the twin COUNT(DISTINCT)s never trigger Catalyst's 3×
+    Expand plan and the textbook three lineitem self-joins never happen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("returned")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("returned").alias("n_ret_supp"),
+        F.max(
+            F.when(F.col("returned") == 1, F.col("l_suppkey"))
+        ).alias("ret_supp"),
+    )
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .groupBy("ret_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("ret_supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+_SOLE_RETURN_SUPPLIERS_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+           AS n_ret_supp,
+         max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS ret_supp
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM per_order JOIN supplier ON ret_supp = s_suppkey
+WHERE n_supp > 1 AND n_ret_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 (TPC-H Q22 shape): above-average-balance customers with no
+    completed ('F') order, rolled up by market segment. The scalar
+    subquery (global positive-balance average) is a 1-row broadcast; the
+    NOT EXISTS is a left-anti join against the distinct F-order custkeys.
+    The threshold compare runs in EXACT integer cents — `cents × count >
+    sum_cents` — so no engine's summation order can flip a boundary row;
+    the segment balance total likewise sums cents and divides once."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum("bal_cents").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    f_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents"))
+        .join(f_cust, cust["c_custkey"] == f_cust["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_cents") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_RICH_IDLE_CUSTOMERS_ORACLE = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+avg_bal AS (
+  SELECT sum(bal_cents) AS sum_cents, count(*) AS n_pos
+  FROM cust WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       sum(bal_cents) / 100.0 AS totacctbal
+FROM cust, avg_bal
+WHERE bal_cents * n_pos > sum_cents
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 (TPC-H Q15 shape): the supplier(s) whose one-quarter revenue
+    equals the maximum over the revenue view. The view aggregates once
+    (shipdate predicate pushed to the parquet scan), its 1-row max
+    broadcasts back, and equality runs on the ROUNDED revenue both sides
+    compute identically — never on a raw float sum. Ties keep every
+    argmax row, matching the SQL semantics."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_TOP_SUPPLIER_REVENUE_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 (TPC-H Q18 shape): orders whose total quantity exceeds 300,
+    with their customer. The HAVING semi-join aggregates lineitem down to
+    qualifying (orderkey, sum_qty) rows FIRST — the join input is a few
+    rows, not the fact table — then orders join on the (already slim) key
+    and the customer dim broadcasts. l_quantity is integer-valued, so the
+    sum and threshold are exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+_LARGE_VOLUME_CUSTOMERS_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+) ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
 # Documents: text analysis (north-star LLM-pipeline operators)
 # ---------------------------------------------------------------------------
 
@@ -3841,6 +4115,36 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_customer_top_orders,
             _CUSTOMER_TOP_ORDERS_ORACLE,
             ("O2", "O5")
+        ),
+        "customer_order_distribution": QuerySpec(
+            q_customer_order_distribution,
+            _CUSTOMER_ORDER_DISTRIBUTION_ORACLE,
+            ("J6",),
+        ),
+        "part_small_qty_revenue": QuerySpec(
+            q_part_small_qty_revenue,
+            _PART_SMALL_QTY_REVENUE_ORACLE,
+            ("J7",),
+        ),
+        "sole_return_suppliers": QuerySpec(
+            q_sole_return_suppliers,
+            _SOLE_RETURN_SUPPLIERS_ORACLE,
+            ("J8",),
+        ),
+        "rich_idle_customers": QuerySpec(
+            q_rich_idle_customers,
+            _RICH_IDLE_CUSTOMERS_ORACLE,
+            ("J9",),
+        ),
+        "top_supplier_revenue": QuerySpec(
+            q_top_supplier_revenue,
+            _TOP_SUPPLIER_REVENUE_ORACLE,
+            ("O7",),
+        ),
+        "large_volume_customers": QuerySpec(
+            q_large_volume_customers,
+            _LARGE_VOLUME_CUSTOMERS_ORACLE,
+            ("A14",),
         ),
         "doc_token_stats": QuerySpec(
             q_doc_token_stats, _DOC_TOKEN_STATS_ORACLE, ("text-analysis",)
