@@ -134,6 +134,42 @@ def test_quantize_is_jvm_expression_only(spark, sf_dir):
         assert node not in plan, plan
 
 
+def test_sole_return_suppliers_is_expand_free(spark, sf_dir):
+    """J8: the two-level aggregation must keep the twin distinct-counts
+    out of Catalyst's Expand rewrite (3× row blow-up + an extra
+    full-width shuffle). An `Expand` node appearing here means someone
+    reverted to countDistinct over the raw lineitem."""
+    q = registry()["sole_return_suppliers"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert "Expand" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # supplier dim never shuffles
+
+
+def test_part_small_qty_probe_side_never_shuffles(spark, sf_dir):
+    """J7: the probe lineitem slice reaches the final aggregate through
+    broadcasts only — the sole Exchanges allowed are the dim-sized
+    per-part avg's own shuffle and the final single-partition gather."""
+    q = registry()["part_small_qty_revenue"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # the brand predicate must reach the part scan, not evaluate post-join
+    assert "EqualTo(p_brand,Brand#23)" in plan, plan
+
+
+def test_large_volume_having_side_broadcasts(spark, sf_dir):
+    """A14: the qualifying-orders aggregate (few rows) must be the
+    broadcast build side — orders, locally small but globally the fact
+    table, must stay on the probe side."""
+    q = registry()["large_volume_customers"].spark
+    plan = plan_string(q(spark, sf_dir))
+    # formatted mode prints each node twice (tree + details): count tree
+    # entries only, "BroadcastExchange (<id>)"
+    assert plan.count("BroadcastExchange (") == 2, plan
+    # the having-side aggregate feeds a broadcast, not an SMJ
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_hybrid_rrf_legs_end_in_takeordered(spark, sf_dir):
     """V11: both retrieval legs must cut to top-depth via per-partition
     heaps (TakeOrderedAndProject) — a global Sort before the limit would
