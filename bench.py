@@ -60,6 +60,15 @@ def main() -> None:
         names.remove("ann_pq_topk")
         names.append("ann_pq_topk")
 
+    # The D5 duplicate-component closure is corpus state shared by three
+    # queries (dup clusters, dedup apply, leakage-safe split). Run the
+    # closure-defining query FIRST among them so its cold row carries the
+    # one-time build and the chain's other rows measure downstream work
+    # against the warm index (same accounting as the PQ train/warm split).
+    if "doc_dup_clusters" in names and "doc_dedup_apply" in names:
+        names.remove("doc_dup_clusters")
+        names.insert(names.index("doc_dedup_apply"), "doc_dup_clusters")
+
     # Warm the JVM/readers AND the Python UDF workers once so per-query
     # numbers measure the queries, not session/daemon startup (the first
     # pandas_udf otherwise pays ~8 s of worker fork + Arrow init across
@@ -105,6 +114,15 @@ def main() -> None:
                 pq.reset_caches()
                 timings["ann_pq_topk_train"] = round(run_once(name), 3)
                 timings["ann_pq_topk_warm"] = round(
+                    min(run_once(name), run_once(name)), 3
+                )
+                continue
+            if name == "doc_dup_clusters":
+                from floatchat_datapipeline_spark.operators import dedup  # noqa: PLC0415
+
+                dedup.clear_dup_components_cache()
+                timings["doc_dup_clusters_train"] = round(run_once(name), 3)
+                timings["doc_dup_clusters_warm"] = round(
                     min(run_once(name), run_once(name)), 3
                 )
                 continue

@@ -430,3 +430,54 @@ def segment_dedup(
             .alias("n_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Memoized duplicate-component closure (D5 warm index)
+# ---------------------------------------------------------------------------
+
+# Three production queries (dup clusters, dedup apply, leakage-safe split)
+# consume the identical LSH-pairs → connected-components closure. Like the
+# PQ codebooks (embeddings/pq.py _PQ_CACHE), the closure is corpus state,
+# not query state: build it once per corpus, persist the (node, component)
+# mapping executor-side, and let every consumer start from the warm index.
+# At 100 TB the closure is an iterative multi-job pipeline you emphatically
+# do not want to re-run per downstream query.
+_DUP_COMPONENTS_CACHE: dict[str, DataFrame] = {}
+
+
+def clear_dup_components_cache() -> None:
+    """Unpersist and drop all memoized component mappings (tests/bench
+    cold-path control)."""
+    for df in _DUP_COMPONENTS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _DUP_COMPONENTS_CACHE.clear()
+
+
+def dup_components(
+    docs: DataFrame,
+    spark,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs → connected components, memoized per
+    corpus. Returns (doc_id, component) for every doc in some duplicate
+    group; docs in no group are absent (consumers coalesce to their own
+    id). With `cache_key` (typically the corpus path) the persisted
+    mapping is reused across queries in the session."""
+    from floatchat_datapipeline_spark.operators.clusters import (
+        connected_components,
+    )
+
+    if cache_key is not None and cache_key in _DUP_COMPONENTS_CACHE:
+        return _DUP_COMPONENTS_CACHE[cache_key]
+    comp = connected_components(minhash_lsh_pairs(docs, spark)).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    if cache_key is not None:
+        comp = comp.persist()
+        comp.count()  # materialize now so consumers all start warm
+        _DUP_COMPONENTS_CACHE[cache_key] = comp
+    return comp

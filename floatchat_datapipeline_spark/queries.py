@@ -889,6 +889,113 @@ LIMIT 100
 """
 
 
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 (TPC-H Q7 shape): revenue between (supplier nation, customer
+    nation) pairs — the SAME dim joined in two roles through aliased
+    copies. Both role resolutions pre-reduce their fact-side key table
+    (supplier→nation, customer→nation) to a 2-column broadcast, so the
+    only real shuffle is the lineitem ⋈ orders fact-fact join plus the
+    tiny pair aggregation."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_nation = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_nation), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), "supp_nation", "cust_nation")
+        .limit(20)
+    )
+
+
+_NATION_TRADE_FLOWS_ORACLE = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name
+ORDER BY revenue DESC, supp_nation, cust_nation
+LIMIT 20
+"""
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 stream-static enrichment join: the events stream picks up a
+    batch-computed per-type profile (sum of exact integer cents + count)
+    via a broadcast join — stateless, no watermark — then counts, per
+    type, the streamed events whose value exceeds the type average. The
+    threshold compares `cents × n > sum_cents` in exact integers (J9's
+    rule), so batch and stream land on identical rows and the batch SQL
+    is a true oracle for the streaming plan."""
+    from floatchat_datapipeline_spark.streaming.run import materialize
+    from floatchat_datapipeline_spark.streaming.sources import stream_table
+    from floatchat_datapipeline_spark.streaming.windows import enrich_stream
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("et"), cents.alias("cents"))
+        .groupBy("et")
+        .agg(
+            F.sum("cents").alias("sum_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    stream = stream_table(spark, sf_dir, "events").withColumn("cents", cents)
+    enriched = enrich_stream(stream, dim, "event_type", "et")
+    above = (
+        enriched.filter(F.col("cents") * F.col("n") > F.col("sum_cents"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+    return materialize(above, "q_stream_enrich").orderBy("event_type")
+
+
+_STREAM_ENRICH_ORACLE = """
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+dim AS (
+  SELECT event_type AS et, sum(cents) AS sum_cents, count(*) AS n
+  FROM ev GROUP BY event_type
+)
+SELECT event_type, count(*) AS n_above_avg
+FROM ev JOIN dim ON event_type = et
+WHERE cents * n > sum_cents
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Documents: text analysis (north-star LLM-pipeline operators)
 # ---------------------------------------------------------------------------
@@ -2954,15 +3061,13 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 — near-dup GROUPS from LSH candidate pairs: undirected
     connected components by iterative min-label propagation (a↔b, b↔c
     collapse into one cluster even though a↔c was never emitted). The
-    oracle replays connectivity with a recursive CTE."""
-    from floatchat_datapipeline_spark.operators.clusters import (
-        connected_components,
-    )
-    from floatchat_datapipeline_spark.operators.dedup import minhash_lsh_pairs
+    oracle replays connectivity with a recursive CTE. The closure is the
+    memoized D5 warm index (operators/dedup.dup_components): built once
+    per corpus, shared with dedup-apply and the leakage-safe split."""
+    from floatchat_datapipeline_spark.operators.dedup import dup_components
 
-    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), spark)
-    return connected_components(pairs).select(
-        F.col("node").alias("doc_id"), "component"
+    return dup_components(
+        load_table(spark, sf_dir, "documents"), spark, cache_key=sf_dir
     )
 
 
@@ -3253,19 +3358,15 @@ def q_doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     id (D5 closure over LSH candidate pairs), so near-duplicate docs can
     never straddle train/test (the eval-leakage mode a row-hash split
     cannot prevent; singleton docs hash their own id). Pinned invariant:
-    one split per component (tests/test_leakage_split.py)."""
-    from floatchat_datapipeline_spark.operators.clusters import (
-        connected_components,
-    )
-    from floatchat_datapipeline_spark.operators.dedup import minhash_lsh_pairs
+    one split per component (tests/test_leakage_split.py). Starts from
+    the memoized D5 warm index (operators/dedup.dup_components)."""
+    from floatchat_datapipeline_spark.operators.dedup import dup_components
     from floatchat_datapipeline_spark.operators.sampling import (
         train_test_split,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    comp = connected_components(minhash_lsh_pairs(docs, spark)).select(
-        F.col("node").alias("doc_id"), "component"
-    )
+    comp = dup_components(docs, spark, cache_key=sf_dir)
     labeled = (
         docs.select("doc_id")
         .join(comp, "doc_id", "left")
@@ -3617,16 +3718,12 @@ def q_doc_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     one keeper per duplicate group (the group's minimum id — which IS the
     component label) → every document flagged. The 'give me the
     deduplicated corpus' query a training pipeline actually runs; docs in
-    no duplicate group keep themselves."""
-    from floatchat_datapipeline_spark.operators.clusters import (
-        connected_components,
-    )
-    from floatchat_datapipeline_spark.operators.dedup import minhash_lsh_pairs
+    no duplicate group keep themselves. Starts from the memoized D5 warm
+    index (operators/dedup.dup_components)."""
+    from floatchat_datapipeline_spark.operators.dedup import dup_components
 
     docs = load_table(spark, sf_dir, "documents")
-    comp = connected_components(minhash_lsh_pairs(docs, spark)).select(
-        F.col("node").alias("doc_id"), "component"
-    )
+    comp = dup_components(docs, spark, cache_key=sf_dir)
     return docs.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce("component", F.col("doc_id")).alias("component"),
@@ -4145,6 +4242,16 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_large_volume_customers,
             _LARGE_VOLUME_CUSTOMERS_ORACLE,
             ("A14",),
+        ),
+        "nation_trade_flows": QuerySpec(
+            q_nation_trade_flows,
+            _NATION_TRADE_FLOWS_ORACLE,
+            ("J10",),
+        ),
+        "stream_enrich": QuerySpec(
+            q_stream_enrich,
+            _STREAM_ENRICH_ORACLE,
+            ("S11",),
         ),
         "doc_token_stats": QuerySpec(
             q_doc_token_stats, _DOC_TOKEN_STATS_ORACLE, ("text-analysis",)

@@ -207,3 +207,26 @@ def interval_join_stream(
             < F.col("probe_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")
         ),
     ).select(on, "probe_id", "probe_ts", "match_id", "match_ts", "match_cents")
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str,
+    on_right: str,
+) -> DataFrame:
+    """Stream-static enrichment join (SURVEY §2.14 S11): each streamed row
+    picks up its dimension attributes from a STATIC DataFrame. The static
+    side is pinned `broadcast()` — a stream-static join must never shuffle
+    the stream (Structured Streaming re-evaluates the static side per
+    micro-batch; broadcasting makes that a map-side hash probe, the same
+    plan a 1000-executor cluster wants for a dim of any broadcastable
+    size). No watermark needed: the join itself is stateless.
+
+    The reference's closest behavior is the per-upload metadata lookup in
+    fastapi_app.py's ingest path (file → float metadata join); here it is
+    a declarative join the stream's micro-batches execute incrementally.
+    """
+    return events.join(
+        F.broadcast(dim), F.col(on_left) == F.col(on_right)
+    )

@@ -44,8 +44,10 @@ SURVEY_IDS = [
     "L12", "L13", "L14",
     "D5", "V8", "A9", "A10", "A11", "A12", "A13", "V9", "V10", "V11",
     "Z1",
-    # hard relational shapes (TPC-H Q13/Q17/Q21/Q22/Q15/Q18 analogs)
-    "J6", "J7", "J8", "J9", "O7", "A14",
+    # hard relational shapes (TPC-H Q13/Q17/Q21/Q22/Q15/Q18/Q7 analogs)
+    "J6", "J7", "J8", "J9", "O7", "A14", "J10",
+    # stream-static enrichment join
+    "S11",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
