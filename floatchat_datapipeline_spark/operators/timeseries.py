@@ -259,3 +259,77 @@ def gapfill_locf(
             F.col("_sum_cents").isNull().alias("is_gap"),
         )
     )
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    payload_cols: tuple[str, ...] = ("value",),
+    right_order_col: str | None = None,
+    payload_prefix: str = "asof_",
+) -> DataFrame:
+    """`asof_join` re-expressed as a cogrouped Pandas operator — the
+    custom-operator escape hatch for per-key logic DataFrame expressions
+    can't say: both sides hash-partition ONCE on the key, each key's two
+    partitions meet in a single Python worker, and pandas.merge_asof does
+    the per-key backward scan (Arrow-batched, never row-at-a-time).
+
+    Semantics are identical to the union-merge asof_join (at-or-before;
+    equal-ts right rows visible; ties break to the highest
+    `right_order_col`), so the SAME DuckDB oracle value-checks both.
+    The union-merge form is the default at scale — one shuffle and pure
+    JVM — while this form is the template for per-key algorithms with no
+    window-function equivalent (ODE integration, per-entity model
+    scoring, trajectory resampling).
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.types import StructField, StructType  # noqa: PLC0415
+
+    out_ts = f"{payload_prefix}{ts_col}"
+    # Fresh StructType — StructType.add MUTATES the receiver, and
+    # df.schema is cached on the DataFrame, so building on it in place
+    # would poison `left`'s own column list.
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [StructField(out_ts, left.schema[ts_col].dataType)]
+        + [
+            StructField(f"{payload_prefix}{c}", right.schema[c].dataType)
+            for c in payload_cols
+        ]
+    )
+
+    rsel = [on, ts_col, *payload_cols] + (
+        [right_order_col] if right_order_col and right_order_col not in
+        (on, ts_col, *payload_cols) else []
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        sort_keys = [ts_col] + (
+            [right_order_col] if right_order_col else []
+        )
+        rpdf = rpdf.sort_values(sort_keys, kind="mergesort")
+        # merge_asof keeps the LAST right row among equal ts — with the
+        # secondary sort above that IS the highest right_order_col.
+        r = rpdf[[ts_col, *payload_cols]].rename(
+            columns={ts_col: out_ts, **{c: f"{payload_prefix}{c}" for c in payload_cols}}
+        )
+        merged = pd.merge_asof(
+            lpdf.sort_values(ts_col, kind="mergesort"),
+            r,
+            left_on=ts_col,
+            right_on=out_ts,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged[[f.name for f in out_schema.fields]]
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.select(*rsel).groupBy(on))
+        .applyInPandas(merge, schema=out_schema)
+    )

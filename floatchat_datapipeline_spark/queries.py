@@ -948,6 +948,98 @@ LIMIT 20
 """
 
 
+def q_order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 windowed ranking buckets: per-market-segment order-value
+    deciles (ntile) rolled up to (segment, decile) totals. The window's
+    total order is made deterministic with the orderkey tiebreak, so
+    ntile assignment — and therefore every downstream sum — is
+    bit-identical across engines. Scale note: a per-segment ntile is a
+    per-segment global sort (5 hot partitions here); at 100 TB the same
+    report swaps to approx_percentile decile BOUNDARIES (t-digest,
+    partial-aggregable, the A9 twin pattern) joined back as a broadcast —
+    this exact form is the small-corpus oracle for that swap."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("decile_value"),
+        )
+        .orderBy("c_mktsegment", "decile")
+    )
+
+
+_ORDER_PRICE_DECILES_ORACLE = """
+SELECT c_mktsegment, decile, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS decile_value
+FROM (
+  SELECT c_mktsegment, o_totalprice,
+         ntile(10) OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY o_totalprice DESC, o_orderkey) AS decile
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+GROUP BY c_mktsegment, decile
+ORDER BY c_mktsegment, decile
+"""
+
+
+def q_brand_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 (TPC-H Q19 shape): disjunctive multi-attribute predicate over a
+    fact ⋈ dim join — three OR'd (brand, size, quantity) branches. The
+    brand disjunction's common implication (`p_brand IN (…)`) is filtered
+    explicitly on the dim BEFORE the broadcast, so the hash relation
+    carries only candidate parts; the per-branch residual evaluates
+    post-join as one codegen'd boolean expression. The fact side never
+    shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 15) & (q <= 15))
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size") <= 25)
+            & q.between(10, 25)
+        )
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size") <= 35) & (q >= 25))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+_BRAND_PROMO_REVENUE_ORACLE = """
+SELECT count(*) AS n_lineitems,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size <= 15 AND l_quantity <= 15)
+   OR (p_brand = 'Brand#23' AND p_size <= 25 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#34' AND p_size <= 35 AND l_quantity >= 25)
+"""
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 stream-static enrichment join: the events stream picks up a
     batch-computed per-type profile (sum of exact integer cents + count)
@@ -2591,6 +2683,34 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value"
     )
     return asof_join(
+        clicks,
+        views,
+        on="user_id",
+        ts_col="ts",
+        payload_cols=("value",),
+        right_order_col="event_id",
+        payload_prefix="view_",
+    )
+
+
+def q_events_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — the TS1 as-of join as a COGROUPED Pandas operator
+    (cogroup().applyInPandas + pandas.merge_asof per key): the custom-
+    operator template for per-key logic with no window-function
+    equivalent. Identical semantics to events_asof, so the same oracle
+    value-checks both; the union-merge form stays the scale default."""
+    from floatchat_datapipeline_spark.operators.timeseries import (
+        asof_join_cogrouped,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join_cogrouped(
         clicks,
         views,
         on="user_id",
@@ -4248,6 +4368,16 @@ def _base_registry() -> dict[str, QuerySpec]:
             _NATION_TRADE_FLOWS_ORACLE,
             ("J10",),
         ),
+        "brand_promo_revenue": QuerySpec(
+            q_brand_promo_revenue,
+            _BRAND_PROMO_REVENUE_ORACLE,
+            ("F12",),
+        ),
+        "order_price_deciles": QuerySpec(
+            q_order_price_deciles,
+            _ORDER_PRICE_DECILES_ORACLE,
+            ("O8",),
+        ),
         "stream_enrich": QuerySpec(
             q_stream_enrich,
             _STREAM_ENRICH_ORACLE,
@@ -4405,6 +4535,9 @@ def _base_registry() -> dict[str, QuerySpec]:
         ),
         "events_asof": QuerySpec(
             q_events_asof, _EVENTS_ASOF_ORACLE, ("TS1",)
+        ),
+        "events_asof_cogrouped": QuerySpec(
+            q_events_asof_cogrouped, _EVENTS_ASOF_ORACLE, ("U1",)
         ),
         "error_click_window": QuerySpec(
             q_error_click_window, _ERROR_CLICK_WINDOW_ORACLE, ("TS2",)

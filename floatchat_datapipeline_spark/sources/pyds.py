@@ -1,0 +1,140 @@
+"""Custom Python DataSource for the staged-ERDDAP CSV protocol (S12).
+
+The reference's ingest loop is "one HTTP download per float, then parse"
+(load_data.py download loop; download.py per-file scrape). The Spark-4
+Python DataSource API lets that protocol become a real `spark.read`
+format instead of driver-side glue: `spark.read.format("erddap_staged")`
+plans ONE InputPartition PER STAGED FILE — the reference's per-float
+download unit — so a 300-file scrape (download.py's cap) reads as 300
+parallel tasks with no driver loop and no repartition afterwards.
+
+The fetch itself stays out of the executor (this container has no
+network): files are staged by sources/staging.py into a local directory
+and the DataSource reads that cache — exactly the reference's
+download-then-parse split. At deployment the `read` body is where an
+HTTP fetch per partition would go; everything Spark-side (registration,
+schema contract, partition planning, per-partition iteration) is real
+and tested (tests/test_pyds.py).
+
+Usage:
+    spark.dataSource.register(ErddapStagedDataSource)
+    df = (spark.read.format("erddap_staged")
+          .option("path", staged_dir)
+          .option("ddl", "float_id string, temp double, lat double")
+          .load())
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# The DataSource instantiates inside a session-less Python planning
+# worker, where pyspark's DDL parser (which calls into the JVM via an
+# active session) is unavailable — so the schema contract parses with a
+# self-contained map covering the scalar types ERDDAP CSVs carry.
+_DDL_TYPES = {
+    "string": StringType(),
+    "double": DoubleType(),
+    "float": FloatType(),
+    "bigint": LongType(),
+    "long": LongType(),
+    "int": IntegerType(),
+    "integer": IntegerType(),
+    "boolean": BooleanType(),
+}
+
+
+def _schema_from_ddl(ddl: str) -> StructType:
+    fields = []
+    for part in ddl.split(","):
+        name, _, typ = part.strip().partition(" ")
+        typ = typ.strip().lower()
+        if typ not in _DDL_TYPES:
+            raise ValueError(
+                f"erddap_staged: unsupported type {typ!r} for column "
+                f"{name!r}; supported: {sorted(_DDL_TYPES)}"
+            )
+        fields.append(StructField(name, _DDL_TYPES[typ]))
+    return StructType(fields)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class ErddapStagedDataSource(DataSource):
+    """`erddap_staged` format: one partition per staged CSV file."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "erddap_staged"
+
+    def schema(self):
+        ddl = self.options.get("ddl")
+        if not ddl:
+            raise ValueError(
+                "erddap_staged requires the 'ddl' option (schema contract "
+                "comes from the ERDDAP dataset metadata, not inference)"
+            )
+        return _schema_from_ddl(ddl)
+
+    def reader(self, schema: StructType) -> "ErddapStagedReader":
+        return ErddapStagedReader(schema, self.options)
+
+
+class ErddapStagedReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("erddap_staged requires the 'path' option")
+        self.pattern = options.get("glob", "*.csv")
+
+    def partitions(self):
+        files = sorted(glob.glob(os.path.join(self.path, self.pattern)))
+        # Empty scrape → one empty partition (a scan of nothing is a
+        # valid frame, matching spark.read.csv on an empty dir contract).
+        return [_FilePartition(p) for p in files] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return
+        casts = [
+            (
+                float
+                if isinstance(f.dataType, (DoubleType, FloatType))
+                else int
+                if isinstance(f.dataType, (LongType, IntegerType))
+                else (lambda v: v.lower() == "true")
+                if isinstance(f.dataType, BooleanType)
+                else str
+            )
+            for f in self.schema.fields
+        ]
+        names = [f.name for f in self.schema.fields]
+        with open(partition.path, newline="") as fh:
+            rows = csv.DictReader(fh)
+            for row in rows:
+                yield tuple(
+                    cast(row[name]) if row.get(name) not in (None, "") else None
+                    for name, cast in zip(names, casts)
+                )

@@ -170,6 +170,32 @@ def test_large_volume_having_side_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_nation_flows_single_fact_shuffle(spark, sf_dir):
+    """J10: both nation role resolutions and their attachment to the
+    fact ride broadcasts (4 BroadcastHashJoins); the only permissible
+    hash exchanges are the lineitem ⋈ orders fact-fact join (which
+    AQE broadcasts at tiny SF) and the pair aggregation."""
+    import re
+
+    q = registry()["nation_trade_flows"].spark
+    plan = plan_string(q(spark, sf_dir))
+    # tree entries look like "BroadcastHashJoin Inner BuildRight (26)"
+    n_bhj = len(re.findall(r"BroadcastHashJoin .*\(\d+\)", plan))
+    assert n_bhj >= 4, plan
+    assert plan.count("Arguments: hashpartitioning") <= 3, plan
+
+
+def test_brand_promo_dim_prefilters_before_broadcast(spark, sf_dir):
+    """F12: the brand IN-list must reach the part scan (the broadcast
+    relation carries candidate parts only), and the fact side must not
+    shuffle."""
+    q = registry()["brand_promo_revenue"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert "In(p_brand, [Brand#12,Brand#23,Brand#34])" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Arguments: hashpartitioning") == 0, plan
+
+
 def test_hybrid_rrf_legs_end_in_takeordered(spark, sf_dir):
     """V11: both retrieval legs must cut to top-depth via per-partition
     heaps (TakeOrderedAndProject) — a global Sort before the limit would

@@ -28,6 +28,8 @@ MODULE_COVERED: dict[str, str] = {
     "F8": "sources/erddap.ErddapRequest (server-side predicates in URL)",
     # text templates with golden tests
     "C4": "functions/text.sync_document_v4 (tests/test_text_templates.py)",
+    # custom Python DataSource (Spark 4 API): one partition per staged file
+    "S12": "sources/pyds.ErddapStagedDataSource (tests/test_pyds.py)",
 }
 
 SURVEY_IDS = [
@@ -48,6 +50,14 @@ SURVEY_IDS = [
     "J6", "J7", "J8", "J9", "O7", "A14", "J10",
     # stream-static enrichment join
     "S11",
+    # disjunctive multi-attribute predicate join (Q19 analog)
+    "F12",
+    # windowed ranking buckets (ntile deciles; approx_percentile scale twin)
+    "O8",
+    # cogrouped applyInPandas custom operator (as-of join twin)
+    "U1",
+    # custom Python DataSource (erddap_staged format)
+    "S12",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
