@@ -380,6 +380,44 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 — the P7 JSON extraction on Spark 4's native VARIANT type:
+    parse once (`parse_json` → binary variant), then typed path reads
+    (`try_variant_get`) — the open-schema semi-structured path that at
+    scale replaces per-access string re-parsing with one decode + cheap
+    binary traversals (and, under variant shredding, columnar pushdown).
+    Aggregates are exact integer sums, so the string-JSON DuckDB oracle
+    is value-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_PROPS_VARIANT_ORACLE = """
+SELECT event_type,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Joins: existence anti-join (J1), fuzzy containment theta join (J2/D3)
 # ---------------------------------------------------------------------------
@@ -4309,6 +4347,9 @@ def _base_registry() -> dict[str, QuerySpec]:
         ),
         "events_props_avg": QuerySpec(
             q_events_props_avg, _EVENTS_PROPS_ORACLE, ("P7",)
+        ),
+        "events_props_variant": QuerySpec(
+            q_events_props_variant, _EVENTS_PROPS_VARIANT_ORACLE, ("P12",)
         ),
         "argo_new_floats": QuerySpec(
             q_argo_new_floats, _ARGO_NEW_FLOATS_ORACLE, ("J1", "D2")

@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     BooleanType,
@@ -138,3 +139,68 @@ class ErddapStagedReader(DataSourceReader):
                     cast(row[name]) if row.get(name) not in (None, "") else None
                     for name, cast in zip(names, casts)
                 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant — the reference's /upload endpoint as a source (S13)
+# ---------------------------------------------------------------------------
+
+
+class ErddapStreamDataSource(DataSource):
+    """`erddap_stream` format: the staged directory as a STREAM — each
+    micro-batch picks up files that arrived since the last committed
+    offset, the DataSource-API analog of the reference's per-upload
+    ingest (fastapi_app.py /upload: spool file, process, acknowledge).
+    The offset is the count of processed files over the sorted listing
+    (files are staged append-only with monotonically sortable names, the
+    staging contract); `readBetweenOffsets` replays any committed range
+    for exactly-once recovery from the checkpoint."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "erddap_stream"
+
+    def schema(self):
+        ddl = self.options.get("ddl")
+        if not ddl:
+            raise ValueError("erddap_stream requires the 'ddl' option")
+        return _schema_from_ddl(ddl)
+
+    def simpleStreamReader(self, schema: StructType):
+        return ErddapStreamReader(schema, self.options)
+
+
+class ErddapStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, schema: StructType, options):
+        # Reuse the batch reader's typed per-file decode.
+        self._batch = ErddapStagedReader(schema, options)
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def _files(self):
+        return sorted(
+            glob.glob(os.path.join(self._batch.path, self._batch.pattern))
+        )
+
+    def _rows(self, files):
+        # Materialized list, not a generator: the simple-reader protocol
+        # PICKLES the returned rows into the prefetch cache so the batch
+        # can replay from the checkpoint without re-reading the source.
+        out = []
+        for p in files:
+            out.extend(self._batch.read(_FilePartition(p)))
+        return out
+
+    def read(self, start: dict):
+        files = self._files()
+        n0 = start.get("n", 0)
+        return self._rows(files[n0:]), {"n": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        return self._rows(files[start.get("n", 0):end.get("n", 0)])
+
+    def commit(self, end: dict) -> None:
+        # Nothing to clean up: the staged cache is the durable record.
+        pass

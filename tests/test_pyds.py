@@ -81,3 +81,70 @@ def test_missing_ddl_errors(spark, staged_dir):
             .load()
             .collect()
         )
+
+
+# ---------------------------------------------------------------------------
+# S13 — streaming variant (`erddap_stream`): per-arrival micro-batches with
+# checkpointed offsets; new files picked up across separate runs.
+# ---------------------------------------------------------------------------
+
+
+def _write_file(d, i, rows):
+    import os
+    p = os.path.join(d, f"arrival_{i:04d}.csv")
+    with open(p, "w") as fh:
+        fh.write("float_id,temp,level\n")
+        for r in rows:
+            fh.write(",".join(r) + "\n")
+
+
+def _run_stream(spark, landing, ckpt, out_dir):
+    from floatchat_datapipeline_spark.sources.pyds import (
+        ErddapStreamDataSource,
+    )
+
+    spark.dataSource.register(ErddapStreamDataSource)
+    sdf = (
+        spark.readStream.format("erddap_stream")
+        .option("path", landing)
+        .option("ddl", DDL)
+        .load()
+    )
+    # The memory sink cannot recover from a checkpoint; the parquet sink
+    # can — and an exactly-once file sink IS the production shape.
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def test_stream_picks_up_new_files_across_runs(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    import os
+    os.makedirs(landing)
+
+    _write_file(landing, 0, [("f1", "10.5", "1"), ("f1", "11.0", "2")])
+    _write_file(landing, 1, [("f2", "20.25", "3")])
+    out1 = _run_stream(spark, landing, ckpt, out_dir)
+    assert out1.count() == 3
+
+    # A new arrival between runs is exactly the /upload pattern: the
+    # checkpointed offset resumes past the first two files — the sink
+    # grows by ONLY the new file's rows (no reprocessing).
+    _write_file(landing, 2, [("f3", "30.0", "4")])
+    out2 = _run_stream(spark, landing, ckpt, out_dir)
+    got = {tuple(r) for r in out2.collect()}
+    assert got == {
+        ("f1", 10.5, 1),
+        ("f1", 11.0, 2),
+        ("f2", 20.25, 3),
+        ("f3", 30.0, 4),
+    }

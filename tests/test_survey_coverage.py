@@ -30,6 +30,8 @@ MODULE_COVERED: dict[str, str] = {
     "C4": "functions/text.sync_document_v4 (tests/test_text_templates.py)",
     # custom Python DataSource (Spark 4 API): one partition per staged file
     "S12": "sources/pyds.ErddapStagedDataSource (tests/test_pyds.py)",
+    # streaming Python DataSource: per-arrival micro-batches, offset replay
+    "S13": "sources/pyds.ErddapStreamDataSource (tests/test_pyds.py)",
 }
 
 SURVEY_IDS = [
@@ -58,6 +60,10 @@ SURVEY_IDS = [
     "U1",
     # custom Python DataSource (erddap_staged format)
     "S12",
+    # native VARIANT semi-structured path (parse_json + try_variant_get)
+    "P12",
+    # streaming Python DataSource (erddap_stream format)
+    "S13",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
