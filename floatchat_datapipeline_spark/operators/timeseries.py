@@ -269,6 +269,7 @@ def asof_join_cogrouped(
     payload_cols: tuple[str, ...] = ("value",),
     right_order_col: str | None = None,
     payload_prefix: str = "asof_",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """`asof_join` re-expressed as a cogrouped Pandas operator — the
     custom-operator escape hatch for per-key logic DataFrame expressions
@@ -283,6 +284,14 @@ def asof_join_cogrouped(
     JVM — while this form is the template for per-key algorithms with no
     window-function equivalent (ODE integration, per-entity model
     scoring, trajectory resampling).
+
+    The cogroup key is a HASH BUCKET of `on`, not `on` itself:
+    cogrouping raw keys makes one pandas frame per key (10k tiny frames
+    → Python call overhead dominates, measured 20× slower than the JVM
+    twin at sf0.1), while `merge_asof(by=on)` does the per-key matching
+    vectorized inside each of `n_buckets` Arrow-sized batches. Same
+    partition-count discipline a 1000-executor job needs: task count set
+    by a knob, not by key cardinality.
     """
     import pandas as pd  # noqa: PLC0415
 
@@ -306,16 +315,27 @@ def asof_join_cogrouped(
         (on, ts_col, *payload_cols) else []
     )
 
+    out_fields = [f.name for f in out_schema.fields]
+
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.drop(columns=["_b"])
+        rpdf = rpdf.drop(columns=["_b"])
         if lpdf.empty:
-            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            return pd.DataFrame(columns=out_fields)
+        if rpdf.empty:
+            out = lpdf.copy()
+            out[out_ts] = pd.NaT
+            for c in payload_cols:
+                out[f"{payload_prefix}{c}"] = None
+            return out[out_fields]
         sort_keys = [ts_col] + (
             [right_order_col] if right_order_col else []
         )
         rpdf = rpdf.sort_values(sort_keys, kind="mergesort")
-        # merge_asof keeps the LAST right row among equal ts — with the
-        # secondary sort above that IS the highest right_order_col.
-        r = rpdf[[ts_col, *payload_cols]].rename(
+        # merge_asof keeps the LAST matching right row per (by, ts) — with
+        # the stable secondary sort above that IS the highest
+        # right_order_col.
+        r = rpdf[[on, ts_col, *payload_cols]].rename(
             columns={ts_col: out_ts, **{c: f"{payload_prefix}{c}" for c in payload_cols}}
         )
         merged = pd.merge_asof(
@@ -323,13 +343,17 @@ def asof_join_cogrouped(
             r,
             left_on=ts_col,
             right_on=out_ts,
+            by=on,
             direction="backward",
             allow_exact_matches=True,
         )
-        return merged[[f.name for f in out_schema.fields]]
+        return merged[out_fields]
 
+    bucket = F.pmod(F.hash(F.col(on)), F.lit(n_buckets)).alias("_b")
+    l2 = left.withColumn("_b", bucket)
+    r2 = right.select(*rsel).withColumn("_b", bucket)
     return (
-        left.groupBy(on)
-        .cogroup(right.select(*rsel).groupBy(on))
+        l2.groupBy("_b")
+        .cogroup(r2.groupBy("_b"))
         .applyInPandas(merge, schema=out_schema)
     )

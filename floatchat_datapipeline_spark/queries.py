@@ -380,6 +380,43 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z2 — skew-proof two-phase aggregation: event_type is the classic
+    power-law key (5 values over the whole log), so a plain groupBy
+    funnels each type through ONE reducer. salted_agg spreads phase 1
+    over (key, salt) buckets and merges algebraic partials on the key —
+    identical answers to the plain rollup (the oracle is the UNSALTED
+    SQL), which is the whole point: the rewrite buys reducer parallelism,
+    never different numbers. Sums run in exact integer cents."""
+    from floatchat_datapipeline_spark.plans.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "event_id"),
+            "sum_cents": ("sum", "cents"),
+            "min_cents": ("min", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+    ).orderBy("event_type")
+
+
+_EVENTS_SALTED_ROLLUP_ORACLE = """
+SELECT event_type,
+       count(event_id) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+       min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+       max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P12 — the P7 JSON extraction on Spark 4's native VARIANT type:
     parse once (`parse_json` → binary variant), then typed path reads
@@ -4350,6 +4387,9 @@ def _base_registry() -> dict[str, QuerySpec]:
         ),
         "events_props_variant": QuerySpec(
             q_events_props_variant, _EVENTS_PROPS_VARIANT_ORACLE, ("P12",)
+        ),
+        "events_salted_rollup": QuerySpec(
+            q_events_salted_rollup, _EVENTS_SALTED_ROLLUP_ORACLE, ("Z2",)
         ),
         "argo_new_floats": QuerySpec(
             q_argo_new_floats, _ARGO_NEW_FLOATS_ORACLE, ("J1", "D2")

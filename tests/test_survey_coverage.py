@@ -64,6 +64,8 @@ SURVEY_IDS = [
     "P12",
     # streaming Python DataSource (erddap_stream format)
     "S13",
+    # skew-proof salted two-phase aggregation
+    "Z2",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
