@@ -33,8 +33,10 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BooleanType,
@@ -204,3 +206,71 @@ class ErddapStreamReader(SimpleDataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # Nothing to clean up: the staged cache is the durable record.
         pass
+
+
+# ---------------------------------------------------------------------------
+# Write side — the K8 text-report export as a commit-protocol sink (K10)
+# ---------------------------------------------------------------------------
+
+
+class _ReportCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class ErddapReportDataSource(DataSource):
+    """`erddap_report` write format: each task writes its partition as a
+    CSV part file to a staging name, and the driver-side `commit` renders
+    the manifest (part list + row counts + a _SUCCESS marker) only after
+    EVERY task reported in — the all-or-nothing visibility contract the
+    reference's report export (K8, sinks/export.py analog) gets for free
+    from a single process and a distributed writer must earn through the
+    commit protocol. `abort` removes the partials."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "erddap_report"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("erddap_report requires the 'path' option")
+        return ErddapReportWriter(schema, path)
+
+
+class ErddapReportWriter(DataSourceWriter):
+    def __init__(self, schema: StructType, path: str):
+        self.schema = schema
+        self.path = path
+
+    def write(self, iterator) -> _ReportCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f"part-{pid:05d}.csv")
+        names = [f.name for f in self.schema.fields]
+        n = 0
+        with open(part, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(names)
+            for row in iterator:
+                w.writerow(["" if v is None else v for v in row])
+                n += 1
+        return _ReportCommit(part, n)
+
+    def commit(self, messages) -> None:
+        manifest = os.path.join(self.path, "_MANIFEST.txt")
+        total = 0
+        with open(manifest, "w") as fh:
+            for m in messages:
+                fh.write(f"{os.path.basename(m.path)}\t{m.n_rows}\n")
+                total += m.n_rows
+            fh.write(f"TOTAL\t{total}\n")
+        open(os.path.join(self.path, "_SUCCESS"), "w").close()
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)

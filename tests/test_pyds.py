@@ -148,3 +148,37 @@ def test_stream_picks_up_new_files_across_runs(spark, tmp_path):
         ("f2", 20.25, 3),
         ("f3", 30.0, 4),
     }
+
+
+# ---------------------------------------------------------------------------
+# K10 — write side (`erddap_report`): per-task part files made visible
+# all-or-nothing by the driver-side commit (manifest + _SUCCESS).
+# ---------------------------------------------------------------------------
+
+
+def test_report_writer_commit_protocol(spark, tmp_path):
+    import os
+    from floatchat_datapipeline_spark.sources.pyds import (
+        ErddapReportDataSource,
+    )
+
+    spark.dataSource.register(ErddapReportDataSource)
+    out = str(tmp_path / "report")
+    df = spark.createDataFrame(
+        [("f1", 10.5), ("f2", None), ("f3", 30.0)], "float_id string, temp double"
+    ).repartition(2)
+    df.write.format("erddap_report").option("path", out).mode("append").save()
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    manifest = open(os.path.join(out, "_MANIFEST.txt")).read().strip().splitlines()
+    assert manifest[-1] == "TOTAL\t3"
+    parts = [ln.split("\t")[0] for ln in manifest[:-1]]
+    # every listed part exists and together they carry all rows
+    rows = []
+    for p in parts:
+        with open(os.path.join(out, p)) as fh:
+            lines = fh.read().strip().splitlines()
+        assert lines[0] == "float_id,temp"
+        rows += lines[1:]
+    assert len(rows) == 3
+    assert any(r.startswith("f2,") for r in rows)  # NULL renders as empty

@@ -32,6 +32,8 @@ MODULE_COVERED: dict[str, str] = {
     "S12": "sources/pyds.ErddapStagedDataSource (tests/test_pyds.py)",
     # streaming Python DataSource: per-arrival micro-batches, offset replay
     "S13": "sources/pyds.ErddapStreamDataSource (tests/test_pyds.py)",
+    # Python DataSource write side: commit-protocol report sink
+    "K10": "sources/pyds.ErddapReportDataSource (tests/test_pyds.py)",
 }
 
 SURVEY_IDS = [
@@ -66,6 +68,8 @@ SURVEY_IDS = [
     "S13",
     # skew-proof salted two-phase aggregation
     "Z2",
+    # Python DataSource commit-protocol write side
+    "K10",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
