@@ -380,6 +380,46 @@ FROM events GROUP BY event_type
 """
 
 
+def q_doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — Python UDTF in a LATERAL join: per-document sentence rows
+    from `split_sentences` (functions/udtfs.py). The split rule is a
+    literal '. ' so DuckDB's string_split replays it exactly; the JVM
+    split+posexplode twin is the scale path, the UDTF is the §2.13
+    table-function surface. Aggregated per document so the driver
+    compare stays compact: sentence count, longest sentence length."""
+    from floatchat_datapipeline_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_docs_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               count(*) AS n_sentences,
+               max(s.n_chars) AS max_sent_chars,
+               CAST(sum(s.n_chars) AS BIGINT) AS sum_sent_chars
+        FROM _docs_for_udtf d, LATERAL split_sentences(d.text) s
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+        """
+    )
+
+
+_DOC_SENTENCES_ORACLE = """
+SELECT doc_id,
+       count(*) AS n_sentences,
+       CAST(max(length(s)) AS INT) AS max_sent_chars,
+       CAST(sum(length(s)) AS BIGINT) AS sum_sent_chars
+FROM (
+  SELECT doc_id, unnest(string_split(text, '. ')) AS s
+  FROM documents
+)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def q_events_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z2 — skew-proof two-phase aggregation: event_type is the classic
     power-law key (5 values over the whole log), so a plain groupBy
@@ -4390,6 +4430,9 @@ def _base_registry() -> dict[str, QuerySpec]:
         ),
         "events_salted_rollup": QuerySpec(
             q_events_salted_rollup, _EVENTS_SALTED_ROLLUP_ORACLE, ("Z2",)
+        ),
+        "doc_sentences": QuerySpec(
+            q_doc_sentences, _DOC_SENTENCES_ORACLE, ("U2",)
         ),
         "argo_new_floats": QuerySpec(
             q_argo_new_floats, _ARGO_NEW_FLOATS_ORACLE, ("J1", "D2")

@@ -34,6 +34,8 @@ MODULE_COVERED: dict[str, str] = {
     "S13": "sources/pyds.ErddapStreamDataSource (tests/test_pyds.py)",
     # Python DataSource write side: commit-protocol report sink
     "K10": "sources/pyds.ErddapReportDataSource (tests/test_pyds.py)",
+    # zero-cost in-flight pipeline metrics via df.observe
+    "A15": "plans/metrics.observe_quality (tests/test_metrics.py)",
 }
 
 SURVEY_IDS = [
@@ -70,6 +72,10 @@ SURVEY_IDS = [
     "Z2",
     # Python DataSource commit-protocol write side
     "K10",
+    # Python UDTF lateral table function
+    "U2",
+    # observed in-flight pipeline metrics
+    "A15",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
