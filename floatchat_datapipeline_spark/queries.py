@@ -1155,6 +1155,555 @@ WHERE (p_brand = 'Brand#12' AND p_size <= 15 AND l_quantity <= 15)
 """
 
 
+# ---------------------------------------------------------------------------
+# Remaining TPC-H query shapes (Q2/Q4/Q8/Q9/Q10/Q11/Q12/Q16/Q20) — with these
+# the registry covers all 22 canonical TPC-H patterns, adapted to the driver's
+# schema (no partsupp table: the distinct (l_partkey, l_suppkey) pairs in
+# lineitem stand in for the part-supplier catalog, and p_retailprice for
+# supplycost). The point is the operator shape — correlated min subquery,
+# EXISTS / NOT EXISTS, scalar-subquery HAVING, conditional aggregation,
+# grouped distinct counts with exclusion lists, nested semi-joins — each
+# hand-decorrelated into the join/agg form a 1000-executor plan wants.
+# Money math runs in exact integer cents wherever a comparison could sit on
+# a float boundary (see q_rich_idle_customers), so DuckDB and Spark agree
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def q_min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 (TPC-H Q2 shape): for each STANDARD small part, the EUROPE
+    supplier quoting the lowest unit price. The correlated MIN subquery
+    decorrelates into a window rank: distinct (part, supplier) pairs carry
+    an EXACT integer unit price (cents div units — both sides integral,
+    so no engine-dependent float division), and row_number over
+    (part ORDER BY price, suppkey) picks one deterministic winner. The
+    part and supplier dims are broadcast; only the slim pair set shuffles
+    for the window. At 100 TB the pair set is |catalog|, not |fact|."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_name")
+    )
+    eu_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        load_table(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    pairs = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name")
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                / F.sum(F.col("l_quantity").cast("long"))
+            ).alias("_unit")
+        )
+        .withColumn(
+            "unit_price_cents",
+            F.floor(F.col("_unit")).cast("long"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_partkey").orderBy("unit_price_cents", "s_suppkey")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_name", "unit_price_cents")
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+_MIN_COST_PART_SUPPLIER_ORACLE = """
+WITH pairs AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name,
+         CAST(floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    / sum(CAST(l_quantity AS BIGINT))) AS BIGINT)
+           AS unit_price_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = 'STANDARD' AND p_size <= 10 AND r_name = 'EUROPE'
+  GROUP BY p_partkey, p_name, s_suppkey, s_name
+)
+SELECT p_partkey, p_name, s_name, unit_price_cents FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY p_partkey ORDER BY unit_price_cents, s_suppkey) AS rn
+  FROM pairs
+)
+WHERE rn = 1
+ORDER BY p_partkey
+LIMIT 100
+"""
+
+
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 (TPC-H Q4 shape): order-priority checking — count H1-1997
+    orders with at least one returned line. The EXISTS subquery is a
+    LEFT SEMI join against the distinct returned orderkeys; the date
+    filter pushes into the orders parquet scan, the returnflag filter
+    into the lineitem scan, and the semi join's build side carries only
+    orderkeys (no payload). Output is 5 rows."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01")
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_LATE_ORDER_PRIORITY_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 (TPC-H Q8 shape): NATION_5's yearly share of the ASIA market.
+    One pass over the fact: lineitem joins broadcast orders-slice? No —
+    orders is fact-sized, so lineitem ⋈ orders shuffles on orderkey once;
+    every dim (customer-nation-region gate, supplier nation) broadcasts.
+    The share divides two ROUNDED sums (the q_tpch_pricing_summary rule:
+    one IEEE quotient of already-rounded operands is engine-independent),
+    never a raw double ratio."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    asia_cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        load_table(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "ASIA"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", rev)), 2
+            ).alias("nation_rev"),
+            F.round(F.sum(rev), 2).alias("total_rev"),
+        )
+        .withColumn("mkt_share", F.col("nation_rev") / F.col("total_rev"))
+        .select("o_year", "nation_rev", "total_rev", "mkt_share")
+        .orderBy("o_year")
+    )
+
+
+_NATION_MARKET_SHARE_ORACLE = """
+SELECT o_year,
+       nation_rev,
+       total_rev,
+       nation_rev / total_rev AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         round(sum(CASE WHEN sn.n_name = 'NATION_5'
+                        THEN l_extendedprice * (1 - l_discount) END), 2)
+           AS nation_rev,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'ASIA'
+  GROUP BY year(o_orderdate)
+)
+ORDER BY o_year
+"""
+
+
+def q_part_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 (TPC-H Q9 shape): profit on 'ring' parts by supplier nation and
+    order year. supplycost has no table here, so cost is modeled as half
+    the part's retail price per unit (p_retailprice stands in for
+    ps_supplycost, SURVEY §2.14). Parts filter on a contains() predicate
+    (pushed to the dim scan, then broadcast); lineitem ⋈ orders is the
+    only fact shuffle. Profit rounds the SUM once at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("ring"))
+        .select("p_partkey", "p_retailprice")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_PART_TYPE_PROFIT_ORACLE = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.5 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%ring%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 (TPC-H Q10 shape): the 20 customers who returned the most
+    revenue in 1997 Q1. Date filter pushes to the orders scan, returnflag
+    to the lineitem scan; the filtered orders slice is quarter-sized so
+    it broadcasts to the fact, and the customer/nation dims broadcast to
+    the slim aggregate. Deterministic top-k: revenue DESC then custkey."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-04-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_RETURNED_ITEM_CUSTOMERS_ORACLE = """
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM (
+  SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+           AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1997-04-01'
+  GROUP BY o_custkey
+)
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 (TPC-H Q11 shape): parts whose traded value through NATION_3
+    suppliers exceeds 0.1% of the nation's total. The scalar subquery in
+    HAVING becomes a 1-row broadcast crossJoin, and the threshold compare
+    runs entirely in integer cents — ``part_cents * 1000 > total_cents``
+    — so no summation order can flip a boundary part. One fact shuffle
+    (groupBy partkey); the total derives from the SAME aggregate, not a
+    second fact pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n3_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(n3_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("value_cents")
+        )
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(
+            "l_partkey",
+            (F.col("value_cents") / 100.0).alias("value"),
+        )
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+_IMPORTANT_PART_VALUES_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+),
+total AS (SELECT sum(value_cents) AS total_cents FROM per_part)
+SELECT l_partkey, value_cents / 100.0 AS value
+FROM per_part, total
+WHERE value_cents * 1000 > total_cents
+ORDER BY value DESC, l_partkey
+"""
+
+
+def q_linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 (TPC-H Q12 shape): conditional aggregation — per linestatus
+    (shipmode stand-in), how many 1997-shipped lines belong to
+    critical-priority vs other orders. The CASE branches fold into two
+    codegen'd SUMs over one fact ⋈ fact join (lineitem ⋈ orders on
+    orderkey, the one unavoidable shuffle); the shipdate filter pushes
+    into the lineitem scan. Output is 2 rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_LINESTATUS_PRIORITY_COUNTS_ORACLE = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q_supplier_part_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 (TPC-H Q16 shape): supplier diversity per (brand, type, size),
+    excluding one brand and any supplier with ≥ 25 returned lines (the
+    customer-complaint NOT IN, rebuilt as a left-anti join against an
+    aggregated exclusion list). The distinct count runs on pairs already
+    deduped by a partial-aggregable groupBy — no Expand plan — and the
+    exclusion list is aggregate-sized, so it broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#5")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complainers = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_ret"))
+        .filter(F.col("n_ret") >= 25)
+        .select(F.col("l_suppkey").alias("bad_suppkey"))
+    )
+    pairs = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(complainers),
+            F.col("l_suppkey") == F.col("bad_suppkey"),
+            "left_anti",
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+_SUPPLIER_PART_DIVERSITY_ORACLE = """
+WITH complainers AS (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_returnflag = 'R'
+  GROUP BY l_suppkey HAVING count(*) >= 25
+)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND l_suppkey NOT IN (SELECT l_suppkey FROM complainers)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 50
+"""
+
+
+def q_promo_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15 (TPC-H Q20 shape): NATION_1 suppliers who shipped, in 1998,
+    more than 30% of some red part's all-time volume. Q20's nested
+    IN-subqueries become one aggregation over the red-part slice (per
+    (supplier, part): 1998 units vs all-time units — quantities are
+    integral, so the 30% threshold compares ``units98 * 10 > 3 * total``
+    in exact integers) followed by a semi-join into the nation-filtered
+    supplier dim. The fact is touched once; both dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    red_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    n1_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_1"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    units = F.col("l_quantity").cast("long")
+    in_98 = (F.col("l_shipdate") >= "1998-01-01") & (
+        F.col("l_shipdate") < "1999-01-01"
+    )
+    heavy = (
+        li.join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_98, units).otherwise(F.lit(0))).alias("units98"),
+            F.sum(units).alias("units_all"),
+        )
+        .filter(F.col("units98") * 10 > 3 * F.col("units_all"))
+        .select("l_suppkey")
+    )
+    return (
+        n1_supp.join(
+            heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_PROMO_PART_SHIPPERS_ORACLE = """
+WITH heavy AS (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                   AND l_shipdate < TIMESTAMP '1999-01-01'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) * 10
+         > 3 * sum(CAST(l_quantity AS BIGINT))
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (SELECT l_suppkey FROM heavy)
+ORDER BY s_suppkey
+"""
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 stream-static enrichment join: the events stream picks up a
     batch-computed per-type profile (sum of exact integer cents + count)
@@ -4358,35 +4907,41 @@ GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 
-def _coverage_rotation_offset(n_queries: int) -> int:
-    """Deterministic per-round rotation for the driver's correctness window.
-
-    The round driver hash-checks only the FIRST 50 entries of ``queries()``,
-    so a fixed ordering leaves the tail permanently unchecked (rounds 1-4
-    checked the identical 50). The committed ``CORRECTNESS_r*.json`` files
-    are a monotonic round counter every checkout shares, so rotating the
-    registry by ``stride * n_files`` walks the 50-wide window across all
-    queries round-robin: every query lands in the driver window within a
-    few rounds and no green is permanently evicted. Local tests
-    (tests/test_driver_parity.py) always gate the full set regardless of
-    order."""
+def _times_driver_checked() -> dict[str, int]:
+    """How many committed ``CORRECTNESS_r*.json`` rounds each query has
+    appeared in. The driver hash-checks only the FIRST 50 entries of
+    ``queries()``, so these files double as a shared, monotonic record of
+    which queries the hard gate has actually visited."""
     import glob
+    import json
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    n_rounds = len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-    # 32 ≈ |registry| - window keeps consecutive windows near-disjoint;
-    # tests/test_registry_rotation.py asserts every query enters the
-    # driver's 50-wide window within a few rounds at the CURRENT registry
-    # size, so the stride need not track the count exactly.
-    stride = 32
-    return (stride * n_rounds) % max(n_queries, 1)
+    counts: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                keys = list(json.load(f))
+        except (OSError, ValueError):
+            continue
+        for k in keys:
+            counts[k] = counts.get(k, 0) + 1
+    return counts
 
 
 def registry() -> dict[str, QuerySpec]:
+    """Least-driver-checked queries first. A fixed ordering leaves the
+    tail past the driver's 50-wide window permanently unchecked (rounds
+    1-4 hash-checked the identical 50), so the registry self-orders by
+    ascending times-checked (stable on base order within a tier): every
+    never-checked query enters the window before ANY query is re-checked,
+    the window sweeps the whole set within ceil(n/50) rounds, and once
+    all counts equalize the tiers keep cycling — no green is permanently
+    evicted. Local tests (tests/test_driver_parity.py) always gate the
+    full set regardless of order."""
     base = _base_registry()
-    names = list(base)
-    k = _coverage_rotation_offset(len(names))
-    return {name: base[name] for name in names[k:] + names[:k]}
+    counts = _times_driver_checked()
+    names = sorted(base, key=lambda n: counts.get(n, 0))
+    return {name: base[name] for name in names}
 
 
 def _base_registry() -> dict[str, QuerySpec]:
@@ -4496,6 +5051,51 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_brand_promo_revenue,
             _BRAND_PROMO_REVENUE_ORACLE,
             ("F12",),
+        ),
+        "min_cost_part_supplier": QuerySpec(
+            q_min_cost_part_supplier,
+            _MIN_COST_PART_SUPPLIER_ORACLE,
+            ("J11",),
+        ),
+        "late_order_priority": QuerySpec(
+            q_late_order_priority,
+            _LATE_ORDER_PRIORITY_ORACLE,
+            ("J12",),
+        ),
+        "nation_market_share": QuerySpec(
+            q_nation_market_share,
+            _NATION_MARKET_SHARE_ORACLE,
+            ("J13",),
+        ),
+        "part_type_profit": QuerySpec(
+            q_part_type_profit,
+            _PART_TYPE_PROFIT_ORACLE,
+            ("A19",),
+        ),
+        "returned_item_customers": QuerySpec(
+            q_returned_item_customers,
+            _RETURNED_ITEM_CUSTOMERS_ORACLE,
+            ("J14",),
+        ),
+        "important_part_values": QuerySpec(
+            q_important_part_values,
+            _IMPORTANT_PART_VALUES_ORACLE,
+            ("A16",),
+        ),
+        "linestatus_priority_counts": QuerySpec(
+            q_linestatus_priority_counts,
+            _LINESTATUS_PRIORITY_COUNTS_ORACLE,
+            ("A17",),
+        ),
+        "supplier_part_diversity": QuerySpec(
+            q_supplier_part_diversity,
+            _SUPPLIER_PART_DIVERSITY_ORACLE,
+            ("A18",),
+        ),
+        "promo_part_shippers": QuerySpec(
+            q_promo_part_shippers,
+            _PROMO_PART_SHIPPERS_ORACLE,
+            ("J15",),
         ),
         "order_price_deciles": QuerySpec(
             q_order_price_deciles,

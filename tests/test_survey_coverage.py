@@ -76,6 +76,12 @@ SURVEY_IDS = [
     "U2",
     # observed in-flight pipeline metrics
     "A15",
+    # remaining TPC-H shapes — with these all 22 canonical patterns exist:
+    # Q2 correlated-min (J11), Q4 EXISTS (J12), Q8 market share (J13),
+    # Q9 profit (A19), Q10 returned-revenue top-k (J14), Q11 scalar-subquery
+    # HAVING (A16), Q12 conditional agg (A17), Q16 grouped distinct with
+    # exclusion list (A18), Q20 nested semi-joins (J15)
+    "J11", "J12", "J13", "J14", "J15", "A16", "A17", "A18", "A19",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
