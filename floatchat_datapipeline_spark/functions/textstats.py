@@ -176,6 +176,37 @@ def fingerprint(text: Column | str, shingle_n: int = 5, sep: str = " ") -> Colum
     return F.array_min(hashed)
 
 
+def winnow(
+    text: Column | str, k: int = 5, w: int = 4, sep: str = " "
+) -> Column:
+    """True winnowing fingerprint selection (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS algorithm): hash every k-token shingle,
+    then keep the MINIMUM hash of each window of w consecutive shingles.
+    Guarantees every match of length ≥ k + w − 1 tokens shares a selected
+    fingerprint while storing only ~2/(w+1) of the hashes — the
+    local-sampling property a single global ``fingerprint`` min lacks.
+
+    Entirely array-domain (sequence + transform + slice + array_min):
+    map-only, zero shuffles, no explode — per-document work is linear in
+    token count, so at 100 TB this runs inside the parquet scan stage.
+    Documents shorter than k + w − 1 tokens yield an empty set (the
+    window sequence guard), never an error."""
+    hs = F.transform(word_shingles(text, k, sep), lambda s: md5_long(s))
+
+    def body(hashes: Column) -> Column:
+        n_win = F.size(hashes) - F.lit(w - 1)
+        starts = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.array_distinct(
+            F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, w)))
+        )
+
+    # bind hs once via a 1-element wrapper (see word_shingles: lambda-body
+    # subtree copies defeat CSE, re-hashing every shingle per window)
+    return F.element_at(F.transform(F.array(F.struct(hs.alias("h"))), lambda s: body(s["h"])), 1)
+
+
 # BPE-ish pre-tokenization: letter runs | digit runs | single other
 # non-space symbol — the regex split GPT-style tokenizers apply before
 # merges. Identical match semantics verified in Spark (Java regex) and

@@ -90,6 +90,64 @@ def sessionize(df: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
     )
 
 
+def session_paths(
+    df: DataFrame,
+    gap_minutes: int = SESSION_GAP_MIN,
+    max_events: int = 20,
+    top_n: int = 15,
+) -> DataFrame:
+    """Session path mining: the most common event-type journeys.
+
+    Reuses the sessionize boundary pattern to assign per-event session
+    ids, builds each session's ordered path by sorting the collected
+    (ts, event_id, event_type) structs — collect_list alone is
+    partition-order dependent; array_sort makes it deterministic — and
+    counts sessions per path. Paths are capped at ``max_events`` events
+    (slice before join) so a pathological always-on key cannot build an
+    unbounded string; at 100 TB the per-session collect is bounded by the
+    session gap, the only full shuffle is the user_id window, and the
+    final per-path count is partial-aggregable with a tiny result."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = gap_minutes * 60
+    with_id = (
+        df.withColumn(
+            "_new_session",
+            F.when(
+                epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
+                > gap_sec,
+                1,
+            )
+            .otherwise(0)
+            .cast("int"),
+        )
+        .withColumn("session_seq", F.sum("_new_session").over(w) + F.lit(1))
+    )
+    paths = (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.slice(
+                    F.transform(F.col("evs"), lambda e: e["event_type"]),
+                    1,
+                    max_events,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(top_n)
+    )
+
+
 def latest_per_key(
     df: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type"),

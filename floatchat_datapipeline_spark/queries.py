@@ -1896,6 +1896,79 @@ FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)
 """
 
 
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L15 — true winnowing fingerprints (Schleimer et al., SIGMOD 2003,
+    the MOSS algorithm): per document, the minimum md5 of each window of
+    w=4 consecutive 5-token shingles, deduplicated. Guarantees any shared
+    run of ≥ 8 tokens surfaces a shared fingerprint while keeping ~2/(w+1)
+    of the hashes — the local-sampling property the single global-min
+    `doc_fingerprint` lacks. Entirely array-domain (functions/textstats.
+    winnow): map-only, zero shuffles, the explode is narrow."""
+    from floatchat_datapipeline_spark.functions import textstats as T
+    from floatchat_datapipeline_spark.plans.scale import rebalance
+
+    docs = rebalance(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return docs.select(
+        "doc_id", F.explode(T.winnow("text", k=5, w=4)).alias("fp")
+    )
+
+
+_DOC_WINNOW_ORACLE = f"""
+SELECT doc_id,
+       unnest(list_distinct([
+         list_aggregate(hs[i:i+3], 'min')
+         for i in generate_series(1, len(hs) - 3)
+       ])) AS fp
+FROM (
+  SELECT doc_id,
+         list_transform(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+              || ' ' || t[i+4]
+            for i in generate_series(1, len(t) - 4)],
+           s -> {_MD5_LONG_SQL.format(x='s')}) AS hs
+  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)
+)
+"""
+
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS6 — session path mining: the 15 most common event-type journeys
+    across 30-minute-gap sessions, paths capped at 20 events
+    (operators/windows.session_paths; deterministic via array_sort on
+    (ts, event_id) before the join — collect_list alone is
+    partition-order dependent)."""
+    from floatchat_datapipeline_spark.operators.windows import session_paths
+
+    return session_paths(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_TOP_PATHS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts)::BIGINT
+                   - lag(epoch(ts)::BIGINT) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, CAST(sum(new_session) OVER w + 1 AS BIGINT) AS session_seq
+  FROM flagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), paths AS (
+  SELECT array_to_string(
+           list_slice(list(event_type ORDER BY ts, event_id), 1, 20),
+           '>') AS path
+  FROM numbered GROUP BY user_id, session_seq
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 15
+"""
+
+
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from floatchat_datapipeline_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -5096,6 +5169,16 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_promo_part_shippers,
             _PROMO_PART_SHIPPERS_ORACLE,
             ("J15",),
+        ),
+        "doc_winnow": QuerySpec(
+            q_doc_winnow,
+            _DOC_WINNOW_ORACLE,
+            ("L15", "fingerprint"),
+        ),
+        "events_top_paths": QuerySpec(
+            q_events_top_paths,
+            _EVENTS_TOP_PATHS_ORACLE,
+            ("TS6",),
         ),
         "order_price_deciles": QuerySpec(
             q_order_price_deciles,

@@ -82,6 +82,10 @@ SURVEY_IDS = [
     # HAVING (A16), Q12 conditional agg (A17), Q16 grouped distinct with
     # exclusion list (A18), Q20 nested semi-joins (J15)
     "J11", "J12", "J13", "J14", "J15", "A16", "A17", "A18", "A19",
+    # winnowing fingerprint selection (MOSS; local-sampling guarantee)
+    "L15",
+    # session path mining (top event-type journeys)
+    "TS6",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
