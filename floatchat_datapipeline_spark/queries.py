@@ -1485,9 +1485,12 @@ def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers exceeds 0.1% of the nation's total. The scalar subquery in
     HAVING becomes a 1-row broadcast crossJoin, and the threshold compare
     runs entirely in integer cents — ``part_cents * 1000 > total_cents``
-    — so no summation order can flip a boundary part. One fact shuffle
-    (groupBy partkey); the total derives from the SAME aggregate, not a
-    second fact pass."""
+    — so no summation order can flip a boundary part. The per-part
+    aggregate is localCheckpointed (it is catalog-sized): Spark would
+    otherwise duplicate the lazy DAG and scan the fact TWICE, once for
+    the rows and once for the scalar total (the doc_dup_clusters
+    materialization rule); with the checkpoint there is exactly one fact
+    pass and one shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     n3_supp = (
         load_table(spark, sf_dir, "supplier")
@@ -1509,6 +1512,7 @@ def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("l_extendedprice") * 100).cast("long")
             ).alias("value_cents")
         )
+        .localCheckpoint(eager=True)
     )
     total = per_part.agg(F.sum("value_cents").alias("total_cents"))
     return (

@@ -204,3 +204,74 @@ def test_hybrid_rrf_legs_end_in_takeordered(spark, sf_dir):
     plan = plan_string(q(spark, sf_dir))
     assert plan.count("TakeOrderedAndProject") >= 3, plan  # 2 legs + fuse
     assert "CartesianProduct" not in plan, plan
+
+
+def test_late_order_priority_semi_join_pushdowns(spark, sf_dir):
+    """J12 (Q4): the EXISTS must compile to a LeftSemi join, with the
+    date range pushed into the orders scan and the returnflag filter
+    pushed into the lineitem scan — at 100 TB both pushdowns are the
+    difference between reading a month and reading the table."""
+    q = registry()["late_order_priority"].spark
+    df = q(spark, sf_dir)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+
+
+def test_min_cost_supplier_dims_broadcast(spark, sf_dir):
+    """J11 (Q2): part and region-gated supplier dims must broadcast onto
+    the fact; the only hash exchange is the catalog-sized pair groupBy
+    that feeds the per-part window."""
+    import re
+
+    q = registry()["min_cost_part_supplier"].spark
+    plan = plan_string(q(spark, sf_dir))
+    n_bhj = len(re.findall(r"BroadcastHashJoin .*\(\d+\)", plan))
+    assert n_bhj >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_important_part_values_single_fact_shuffle(spark, sf_dir):
+    """A16 (Q11): the nation gate broadcasts, the per-part aggregation is
+    the ONE fact shuffle, and the scalar total rides a 1-row broadcast
+    back — a second fact-table pass would double the dominant cost."""
+    q = registry()["important_part_values"].spark
+    plan = plan_string(q(spark, sf_dir))
+    # post-checkpoint plan: both branches read the materialized RDD —
+    # no parquet scan, no agg exchange survives into this plan
+    assert plan.count("Arguments: hashpartitioning") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_supplier_part_diversity_no_expand(spark, sf_dir):
+    """A18 (Q16): the grouped distinct count must run on the pre-deduped
+    pair set — Catalyst's Expand plan (3x row multiplication) must not
+    appear, and the complainer exclusion must be a broadcast anti join."""
+    q = registry()["supplier_part_diversity"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert "Expand" not in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_doc_winnow_is_shuffle_free_scan_stage(spark, sf_dir):
+    """L15: winnowing is array-domain map-only work — zero hash shuffles
+    (the single round-robin exchange is plans/scale.rebalance fanning the
+    one-file small-SF input across cores, a no-op on a real multi-split
+    table) and zero Python nodes."""
+    q = registry()["doc_winnow"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert "Arguments: hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # the one rebalance, tree+detail
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_session_paths_single_window_shuffle(spark, sf_dir):
+    """TS6: one hashpartitioning on user_id feeds both the window and the
+    session groupBy (same key — no second repartition); the final
+    per-path count is tiny and the top-k is a TakeOrdered heap."""
+    q = registry()["events_top_paths"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Arguments: hashpartitioning") <= 2, plan
