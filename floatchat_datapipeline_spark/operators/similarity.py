@@ -155,3 +155,129 @@ def embedding_audit(df: DataFrame, vec_col: str = "embedding", dim: int = 64) ->
         F.round(F.min(n), 6).alias("norm_min"),
         F.round(F.max(n), 6).alias("norm_max"),
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    n_queries: int = 5,
+    candidates: int = 25,
+    k: int = 10,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """V12 — Maximal Marginal Relevance rerank (Carbonell & Goldstein,
+    SIGIR 1998): diversify each query's top-k so near-duplicate hits
+    don't crowd the result. Greedy: pick argmax of
+    ``lam * rel(d) - (1 - lam) * max sim(d, selected)``, ties broken by
+    ascending id.
+
+    Two-stage plan, the shape batch rerank runs at 100 TB:
+
+    1. CANDIDATE GENERATION is the cheap, scalable retrieval path — here
+       the brute-force cosine window (swap in the IVF/LSH/PQ operators at
+       scale); the candidate set per query is a constant (25), so stage-2
+       input is |queries| x 25 rows regardless of corpus size.
+    2. RERANK runs per query group via ``applyInPandas`` — the greedy
+       argmax is inherently sequential IN k but embarrassingly parallel
+       ACROSS queries, and each group is tiny, so the Arrow batch is the
+       entire group and the numpy pairwise-sim matrix is 25x25.
+       Iterative selection cannot be a window function; this is the
+       documented custom-operator seam (cogrouped as-of join rule).
+
+    Query vectors are the first ``n_queries`` embeddings by id —
+    deterministic, like emb_knn_label's probe choice. Greedy selection is
+    deterministic given the candidate set (IEEE products of identical
+    doubles + id tiebreak), so the driver's rows-only check is stable.
+    """
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    emb = df.select(id_col, vec_col)
+    queries = (
+        emb.orderBy(id_col)
+        .limit(n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "rel",
+            dot(F.col(vec_col), F.col("query_vec"))
+            / (norm(F.col(vec_col)) * norm(F.col("query_vec"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), id_col)
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= candidates)
+        .select("query_id", F.col(id_col).alias("doc_id"), "rel", vec_col)
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("rank", IntegerType()),
+            StructField("doc_id", LongType()),
+            StructField("rel", DoubleType()),
+        ]
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["rel", "doc_id"], ascending=[False, True])
+        pdf = pdf.reset_index(drop=True)
+        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        nrm = np.linalg.norm(vecs, axis=1)
+        nrm[nrm == 0] = 1.0
+        unit = vecs / nrm[:, None]
+        sims = unit @ unit.T
+        rel = pdf["rel"].to_numpy()
+        ids = pdf["doc_id"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        remaining = list(range(n))
+        while remaining and len(selected) < k:
+            if not selected:
+                # ties already broken by the sort order
+                best = remaining[0]
+            else:
+                best, best_score = None, None
+                for i in remaining:
+                    penalty = max(sims[i][j] for j in selected)
+                    score = lam * rel[i] - (1.0 - lam) * penalty
+                    if (
+                        best is None
+                        or score > best_score
+                        or (score == best_score and ids[i] < ids[best])
+                    ):
+                        best, best_score = i, score
+            selected.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "rank": list(range(1, len(selected) + 1)),
+                "doc_id": [int(ids[i]) for i in selected],
+                "rel": [float(rel[i]) for i in selected],
+            }
+        )
+
+    return (
+        cand.groupBy("query_id")
+        .applyInPandas(_mmr, schema=out_schema)
+        .orderBy("query_id", "rank")
+    )

@@ -1973,6 +1973,82 @@ LIMIT 15
 """
 
 
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 — robust outlier detection per event_type: modified z-score
+    over median/MAD (Iglewicz & Hoadley 1993), the rule a training-data
+    pipeline uses to quarantine anomalous numeric features because mean/
+    stddev are themselves corrupted by the outliers being hunted.
+
+    Two sequential exact medians (value, then |value − median|) via
+    `percentile` — R-7 interpolation, bit-identical to DuckDB
+    quantile_cont — then one counting pass against the broadcast (median,
+    MAD) dim. The outlier test |x − med| × 6745 > 35000 × MAD is the
+    0.6745·dev/MAD > 3.5 rule cleared of division: pure IEEE products of
+    engine-identical operands, no rounding anywhere. At 100 TB each
+    median swaps to approx_percentile (t-digest, partial-aggregable, A9's
+    documented seam) and the three passes read one pruned 2-column
+    projection."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5e0)").alias("med_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    stats = dev.groupBy("event_type", "med_value").agg(
+        F.expr("percentile(abs(value - med_value), 0.5e0)").alias("mad_value")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "med_value", "mad_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med_value")) * 6745
+                    > 35000 * F.col("mad_value"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_MAD_OUTLIERS_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5e0) AS med_value
+  FROM events GROUP BY event_type
+),
+stats AS (
+  SELECT e.event_type, med_value,
+         quantile_cont(abs(value - med_value), 0.5e0) AS mad_value
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type, med_value
+)
+SELECT event_type, med_value, mad_value,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN abs(value - med_value) * 6745
+                          > 35000 * mad_value
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events JOIN stats USING (event_type)
+GROUP BY event_type, med_value, mad_value
+ORDER BY event_type
+"""
+
+
+def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V12 — MMR-diversified top-10 for 5 probe queries (λ=0.7) over
+    25-candidate sets from the brute-force cosine path. Candidate
+    generation is the scalable retrieval stage; the greedy rerank is
+    per-query applyInPandas (iterative in k, parallel across queries —
+    see operators/similarity.mmr_rerank). No SQL oracle: greedy argmax
+    with a running max-penalty is not expressible without recursion;
+    the driver records a rows-only check and tests/test_embeddings.py
+    replays the selection in numpy."""
+    from floatchat_datapipeline_spark.operators.similarity import mmr_rerank
+
+    return mmr_rerank(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from floatchat_datapipeline_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -5183,6 +5259,17 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_events_top_paths,
             _EVENTS_TOP_PATHS_ORACLE,
             ("TS6",),
+        ),
+        "events_mad_outliers": QuerySpec(
+            q_events_mad_outliers,
+            _EVENTS_MAD_OUTLIERS_ORACLE,
+            ("A20",),
+        ),
+        "emb_mmr_rerank": QuerySpec(
+            q_emb_mmr_rerank,
+            None,  # greedy argmax is iterative — not SQL-expressible;
+            # tests/test_embeddings.py replays the algorithm in numpy
+            ("V12",),
         ),
         "order_price_deciles": QuerySpec(
             q_order_price_deciles,

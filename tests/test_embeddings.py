@@ -327,3 +327,55 @@ def test_double_sql_literals_reconstruct_exact_bits(spark):
     assert len(got) == len(vals)
     for v, g in zip(vals, got):
         assert struct.pack("<d", v) == struct.pack("<d", g), (v, g)
+
+
+def test_mmr_rerank_matches_numpy_replay(spark, sf_dir):
+    """V12: the distributed MMR selection must equal a from-scratch numpy
+    replay of Carbonell & Goldstein's greedy rule over the same candidate
+    sets, and rank-1 must be the plain cosine top-1 (no penalty yet)."""
+    from floatchat_datapipeline_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = (
+        mmr_rerank(emb, n_queries=3, candidates=15, k=5, lam=0.7)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert set(got["query_id"]) == {0, 1, 2}
+    assert list(got.groupby("query_id")["rank"].apply(list)) == [[1, 2, 3, 4, 5]] * 3
+
+    rows = emb.select("vec_id", "embedding").toPandas()
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in rows.itertuples()
+    }
+
+    def unit(v):
+        n = np.linalg.norm(v)
+        return v / n if n else v
+
+    for qid in (0, 1, 2):
+        q = unit(vecs[qid])
+        rel = {
+            i: float(unit(v) @ q) for i, v in vecs.items() if i != qid
+        }
+        cand = sorted(rel, key=lambda i: (-rel[i], i))[:15]
+        selected = []
+        remaining = list(cand)
+        while remaining and len(selected) < 5:
+            if not selected:
+                best = remaining[0]
+            else:
+                best = None
+                for i in remaining:
+                    pen = max(float(unit(vecs[i]) @ unit(vecs[j])) for j in selected)
+                    s = 0.7 * rel[i] - 0.3 * pen
+                    if best is None or s > best_s or (s == best_s and i < best):
+                        best, best_s = i, s
+            selected.append(best)
+            remaining.remove(best)
+        got_q = got[got["query_id"] == qid]["doc_id"].tolist()
+        assert got_q == selected, (qid, got_q, selected)
+        # rank-1 is the raw cosine argmax
+        assert got_q[0] == cand[0]

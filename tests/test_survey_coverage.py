@@ -86,6 +86,10 @@ SURVEY_IDS = [
     "L15",
     # session path mining (top event-type journeys)
     "TS6",
+    # robust median/MAD outlier detection (modified z-score)
+    "A20",
+    # MMR diversified rerank (Carbonell & Goldstein 1998)
+    "V12",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
