@@ -148,6 +148,42 @@ def session_paths(
     )
 
 
+def scd2_compact(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    value_col: str = "value",
+    order_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """K11 — slowly-changing-dimension (type 2) history compaction: turn
+    an append-only change log into validity intervals. Consecutive equal
+    values collapse into one row with [valid_from, valid_to); the current
+    value carries valid_to = NULL. The reference's ON CONFLICT upsert
+    keeps only the latest row (latest_per_key); this keeps the full
+    lineage a warehouse dimension table needs.
+
+    Null-safe change detection (eqNullSafe — a NULL→NULL run is NOT a
+    change, NULL→x and x→NULL are). Both windows and the final interval
+    assembly share ONE hash partitioning on the key columns, so the
+    whole operator costs a single shuffle; per-key state is a sort, no
+    buffering beyond Spark's window frame."""
+    w = Window.partitionBy(*keys).orderBy(order_col, tiebreak)
+    changes = (
+        df.withColumn("_prev", F.lag(value_col).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(
+            (F.col("_rn") == 1)
+            | ~F.col(value_col).eqNullSafe(F.col("_prev"))
+        )
+    )
+    return changes.select(
+        *keys,
+        F.col(value_col),
+        F.col(order_col).alias("valid_from"),
+        F.lead(order_col).over(w).alias("valid_to"),
+    )
+
+
 def latest_per_key(
     df: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type"),

@@ -2035,6 +2035,36 @@ ORDER BY event_type
 """
 
 
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K11 — SCD2 history compaction of the events change log: validity
+    intervals per (user_id, event_type) value run, current row open-ended
+    (operators/windows.scd2_compact). One shuffle: both windows share the
+    key partitioning. The K1/D1 upsert keeps only the latest row; this
+    keeps the lineage a warehouse dimension needs."""
+    from floatchat_datapipeline_spark.operators.windows import scd2_compact
+
+    return scd2_compact(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         lag(value) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT * FROM ordered WHERE rn = 1 OR value IS DISTINCT FROM prev
+)
+SELECT user_id, event_type, value, ts AS valid_from,
+       lead(ts) OVER (
+         PARTITION BY user_id, event_type ORDER BY ts, event_id
+       ) AS valid_to
+FROM changes
+"""
+
+
 def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V12 — MMR-diversified top-10 for 5 probe queries (λ=0.7) over
     25-candidate sets from the brute-force cosine path. Candidate
@@ -5264,6 +5294,11 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_events_mad_outliers,
             _EVENTS_MAD_OUTLIERS_ORACLE,
             ("A20",),
+        ),
+        "events_scd2": QuerySpec(
+            q_events_scd2,
+            _EVENTS_SCD2_ORACLE,
+            ("K11",),
         ),
         "emb_mmr_rerank": QuerySpec(
             q_emb_mmr_rerank,

@@ -275,3 +275,15 @@ def test_session_paths_single_window_shuffle(spark, sf_dir):
     plan = plan_string(q(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("Arguments: hashpartitioning") <= 2, plan
+
+
+def test_scd2_single_shuffle_shared_sort(spark, sf_dir):
+    """K11: both windows and the interval assembly must ride ONE hash
+    exchange and ONE sort — a second exchange or re-sort between the
+    change-detection window and the lead() window would double the cost
+    of full-lineage dimension maintenance."""
+    q = registry()["events_scd2"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert plan.count("Exchange (") == 1, plan
+    assert plan.count("Sort (") == 1, plan
+    assert plan.count("Window (") == 2, plan

@@ -90,6 +90,8 @@ SURVEY_IDS = [
     "A20",
     # MMR diversified rerank (Carbonell & Goldstein 1998)
     "V12",
+    # SCD2 history compaction (change log -> validity intervals)
+    "K11",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
