@@ -3494,6 +3494,31 @@ FROM events GROUP BY user_id
 """
 
 
+def q_stream_type_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 — Spark 4 transformWithStateInPandas: per-(user, event_type)
+    running counters in a typed MapState (exact integer cents), emitted
+    per update (streaming/windows.type_counters_tws). The batch GROUP BY
+    is the oracle because the harness source replays the full backlog."""
+    from floatchat_datapipeline_spark.streaming.run import materialize
+    from floatchat_datapipeline_spark.streaming.sources import stream_table
+    from floatchat_datapipeline_spark.streaming.windows import (
+        type_counters_tws,
+    )
+
+    return materialize(
+        type_counters_tws(stream_table(spark, sf_dir, "events")),
+        "q_stream_type_counters",
+        output_mode="update",
+    )
+
+
+_STREAM_TYPE_COUNTERS_ORACLE = """
+SELECT user_id, event_type, count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY user_id, event_type
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup with watermark-bounded state; event_ids are
     unique in the corpus, so the output is the full event set."""
@@ -5294,6 +5319,11 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_events_mad_outliers,
             _EVENTS_MAD_OUTLIERS_ORACLE,
             ("A20",),
+        ),
+        "stream_type_counters": QuerySpec(
+            q_stream_type_counters,
+            _STREAM_TYPE_COUNTERS_ORACLE,
+            ("S14", "streaming-stateful"),
         ),
         "events_scd2": QuerySpec(
             q_events_scd2,

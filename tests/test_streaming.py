@@ -148,3 +148,49 @@ def test_landing_ingest_idempotent(spark):
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_type_counters_matches_batch_groupby(spark, sf_dir):
+    """S14: the typed-state counter stream (TWS when the protobuf runner
+    exists, the applyInPandasWithState fallback otherwise) must equal the
+    batch GROUP BY in exact cents."""
+    from floatchat_datapipeline_spark.streaming.run import materialize
+    from floatchat_datapipeline_spark.streaming.sources import stream_table
+    from floatchat_datapipeline_spark.streaming.windows import (
+        type_counters_tws,
+    )
+
+    got = (
+        materialize(
+            type_counters_tws(stream_table(spark, sf_dir, "events")),
+            "t_type_counters",
+            output_mode="update",
+        )
+        .toPandas()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+            ).alias("sum_value"),
+        )
+        .toPandas()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert (got["sum_value"].to_numpy() == want["sum_value"].to_numpy()).all()
+
+
+def test_tws_gate_reports_environment():
+    """Documents which S14 path this environment runs; the TWS primary
+    path needs a working google.protobuf for the state-server runner."""
+    from floatchat_datapipeline_spark.streaming.windows import tws_available
+
+    assert tws_available() in (True, False)

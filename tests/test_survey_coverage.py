@@ -92,6 +92,8 @@ SURVEY_IDS = [
     "V12",
     # SCD2 history compaction (change log -> validity intervals)
     "K11",
+    # transformWithStateInPandas typed-state operator (Spark 4 API)
+    "S14",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
