@@ -1297,9 +1297,10 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     One pass over the fact: lineitem joins broadcast orders-slice? No —
     orders is fact-sized, so lineitem ⋈ orders shuffles on orderkey once;
     every dim (customer-nation-region gate, supplier nation) broadcasts.
-    The share divides two ROUNDED sums (the q_tpch_pricing_summary rule:
-    one IEEE quotient of already-rounded operands is engine-independent),
-    never a raw double ratio."""
+    Revenue accumulates in EXACT integer 1e-4-dollar units (ext_cents ×
+    (100 − disc_pct) — round(sum(double)) is not parity-safe, see
+    q_part_type_profit); the share is then one IEEE quotient of two
+    engine-identical doubles."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
@@ -1330,17 +1331,22 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_5", rev)), 2
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", rev_e4)
+                )
+                / 10000.0
             ).alias("nation_rev"),
-            F.round(F.sum(rev), 2).alias("total_rev"),
+            (F.sum(rev_e4) / 10000.0).alias("total_rev"),
         )
         .withColumn("mkt_share", F.col("nation_rev") / F.col("total_rev"))
         .select("o_year", "nation_rev", "total_rev", "mkt_share")
@@ -1355,10 +1361,13 @@ SELECT o_year,
        nation_rev / total_rev AS mkt_share
 FROM (
   SELECT year(o_orderdate) AS o_year,
-         round(sum(CASE WHEN sn.n_name = 'NATION_5'
-                        THEN l_extendedprice * (1 - l_discount) END), 2)
-           AS nation_rev,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+         sum(CASE WHEN sn.n_name = 'NATION_5'
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             END) / 10000.0 AS nation_rev,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+           AS total_rev
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -1379,7 +1388,13 @@ def q_part_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the part's retail price per unit (p_retailprice stands in for
     ps_supplycost, SURVEY §2.14). Parts filter on a contains() predicate
     (pushed to the dim scan, then broadcast); lineitem ⋈ orders is the
-    only fact shuffle. Profit rounds the SUM once at the end."""
+    only fact shuffle. Profit accumulates in EXACT integer 1e-4-dollar
+    units — ext_cents × (100 − disc_pct) − 50 × retail_cents × qty, every
+    factor a short-decimal long — because round(sum(double)) flips on
+    half boundaries between engines (caught at sf0.001: 309209.465 went
+    .47/.46); the single final division is engine-identical. At extreme
+    corpus scale the e4 sum brushes int64 — swap to DECIMAL(38,4), same
+    plan."""
     li = load_table(spark, sf_dir, "lineitem")
     part = (
         load_table(spark, sf_dir, "part")
@@ -1397,23 +1412,27 @@ def q_part_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", F.col("n_name").alias("nation"))
     )
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
-        0.5
-    ) * F.col("p_retailprice") * F.col("l_quantity")
+    ext_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    retail_c = F.round(F.col("p_retailprice") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    amount_e4 = ext_c * (100 - disc_pct) - 50 * retail_c * qty
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg((F.sum(amount_e4) / 10000.0).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 _PART_TYPE_PROFIT_ORACLE = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - 0.5 * p_retailprice * l_quantity), 2) AS sum_profit
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           - 50 * CAST(round(p_retailprice * 100) AS BIGINT)
+             * CAST(l_quantity AS BIGINT)) / 10000.0 AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1430,7 +1449,8 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue in 1997 Q1. Date filter pushes to the orders scan, returnflag
     to the lineitem scan; the filtered orders slice is quarter-sized so
     it broadcasts to the fact, and the customer/nation dims broadcast to
-    the slim aggregate. Deterministic top-k: revenue DESC then custkey."""
+    the slim aggregate. Revenue sums exact 1e-4-dollar integers (see
+    q_part_type_profit). Deterministic top-k: revenue DESC then custkey."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
     )
@@ -1450,11 +1470,13 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "c_name", "c_acctbal", "n_name")
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .agg((F.sum(rev_e4) / 10000.0).alias("revenue"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -1465,7 +1487,9 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RETURNED_ITEM_CUSTOMERS_ORACLE = """
 SELECT c_custkey, c_name, revenue, c_acctbal, n_name
 FROM (
-  SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+  SELECT o_custkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
            AS revenue
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_returnflag = 'R'
