@@ -481,3 +481,44 @@ def dup_components(
         comp.count()  # materialize now so consumers all start warm
         _DUP_COMPONENTS_CACHE[cache_key] = comp
     return comp
+
+
+WINNOW_MAX_DOC_FREQ = 32
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = WINNOW_MAX_DOC_FREQ,
+) -> DataFrame:
+    """MOSS-style match candidates: document pairs sharing ≥ `min_shared`
+    winnowed fingerprints (functions/textstats.winnow — every shared
+    token run of ≥ k + w − 1 tokens is guaranteed to contribute one).
+    Compared to ngram_jaccard_pairs this probes ~2/(w+1) of the shingle
+    hashes, so the inverted index is ~2.5× smaller for the same k.
+
+    Same scale guards as the n-gram index: posting lists materialize only
+    after `_cap_key_frequency` bounds them (boilerplate fingerprints fan
+    out quadratically and carry no match signal), and the pair count is
+    a partial-aggregable groupBy over capped-width lists."""
+    from floatchat_datapipeline_spark.functions.textstats import winnow
+
+    base = rebalance(df.select(id_col, text_col))
+    fps = base.select(
+        F.col(id_col), F.explode(winnow(text_col, k, w)).alias("fp")
+    )
+    return (
+        _cap_key_frequency(fps, ["fp"], max_doc_freq)
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

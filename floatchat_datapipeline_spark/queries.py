@@ -1961,6 +1961,45 @@ FROM (
 """
 
 
+def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L16 — MOSS match candidates: pairs sharing ≥2 winnowed
+    fingerprints (operators/dedup.winnow_pairs; posting lists capped at
+    doc-frequency 32 before materialization, the n-gram index's skew
+    rule)."""
+    from floatchat_datapipeline_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_DOC_WINNOW_PAIRS_ORACLE = f"""
+WITH fps AS (
+  SELECT doc_id,
+         unnest(list_distinct([
+           list_aggregate(hs[i:i+3], 'min')
+           for i in generate_series(1, len(hs) - 3)
+         ])) AS fp
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                || ' ' || t[i+4]
+              for i in generate_series(1, len(t) - 4)],
+             s -> {_MD5_LONG_SQL.format(x='s')}) AS hs
+    FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)
+  )
+),
+ok AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 32
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM fps a
+JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+WHERE a.fp IN (SELECT fp FROM ok)
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TS6 — session path mining: the 15 most common event-type journeys
     across 30-minute-gap sessions, paths capped at 20 events
@@ -5333,6 +5372,11 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_doc_winnow,
             _DOC_WINNOW_ORACLE,
             ("L15", "fingerprint"),
+        ),
+        "doc_winnow_pairs": QuerySpec(
+            q_doc_winnow_pairs,
+            _DOC_WINNOW_PAIRS_ORACLE,
+            ("L16",),
         ),
         "events_top_paths": QuerySpec(
             q_events_top_paths,

@@ -84,6 +84,8 @@ SURVEY_IDS = [
     "J11", "J12", "J13", "J14", "J15", "A16", "A17", "A18", "A19",
     # winnowing fingerprint selection (MOSS; local-sampling guarantee)
     "L15",
+    # winnow match-candidate pairs (capped inverted index)
+    "L16",
     # session path mining (top event-type journeys)
     "TS6",
     # robust median/MAD outlier detection (modified z-score)
