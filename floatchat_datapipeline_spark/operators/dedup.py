@@ -89,6 +89,7 @@ def _minhash_wide(
     text_col: str,
     id_col: str,
     n_hashes: int,
+    balance: bool = True,
 ) -> DataFrame:
     """Wide signature: one row per doc with columns h0..h{n-1}.
 
@@ -107,8 +108,11 @@ def _minhash_wide(
     array).
     """
     shingles = F.array_distinct(word_shingles(text_col, 3))
+    slim = df.select(id_col, text_col)
+    # streaming callers skip the rebalance probe (file-width estimation
+    # reads batch scan metadata; micro-batch width is the source's call)
     with_bases = (
-        rebalance(df.select(id_col, text_col))
+        (rebalance(slim) if balance else slim)
         .select(
             F.col(id_col),
             F.transform(
@@ -156,6 +160,45 @@ def minhash_signatures(
     ).select(id_col, F.col("seed").cast("int"), "minhash")
 
 
+def lsh_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+    band_size: int = LSH_BAND_SIZE,
+    balance: bool = True,
+) -> DataFrame:
+    """(id, band, band_key) rows — band key = md5 of the ordered minhash
+    concat, computed straight off the WIDE signature row (h0..h15 are
+    already columns), so there is no regroup-by-band shuffle. Map-only;
+    works on batch and STREAMING frames alike (pass balance=False on a
+    stream — the rebalance probe reads batch scan metadata)."""
+    wide = _minhash_wide(df, text_col, id_col, n_hashes, balance=balance)
+    n_bands = n_hashes // band_size
+    band_entries = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{band * band_size + j}").cast("string")
+                        for j in range(band_size)
+                    ],
+                )
+            ).alias("band_key"),
+        )
+        for band in range(n_bands)
+    ]
+    return wide.select(
+        F.col(id_col), F.explode(F.array(*band_entries)).alias("bk")
+    ).select(
+        id_col,
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     spark: SparkSession,
@@ -180,26 +223,7 @@ def minhash_lsh_pairs(
     and are dropped BEFORE the collect_list, so per-bucket state and the
     pair explosion both stay bounded at any corpus size.
     """
-    wide = _minhash_wide(df, text_col, id_col, n_hashes)
-    n_bands = n_hashes // band_size
-    band_entries = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"h{band * band_size + j}").cast("string")
-                        for j in range(band_size)
-                    ],
-                )
-            ).alias("band_key"),
-        )
-        for band in range(n_bands)
-    ]
-    keys = wide.select(
-        F.col(id_col), F.explode(F.array(*band_entries)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    keys = lsh_band_keys(df, text_col, id_col, n_hashes, band_size)
     # Pair generation via bucket-grouping, NOT a self-join: joining `keys`
     # with itself would execute the whole signature pipeline twice (Spark
     # reuses exchanges only for canonically-identical subtrees, which

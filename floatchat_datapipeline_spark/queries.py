@@ -2218,6 +2218,40 @@ FROM keys a JOIN keys b
 """
 
 
+def q_stream_neardup_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 — streaming near-dup admission control: arriving documents
+    LSH-checked against the corpus index via a stream-static band-key
+    join (streaming/windows.neardup_intake_stream). The harness streams
+    the same documents table, so the batch twin — both-direction LSH
+    band matches between distinct docs — is the oracle."""
+    from floatchat_datapipeline_spark.streaming.run import materialize
+    from floatchat_datapipeline_spark.streaming.sources import stream_table
+    from floatchat_datapipeline_spark.streaming.windows import (
+        neardup_intake_stream,
+    )
+
+    out = neardup_intake_stream(
+        stream_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "documents"),
+    )
+    return materialize(out, "q_stream_neardup_intake", output_mode="update")
+
+
+_STREAM_NEARDUP_INTAKE_ORACLE = f"""
+WITH {_MINHASH_SIG_SQL},
+keys AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         md5(string_agg(CAST(minhash AS STRING), ',' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
+)
+SELECT a.doc_id AS doc_id, b.doc_id AS corpus_id,
+       count(*) AS n_shared_bands
+FROM keys a JOIN keys b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from floatchat_datapipeline_spark.operators.dedup import simhash
 
@@ -5387,6 +5421,11 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_events_mad_outliers,
             _EVENTS_MAD_OUTLIERS_ORACLE,
             ("A20",),
+        ),
+        "stream_neardup_intake": QuerySpec(
+            q_stream_neardup_intake,
+            _STREAM_NEARDUP_INTAKE_ORACLE,
+            ("S15", "streaming-dedup", "dedup-lsh"),
         ),
         "stream_type_counters": QuerySpec(
             q_stream_type_counters,

@@ -365,3 +365,52 @@ def _type_counters_apiws(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def neardup_intake_stream(
+    stream_docs: DataFrame,
+    corpus_docs: DataFrame,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Streaming near-dup intake gate: every arriving document is checked
+    against the existing corpus's MinHash-LSH index — the admission
+    control a training-data pipeline runs on ingest, as a stream-static
+    equi-join.
+
+    The static side is the corpus's (band, band_key, corpus_id) index
+    (operators/dedup.lsh_band_keys); degenerate buckets above
+    `max_bucket` are dropped — a boilerplate band key would otherwise
+    fan every arriving doc into thousands of matches (singleton buckets
+    are KEPT, unlike the batch pair path: a stream doc matching a
+    one-doc bucket is exactly the signal wanted). The stream side
+    computes its band keys map-only inside the micro-batch (no
+    rebalance probe on a streaming frame), joins on (band, band_key) —
+    a hash join per micro-batch, broadcast when the index is dim-sized
+    — and aggregates matches per (arriving doc, corpus doc) with the
+    shared-band count as match strength. At 100 TB the index lives as a
+    bucketed table keyed by band_key, making the per-batch join
+    shuffle-free on the static side."""
+    from pyspark.sql import Window as W
+
+    from floatchat_datapipeline_spark.operators.dedup import lsh_band_keys
+
+    corpus_keys = lsh_band_keys(
+        corpus_docs, id_col="doc_id"
+    ).select(
+        F.col("doc_id").alias("corpus_id"), "band", "band_key"
+    )
+    bucket_n = F.count(F.lit(1)).over(W.partitionBy("band", "band_key"))
+    corpus_keys = (
+        corpus_keys.withColumn("_n", bucket_n)
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    stream_keys = lsh_band_keys(
+        stream_docs, id_col="doc_id", balance=False
+    )
+    return (
+        stream_keys.join(corpus_keys, ["band", "band_key"])
+        .filter(F.col("doc_id") != F.col("corpus_id"))
+        .groupBy("doc_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )

@@ -96,6 +96,8 @@ SURVEY_IDS = [
     "K11",
     # transformWithStateInPandas typed-state operator (Spark 4 API)
     "S14",
+    # streaming near-dup admission control (stream-static LSH join)
+    "S15",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
