@@ -3375,6 +3375,67 @@ FROM documents
 """
 
 
+def q_vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L17 — the first step of BPE tokenizer training: corpus-wide counts
+    of ADJACENT pre-token pairs, the merge candidates (Sennrich et al.
+    2016 §3.2). Pair construction is the shingle idiom over the pre-token
+    array — sequence/transform inside codegen, split evaluated once via
+    the wrapper-array binding (word_shingles' rule) — so the only shuffle
+    is the partial-aggregated pair count, and the top-k is a TakeOrdered
+    heap. Iterating merge → re-count is the full training loop; one
+    round is the shape (each further round is the same plan over the
+    merged token array)."""
+    from floatchat_datapipeline_spark.functions.textstats import bpe_tokens
+    from floatchat_datapipeline_spark.plans.scale import rebalance
+
+    docs = rebalance(
+        load_table(spark, sf_dir, "documents").select("text")
+    )
+
+    def pairs(toks):
+        k = F.size(toks) - F.lit(1)
+        idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+
+    pair_col = F.element_at(
+        F.transform(
+            F.array(F.struct(bpe_tokens("text").alias("t"))),
+            lambda s: pairs(s["t"]),
+        ),
+        1,
+    )
+    return (
+        docs.select(F.explode(pair_col).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+_VOCAB_BPE_MERGES_ORACLE = """
+WITH toks AS (
+  SELECT regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS t
+  FROM documents
+)
+SELECT pair, count(*) AS n FROM (
+  SELECT unnest([t[i] || ' ' || t[i+1]
+                 for i in generate_series(1, len(t) - 1)]) AS pair
+  FROM toks
+)
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
 def q_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed LLM training-data selection pipeline: exact-dedup
     keepers ∧ quality threshold ∧ language filter — the operators other
@@ -5411,6 +5472,11 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_doc_winnow_pairs,
             _DOC_WINNOW_PAIRS_ORACLE,
             ("L16",),
+        ),
+        "vocab_bpe_merges": QuerySpec(
+            q_vocab_bpe_merges,
+            _VOCAB_BPE_MERGES_ORACLE,
+            ("L17", "bpe-tokens"),
         ),
         "events_top_paths": QuerySpec(
             q_events_top_paths,

@@ -86,6 +86,8 @@ SURVEY_IDS = [
     "L15",
     # winnow match-candidate pairs (capped inverted index)
     "L16",
+    # BPE merge-candidate counting (tokenizer-training step 1)
+    "L17",
     # session path mining (top event-type journeys)
     "TS6",
     # robust median/MAD outlier detection (modified z-score)
