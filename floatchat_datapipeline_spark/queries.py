@@ -3436,6 +3436,108 @@ LIMIT 20
 """
 
 
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 — equi-width length histogram per source (bucket = 64 chars):
+    the packing-efficiency telemetry a sequence-packing stage (L9) is
+    tuned against. Pure integer floor-division bucketing — one
+    partial-aggregable groupBy, output bounded by n_sources × n_buckets.
+    The equi-DEPTH twin is source_quantiles (A9); together they are the
+    two standard corpus-length views."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / 64) * 64
+    return (
+        docs.select("source", bucket.alias("bucket_lo"))
+        .groupBy("source", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "bucket_lo")
+    )
+
+
+_DOC_LENGTH_HISTOGRAM_ORACLE = """
+SELECT source,
+       (n_chars // 64) * 64 AS bucket_lo,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source, (n_chars // 64) * 64
+ORDER BY source, bucket_lo
+"""
+
+
+def q_lakehouse_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 — cross-table constraint audit (the dbt-tests / Deequ role):
+    referential integrity, key nullability, domain ranges — each check a
+    pushed-down count, unioned into one (check, n_violations) report.
+    Every leg scans only the columns its predicate needs; the FK check is
+    a broadcast-anti count, not a join materialization. The reference
+    logs ad-hoc run summaries (main.py); this is that as a declarative,
+    schedulable query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def count_df(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check"), "n_violations"
+        )
+
+    orphan_li = li.select("l_orderkey").join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_anti",
+    )
+    checks = [
+        count_df("lineitem_orphan_orderkey", orphan_li),
+        count_df("lineitem_null_partkey", li.filter(F.col("l_partkey").isNull())),
+        count_df(
+            "lineitem_nonpositive_price",
+            li.filter(F.col("l_extendedprice") <= 0),
+        ),
+        count_df(
+            "lineitem_discount_out_of_range",
+            li.filter(~F.col("l_discount").between(0.0, 0.5)),
+        ),
+        count_df(
+            "orders_null_custkey", orders.filter(F.col("o_custkey").isNull())
+        ),
+        count_df(
+            "events_ts_out_of_range",
+            events.filter(
+                (F.col("ts") < "2020-01-01") | (F.col("ts") >= "2031-01-01")
+            ),
+        ),
+        count_df("documents_empty_text", docs.filter(F.length("text") == 0)),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check")
+
+
+_LAKEHOUSE_QUALITY_AUDIT_ORACLE = """
+SELECT * FROM (
+  SELECT 'lineitem_orphan_orderkey' AS check, count(*) AS n_violations
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  UNION ALL
+  SELECT 'lineitem_null_partkey', count(*) FROM lineitem WHERE l_partkey IS NULL
+  UNION ALL
+  SELECT 'lineitem_nonpositive_price', count(*)
+  FROM lineitem WHERE l_extendedprice <= 0
+  UNION ALL
+  SELECT 'lineitem_discount_out_of_range', count(*)
+  FROM lineitem WHERE NOT (l_discount BETWEEN 0.0 AND 0.5)
+  UNION ALL
+  SELECT 'orders_null_custkey', count(*) FROM orders WHERE o_custkey IS NULL
+  UNION ALL
+  SELECT 'events_ts_out_of_range', count(*)
+  FROM events WHERE ts < TIMESTAMP '2020-01-01' OR ts >= TIMESTAMP '2031-01-01'
+  UNION ALL
+  SELECT 'documents_empty_text', count(*) FROM documents WHERE len(text) = 0
+)
+ORDER BY "check"
+"""
+
+
 def q_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed LLM training-data selection pipeline: exact-dedup
     keepers ∧ quality threshold ∧ language filter — the operators other
@@ -5477,6 +5579,16 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_vocab_bpe_merges,
             _VOCAB_BPE_MERGES_ORACLE,
             ("L17", "bpe-tokens"),
+        ),
+        "doc_length_histogram": QuerySpec(
+            q_doc_length_histogram,
+            _DOC_LENGTH_HISTOGRAM_ORACLE,
+            ("A21",),
+        ),
+        "lakehouse_quality_audit": QuerySpec(
+            q_lakehouse_quality_audit,
+            _LAKEHOUSE_QUALITY_AUDIT_ORACLE,
+            ("A22",),
         ),
         "events_top_paths": QuerySpec(
             q_events_top_paths,

@@ -88,6 +88,10 @@ SURVEY_IDS = [
     "L16",
     # BPE merge-candidate counting (tokenizer-training step 1)
     "L17",
+    # equi-width corpus length histogram
+    "A21",
+    # cross-table constraint audit (dbt-tests / Deequ role)
+    "A22",
     # session path mining (top event-type journeys)
     "TS6",
     # robust median/MAD outlier detection (modified z-score)
