@@ -55,6 +55,27 @@ def hourly_rollup(df: DataFrame) -> DataFrame:
     )
 
 
+def _with_session_seq(df: DataFrame, gap_minutes: int) -> DataFrame:
+    """Shared gaps-and-islands session-id assignment: boundary where the
+    same-user gap exceeds `gap_minutes` (strict >; the streaming
+    session_window twin uses >= — see streaming/windows.py), running sum
+    of boundaries = session_seq. Single hash partitioning on user_id,
+    shared by every downstream same-key window/groupBy. ONE definition so
+    sessionize and session_paths can never disagree on session identity."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = gap_minutes * 60
+    return df.withColumn(
+        "_new_session",
+        F.when(
+            epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
+            > gap_sec,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn("session_seq", F.sum("_new_session").over(w) + F.lit(1))
+
+
 def sessionize(df: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
     """Gaps-and-islands sessionization: a new session starts when the gap
     from the previous event of the same user exceeds `gap_minutes`.
@@ -64,23 +85,9 @@ def sessionize(df: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
     equivalent of Structured Streaming's session_window (streaming twin in
     streaming/windows.py).
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_sec = gap_minutes * 60
-    with_boundary = df.withColumn(
-        "_new_session",
-        F.when(
-            epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
-            > gap_sec,
-            1,
-        )
-        .otherwise(0)
-        .cast("int"),
-    )
-    with_id = with_boundary.withColumn(
-        "session_seq", F.sum("_new_session").over(w) + F.lit(1)
-    )
     return (
-        with_id.groupBy("user_id", "session_seq")
+        _with_session_seq(df, gap_minutes)
+        .groupBy("user_id", "session_seq")
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
@@ -107,23 +114,9 @@ def session_paths(
     unbounded string; at 100 TB the per-session collect is bounded by the
     session gap, the only full shuffle is the user_id window, and the
     final per-path count is partial-aggregable with a tiny result."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_sec = gap_minutes * 60
-    with_id = (
-        df.withColumn(
-            "_new_session",
-            F.when(
-                epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
-                > gap_sec,
-                1,
-            )
-            .otherwise(0)
-            .cast("int"),
-        )
-        .withColumn("session_seq", F.sum("_new_session").over(w) + F.lit(1))
-    )
     paths = (
-        with_id.groupBy("user_id", "session_seq")
+        _with_session_seq(df, gap_minutes)
+        .groupBy("user_id", "session_seq")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("ts", "event_id", "event_type"))

@@ -236,6 +236,20 @@ def enrich_stream(
 # Custom stateful operator — transformWithStateInPandas (Spark 4 API)
 # ---------------------------------------------------------------------------
 
+def _cents_half_up(values: pd.Series) -> pd.Series:
+    """Exact cents with ROUND HALF AWAY FROM ZERO — pandas .round() is
+    half-even (round(12.5)=12) while Spark F.round and DuckDB round are
+    half-up (13), so a 3-decimal value like 0.125 would silently break
+    the stream/batch cent parity this operator's oracle asserts."""
+    import numpy as np
+
+    x = values * 100
+    return pd.Series(
+        np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)),
+        index=values.index,
+    ).astype("int64")
+
+
 TYPE_COUNTER_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
@@ -254,7 +268,10 @@ def tws_available() -> bool:
         from google.protobuf import descriptor  # noqa: F401
 
         return True
-    except ImportError:
+    except Exception:
+        # broken installs raise TypeError/RuntimeError from the C
+        # extension, not just ImportError — any failure means the TWS
+        # runner can't start, so fall back either way
         return False
 
 
@@ -296,7 +313,7 @@ def type_counters_tws(events: DataFrame) -> DataFrame:
         def handleInputRows(self, key, rows, timerValues):
             touched: dict[str, tuple[int, int]] = {}
             for pdf in rows:
-                cents = (pdf["value"] * 100).round().astype("int64")
+                cents = _cents_half_up(pdf["value"])
                 grp = pdf.assign(cents=cents).groupby("event_type")["cents"]
                 for et, s in grp.agg(["count", "sum"]).iterrows():
                     n0, c0 = touched.get(et, (0, 0))
@@ -338,7 +355,7 @@ def _type_counters_apiws(events: DataFrame) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            cents += int(_cents_half_up(pdf["value"]).sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {

@@ -59,5 +59,6 @@ def test_counts_reflect_committed_rounds():
     # rounds 1-4 checked the identical 50 queries
     assert counts, "no CORRECTNESS files found"
     assert max(counts.values()) >= 1
-    for name in counts:
-        assert name in _base_registry() or name, name
+    base = _base_registry()
+    stale = [name for name in counts if name not in base]
+    assert not stale, f"CORRECTNESS keys missing from registry: {stale}"
