@@ -141,6 +141,66 @@ def session_paths(
     )
 
 
+def session_cooccurrence(
+    df: DataFrame,
+    gap_minutes: int = SESSION_GAP_MIN,
+    top_n: int = 20,
+) -> DataFrame:
+    """Market-basket association mining over session baskets: for every
+    unordered event-type pair, the number of sessions containing both
+    (support) and the lift n_ab·N / (n_a·n_b). Baskets come from the
+    shared _with_session_seq assignment; items dedupe to (session, type)
+    BEFORE pairing, so the pair join fans out per basket on distinct
+    types (bounded by the type vocabulary), never per raw event. All
+    counts are exact integers; lift is one division of exact products
+    (n_ab·N ≤ 2^53 at any realistic basket count — past that, DECIMAL).
+    The pair self-join shuffles on the session key both sides already
+    share with the window."""
+    items = (
+        _with_session_seq(df, gap_minutes)
+        .select("user_id", "session_seq", "event_type")
+        .distinct()
+    )
+    n_baskets = items.select("user_id", "session_seq").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    singles = items.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = items.select(
+        "user_id", "session_seq", F.col("event_type").alias("type_a")
+    )
+    b = items.select(
+        "user_id", "session_seq", F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "session_seq"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "type_a", "type_b")
+        .limit(top_n)
+    )
+
+
 def scd2_compact(
     df: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type"),

@@ -2036,6 +2036,56 @@ LIMIT 15
 """
 
 
+def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23 — association-rule mining over session baskets: event-type
+    pair support and lift (operators/windows.session_cooccurrence).
+    Items dedupe to (session, type) before pairing, so fan-out is per
+    basket over distinct types, never per raw event."""
+    from floatchat_datapipeline_spark.operators.windows import (
+        session_cooccurrence,
+    )
+
+    return session_cooccurrence(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_COOCCURRENCE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts)::BIGINT
+                   - lag(epoch(ts)::BIGINT) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, CAST(sum(new_session) OVER w + 1 AS BIGINT) AS session_seq
+  FROM flagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), items AS (
+  SELECT DISTINCT user_id, session_seq, event_type FROM numbered
+), nb AS (
+  SELECT count(*) AS n_baskets
+  FROM (SELECT DISTINCT user_id, session_seq FROM items)
+), singles AS (
+  SELECT event_type, count(*) AS n FROM items GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_ab
+  FROM items a
+  JOIN items b ON a.user_id = b.user_id
+             AND a.session_seq = b.session_seq
+             AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_ab,
+       CAST(n_ab * n_baskets AS DOUBLE) / (sa.n * sb.n) AS lift
+FROM pairs, nb
+JOIN singles sa ON type_a = sa.event_type
+JOIN singles sb ON type_b = sb.event_type
+ORDER BY lift DESC, type_a, type_b
+LIMIT 20
+"""
+
+
 def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A20 — robust outlier detection per event_type: modified z-score
     over median/MAD (Iglewicz & Hoadley 1993), the rule a training-data
@@ -5599,6 +5649,11 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_events_mad_outliers,
             _EVENTS_MAD_OUTLIERS_ORACLE,
             ("A20",),
+        ),
+        "events_cooccurrence": QuerySpec(
+            q_events_cooccurrence,
+            _EVENTS_COOCCURRENCE_ORACLE,
+            ("A23",),
         ),
         "stream_neardup_intake": QuerySpec(
             q_stream_neardup_intake,

@@ -92,6 +92,8 @@ SURVEY_IDS = [
     "A21",
     # cross-table constraint audit (dbt-tests / Deequ role)
     "A22",
+    # association-rule mining (session-basket support/lift)
+    "A23",
     # session path mining (top event-type journeys)
     "TS6",
     # robust median/MAD outlier detection (modified z-score)
