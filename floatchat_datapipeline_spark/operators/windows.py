@@ -154,26 +154,42 @@ def session_cooccurrence(
     types (bounded by the type vocabulary), never per raw event. All
     counts are exact integers; lift is one division of exact products
     (n_ab·N ≤ 2^53 at any realistic basket count — past that, DECIMAL).
-    The pair self-join shuffles on the session key both sides already
-    share with the window."""
-    items = (
+
+    Baskets are collected ONCE (sort_array(collect_set) per session) and
+    localCheckpointed — the naive items-with-items self-join would
+    re-execute the whole sessionize window for both branches (the LSH
+    pair-generation rule in operators/dedup.py), and the three consumers
+    (basket count, item counts, pair explode) would re-run it three
+    times. Pair generation is an in-array double transform over each
+    basket's distinct types, so fan-out is bounded by the type
+    vocabulary per basket, never raw events — one window shuffle total."""
+    baskets = (
         _with_session_seq(df, gap_minutes)
-        .select("user_id", "session_seq", "event_type")
-        .distinct()
+        .groupBy("user_id", "session_seq")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .select("types")
+        .localCheckpoint(eager=True)
     )
-    n_baskets = items.select("user_id", "session_seq").distinct().agg(
-        F.count(F.lit(1)).alias("n_baskets")
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    singles = (
+        baskets.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    singles = items.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    a = items.select(
-        "user_id", "session_seq", F.col("event_type").alias("type_a")
-    )
-    b = items.select(
-        "user_id", "session_seq", F.col("event_type").alias("type_b")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("types"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("types"), i + 2, F.size(F.col("types"))
+                ),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
     )
     pairs = (
-        a.join(b, ["user_id", "session_seq"])
-        .filter(F.col("type_a") < F.col("type_b"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.type_a", "p.type_b")
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )

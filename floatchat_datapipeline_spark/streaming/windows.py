@@ -417,10 +417,15 @@ def neardup_intake_stream(
         F.col("doc_id").alias("corpus_id"), "band", "band_key"
     )
     bucket_n = F.count(F.lit(1)).over(W.partitionBy("band", "band_key"))
+    # materialize the index ONCE: a stream-static join re-evaluates the
+    # static plan every micro-batch, which would recompute the corpus
+    # minhash per batch — the localCheckpoint is the harness stand-in
+    # for the persisted bucketed index table named below
     corpus_keys = (
         corpus_keys.withColumn("_n", bucket_n)
         .filter(F.col("_n") <= max_bucket)
         .drop("_n")
+        .localCheckpoint(eager=True)
     )
     stream_keys = lsh_band_keys(
         stream_docs, id_col="doc_id", balance=False
