@@ -2283,6 +2283,7 @@ def q_stream_neardup_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = neardup_intake_stream(
         stream_table(spark, sf_dir, "documents"),
         load_table(spark, sf_dir, "documents"),
+        cache_key=sf_dir,
     )
     return materialize(out, "q_stream_neardup_intake", output_mode="update")
 
