@@ -2086,6 +2086,41 @@ LIMIT 20
 """
 
 
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 — burst suppression / debounce: keep an event only if it is the
+    user's first or arrives > 30 min after the user's previous RAW event
+    — a burst head, the same boundary rule as sessionize applied as an
+    event-level filter (the per-session representative without the agg).
+    One lag window on the user partitioning, epoch math in exact
+    microseconds. A strict rate-limit (gap from last KEPT event) is
+    inherently iterative — per-key applyInPandas territory — while this
+    raw-gap form stays a pure window expression."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    keep = F.lag("ts").over(w).isNull() | (
+        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        > 1_800_000_000
+    )
+    return (
+        ev.withColumn("_keep", keep)
+        .filter(F.col("_keep"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+_EVENTS_DEBOUNCE_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value FROM (
+  SELECT *, lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE prev_ts IS NULL
+   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+"""
+
+
 def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A20 — robust outlier detection per event_type: modified z-score
     over median/MAD (Iglewicz & Hoadley 1993), the rule a training-data
@@ -5655,6 +5690,11 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_events_cooccurrence,
             _EVENTS_COOCCURRENCE_ORACLE,
             ("A23",),
+        ),
+        "events_debounce": QuerySpec(
+            q_events_debounce,
+            _EVENTS_DEBOUNCE_ORACLE,
+            ("D6",),
         ),
         "stream_neardup_intake": QuerySpec(
             q_stream_neardup_intake,

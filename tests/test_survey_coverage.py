@@ -94,6 +94,8 @@ SURVEY_IDS = [
     "A22",
     # association-rule mining (session-basket support/lift)
     "A23",
+    # telemetry debounce (same-value cooldown suppression)
+    "D6",
     # session path mining (top event-type journeys)
     "TS6",
     # robust median/MAD outlier detection (modified z-score)
