@@ -449,8 +449,17 @@ def neardup_intake_stream(
         )
         if memo is not None:
             _LSH_INDEX_CACHE[memo] = corpus_keys
+    # a file-source micro-batch arrives with one partition per FILE, so
+    # without this the whole batch's minhash runs on one core; the
+    # repartition is the streaming stand-in for rebalance (whose width
+    # probe reads batch scan metadata). Width = default parallelism —
+    # the signature is the expensive map stage, the join reshuffles by
+    # band key anyway.
+    stream_wide = stream_docs.repartition(
+        stream_docs.sparkSession.sparkContext.defaultParallelism
+    )
     stream_keys = lsh_band_keys(
-        stream_docs, id_col="doc_id", balance=False
+        stream_wide, id_col="doc_id", balance=False
     )
     return (
         stream_keys.join(corpus_keys, ["band", "band_key"])
