@@ -217,6 +217,60 @@ def session_cooccurrence(
     )
 
 
+def rate_limit(
+    df: DataFrame,
+    cooldown_seconds: int = 1800,
+    key: str = "user_id",
+) -> DataFrame:
+    """D7 — strict per-key rate limiting: keep an event only if it
+    arrives > `cooldown_seconds` after the last KEPT event of the same
+    key. Unlike the raw-gap debounce (D6), the reference point advances
+    only on kept rows, so a long dense burst emits one event per
+    cooldown interval instead of being swallowed whole. The recurrence
+    (each decision depends on the previous DECISION, not the previous
+    row) has no window-function form — this is the canonical per-key
+    ``applyInPandas`` seam: sequential in each key's event count,
+    embarrassingly parallel across keys, one shuffle on the key.
+
+    The DuckDB oracle expresses the same recurrence as a recursive CTE
+    (each kept row joins to the next qualifying rn), so even this
+    iterative operator is value-checked, not rows-only."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    cooldown_us = cooldown_seconds * 1_000_000
+    out_schema = StructType(
+        [
+            StructField(key, LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        t = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+        keep: list[int] = []
+        last = None
+        for i, tv in enumerate(t):
+            if last is None or tv - last > cooldown_us:
+                keep.append(i)
+                last = tv
+        return pdf.iloc[keep][[key, "event_id", "ts"]]
+
+    return (
+        df.select(key, "event_id", "ts")
+        .groupBy(key)
+        .applyInPandas(scan, schema=out_schema)
+    )
+
+
 def scd2_compact(
     df: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type"),

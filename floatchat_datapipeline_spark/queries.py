@@ -2121,6 +2121,39 @@ WHERE prev_ts IS NULL
 """
 
 
+def q_events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 — strict per-user rate limiting (keep only events > 30 min
+    after the last KEPT event — operators/windows.rate_limit). The
+    decision recurrence has no window form (applyInPandas per key); the
+    oracle expresses it as a recursive CTE, so the iterative operator is
+    value-checked."""
+    from floatchat_datapipeline_spark.operators.windows import rate_limit
+
+    return rate_limit(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_RATE_LIMIT_ORACLE = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+),
+keep AS (
+  SELECT user_id, ts, event_id, rn FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.ts, o.event_id, o.rn
+  FROM keep k
+  JOIN ordered o
+    ON o.user_id = k.user_id
+   AND o.rn = (SELECT min(x.rn) FROM ordered x
+               WHERE x.user_id = k.user_id AND x.rn > k.rn
+                 AND epoch_us(x.ts) - epoch_us(k.ts) > 1800000000)
+)
+SELECT user_id, event_id, ts FROM keep
+"""
+
+
 def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A20 — robust outlier detection per event_type: modified z-score
     over median/MAD (Iglewicz & Hoadley 1993), the rule a training-data
@@ -5695,6 +5728,11 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_events_debounce,
             _EVENTS_DEBOUNCE_ORACLE,
             ("D6",),
+        ),
+        "events_rate_limit": QuerySpec(
+            q_events_rate_limit,
+            _EVENTS_RATE_LIMIT_ORACLE,
+            ("D7",),
         ),
         "stream_neardup_intake": QuerySpec(
             q_stream_neardup_intake,

@@ -96,6 +96,8 @@ SURVEY_IDS = [
     "A23",
     # telemetry debounce (same-value cooldown suppression)
     "D6",
+    # strict per-key rate limiting (iterative; recursive-CTE oracle)
+    "D7",
     # session path mining (top event-type journeys)
     "TS6",
     # robust median/MAD outlier detection (modified z-score)
