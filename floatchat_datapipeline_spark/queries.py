@@ -2154,6 +2154,55 @@ SELECT user_id, event_id, ts FROM keep
 """
 
 
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS7 — OHLC downsampling (candlestick rollup): per (event_type,
+    hour), the open/high/low/close of `value`. Open/close are min_by/
+    max_by — the ARGMIN/ARGMAX form that makes first/last deterministic
+    without a window pass, so the whole rollup is ONE partial-aggregable
+    groupBy (min_by's partial state is a single (key, value) pair, vs. a
+    row_number window that would sort every partition). The order key is
+    a zero-padded `(epoch_us, event_id)` string — total under ts
+    collisions, identically ordered in both engines (DuckDB's arg_min
+    rejects struct keys). The time-series decimation every monitoring
+    store runs at ingest."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+_EVENTS_OHLC_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       arg_min(value, k) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, k) AS close,
+       count(*) AS n_events
+FROM (
+  SELECT *, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+            || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+  FROM events
+)
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY hour, event_type
+"""
+
+
 def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A20 — robust outlier detection per event_type: modified z-score
     over median/MAD (Iglewicz & Hoadley 1993), the rule a training-data
@@ -5733,6 +5782,11 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_events_rate_limit,
             _EVENTS_RATE_LIMIT_ORACLE,
             ("D7",),
+        ),
+        "events_ohlc": QuerySpec(
+            q_events_ohlc,
+            _EVENTS_OHLC_ORACLE,
+            ("TS7",),
         ),
         "stream_neardup_intake": QuerySpec(
             q_stream_neardup_intake,

@@ -98,6 +98,8 @@ SURVEY_IDS = [
     "D6",
     # strict per-key rate limiting (iterative; recursive-CTE oracle)
     "D7",
+    # OHLC candlestick downsampling (argmin/argmax single-pass)
+    "TS7",
     # session path mining (top event-type journeys)
     "TS6",
     # robust median/MAD outlier detection (modified z-score)
