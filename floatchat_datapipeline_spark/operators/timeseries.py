@@ -357,3 +357,168 @@ def asof_join_cogrouped(
         .cogroup(r2.groupBy("_b"))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+def ewma_anomalies(
+    df: DataFrame,
+    alpha: float = 0.5,
+    threshold: float = 150.0,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """TS8 — EWMA control-chart anomaly detection: per key, track an
+    exponentially weighted moving average of `value_col` in event order
+    and flag every observation whose deviation from the PRE-observation
+    EWMA exceeds `threshold` (the classic EWMA control chart, Roberts
+    1959). The state updates on every row — anomalies included — so the
+    tracker re-centers after level shifts instead of flagging forever.
+
+    Like rate_limit (D7), the recurrence depends on continuously evolving
+    per-key state (ewma_i = a*x_i + (1-a)*ewma_{i-1}), which no window
+    function expresses: `applyInPandas` per key — sequential in each
+    key's event count, embarrassingly parallel across keys, one shuffle.
+    The DuckDB oracle replays the recurrence as a recursive CTE stepping
+    rn -> rn+1, so the iterative operator is value-checked. With the
+    default alpha=0.5 every multiply is exact in IEEE754 and both engines
+    perform the identical single rounded addition per step, so
+    `prev_ewma` is bit-identical cross-engine (see
+    tests/test_parity_rules.py conventions).
+
+    Reference analog: none (the reference has no time-series monitoring);
+    closest behavior is its per-upload latest-state sync
+    (sync_supabase_to_chromadb.py:87-115). Parity-plus operator.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    a = float(alpha)
+    b = 1.0 - a
+    out_schema = StructType(
+        [
+            StructField(key, LongType()),
+            StructField("event_id", LongType()),
+            StructField(ts_col, TimestampType()),
+            StructField(value_col, DoubleType()),
+            StructField("prev_ewma", DoubleType()),
+        ]
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, "event_id"]).reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype="float64")
+        keep: list[int] = []
+        prevs: list[float] = []
+        ewma = None
+        for i, xv in enumerate(x):
+            xv = float(xv)
+            if ewma is not None:
+                if abs(xv - ewma) > threshold:
+                    keep.append(i)
+                    prevs.append(ewma)
+                ewma = a * xv + b * ewma
+            else:
+                ewma = xv
+        out = pdf.iloc[keep][[key, "event_id", ts_col, value_col]].copy()
+        out["prev_ewma"] = prevs
+        return out
+
+    return (
+        df.select(key, "event_id", ts_col, value_col)
+        .groupBy(key)
+        .applyInPandas(scan, schema=out_schema)
+    )
+
+
+def gapfill_linterp(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """TS9 — hypertable-style gap-fill with LINEAR interpolation: like
+    gapfill_locf (TS4) but empty buckets take the straight line between
+    the surrounding observed buckets (TimescaleDB's `interpolate()`
+    beside `locf()`). Fully declarative — the same grid build as TS4
+    plus two windows (carry-back and carry-forward of the nearest
+    observed bucket), zero UDFs, everything partitioned by key.
+
+    Parity discipline: bucket sums are exact integer cents; the hour
+    index is an exact integer (epoch_us div 3.6e9 — every quotient
+    representable). The interpolation itself is double math, but BOTH
+    engines evaluate the identical expression tree
+    ``(double)prev + (double)(next-prev) * ((double)k / (double)span)``
+    — each step singly rounded in the same order, so `filled_value` is
+    bit-identical cross-engine (same convention as
+    ewma_anomalies/TS8). Interior gaps always have both neighbors
+    because the grid spans exactly [first, last] observed bucket.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    hourly = (
+        events.select(
+            F.col(key),
+            hour.alias("_hour"),
+            F.round(F.col(value_col) * 100, 0).cast("long").alias("_cents"),
+        )
+        .groupBy(key, "_hour")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_cents").alias("_sum_cents"),
+        )
+    )
+    grid = (
+        hourly.groupBy(key)
+        .agg(F.min("_hour").alias("_lo"), F.max("_hour").alias("_hi"))
+        .select(
+            F.col(key),
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("_hour"),
+        )
+    )
+    wb = (
+        Window.partitionBy(key)
+        .orderBy("_hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy("_hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    hidx = (F.unix_micros(F.col("_hour")) / F.lit(3_600_000_000)).cast("long")
+    obs_hidx = F.when(F.col("_sum_cents").isNotNull(), F.col("_hidx"))
+    lerp = F.col("_prev_c").cast("double") + (
+        F.col("_next_c") - F.col("_prev_c")
+    ).cast("double") * (
+        (F.col("_hidx") - F.col("_prev_h")).cast("double")
+        / (F.col("_next_h") - F.col("_prev_h")).cast("double")
+    )
+    return (
+        grid.join(hourly, [key, "_hour"], "left")
+        .withColumn("_hidx", hidx)
+        .withColumn("_prev_c", F.last("_sum_cents", ignorenulls=True).over(wb))
+        .withColumn("_prev_h", F.last(obs_hidx, ignorenulls=True).over(wb))
+        .withColumn("_next_c", F.first("_sum_cents", ignorenulls=True).over(wf))
+        .withColumn("_next_h", F.first(obs_hidx, ignorenulls=True).over(wf))
+        .select(
+            key,
+            F.col("_hour").alias("hour"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+            F.col("_sum_cents").alias("value_cents"),
+            F.when(
+                F.col("_sum_cents").isNotNull(),
+                F.col("_sum_cents").cast("double"),
+            )
+            .otherwise(lerp)
+            .alias("filled_value"),
+            F.col("_sum_cents").isNull().alias("is_gap"),
+        )
+    )

@@ -2203,6 +2203,44 @@ ORDER BY hour, event_type
 """
 
 
+def q_events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS8 — EWMA control-chart anomalies per user (alpha=0.5,
+    threshold=150): flag events deviating > threshold from the
+    pre-observation EWMA (operators/timeseries.ewma_anomalies). The
+    continuous-state recurrence pairs with D7's boolean-state rate
+    limiter; the oracle replays it as a recursive CTE. alpha=0.5 keeps
+    every multiply exact so prev_ewma is bit-identical cross-engine."""
+    from floatchat_datapipeline_spark.operators.timeseries import (
+        ewma_anomalies,
+    )
+
+    return ewma_anomalies(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_EWMA_ANOMALY_ORACLE = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+),
+state AS (
+  SELECT user_id, event_id, ts, value, rn,
+         value AS ewma, CAST(NULL AS DOUBLE) AS prev_ewma
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+         0.5 * o.value + 0.5 * s.ewma AS ewma,
+         s.ewma AS prev_ewma
+  FROM state s
+  JOIN ordered o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+)
+SELECT user_id, event_id, ts, value, prev_ewma
+FROM state
+WHERE prev_ewma IS NOT NULL AND abs(value - prev_ewma) > 150.0
+"""
+
+
 def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A20 — robust outlier detection per event_type: modified z-score
     over median/MAD (Iglewicz & Hoadley 1993), the rule a training-data
@@ -4921,6 +4959,64 @@ LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
 """
 
 
+def q_events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS9 — hourly gap-fill with linear interpolation per user
+    (operators/timeseries.gapfill_linterp): TS4's grid + two
+    nearest-observation windows; gap buckets take the straight line
+    between surrounding observed cents sums. The lerp is the identical
+    double expression tree in both engines, so filled_value is
+    bit-identical."""
+    from floatchat_datapipeline_spark.operators.timeseries import (
+        gapfill_linterp,
+    )
+
+    return gapfill_linterp(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_GAPFILL_INTERP_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         count(*) AS n,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(hour) AS lo, max(hour) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+  FROM span
+), j AS (
+  SELECT g.user_id, g.hour, h.n, h.cents,
+         epoch_us(g.hour) // 3600000000 AS hidx
+  FROM grid g
+  LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+), w AS (
+  SELECT *,
+    last_value(cents IGNORE NULLS) OVER wb AS prev_c,
+    last_value(CASE WHEN cents IS NOT NULL THEN hidx END IGNORE NULLS)
+      OVER wb AS prev_h,
+    first_value(cents IGNORE NULLS) OVER wf AS next_c,
+    first_value(CASE WHEN cents IS NOT NULL THEN hidx END IGNORE NULLS)
+      OVER wf AS next_h
+  FROM j
+  WINDOW wb AS (PARTITION BY user_id ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY hour
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, hour,
+  CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+  cents AS value_cents,
+  CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+       ELSE CAST(prev_c AS DOUBLE)
+            + CAST(next_c - prev_c AS DOUBLE)
+              * (CAST(hidx - prev_h AS DOUBLE)
+                 / CAST(next_h - prev_h AS DOUBLE))
+  END AS filled_value,
+  cents IS NULL AS is_gap
+FROM w
+"""
+
+
 def q_stream_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (errors × clicks within 10 min, same
     user) — dual watermarks bound both buffers; inner join emits in
@@ -5787,6 +5883,16 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_events_ohlc,
             _EVENTS_OHLC_ORACLE,
             ("TS7",),
+        ),
+        "events_ewma_anomaly": QuerySpec(
+            q_events_ewma_anomaly,
+            _EVENTS_EWMA_ANOMALY_ORACLE,
+            ("TS8",),
+        ),
+        "events_gapfill_interp": QuerySpec(
+            q_events_gapfill_interp,
+            _EVENTS_GAPFILL_INTERP_ORACLE,
+            ("TS9",),
         ),
         "stream_neardup_intake": QuerySpec(
             q_stream_neardup_intake,

@@ -100,6 +100,10 @@ SURVEY_IDS = [
     "D7",
     # OHLC candlestick downsampling (argmin/argmax single-pass)
     "TS7",
+    # EWMA control-chart anomaly detection (continuous-state recurrence)
+    "TS8",
+    # gap-fill linear interpolation (TimescaleDB interpolate() beside locf)
+    "TS9",
     # session path mining (top event-type journeys)
     "TS6",
     # robust median/MAD outlier detection (modified z-score)

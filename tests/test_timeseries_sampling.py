@@ -191,3 +191,57 @@ def test_pack_sequences_never_crosses_shards(spark):
         for prev, cur in zip(sh, sh[1:]):
             start = cur["pack_id"] * 250 + cur["pack_offset"]
             assert start == (prev["pack_id"] * 250 + prev["pack_offset"]) + 100
+
+
+def test_ewma_recenter_and_first_row_exempt(spark):
+    """EWMA tracker updates on every row (anomalies included): after a
+    level shift the chart flags the jump once, then re-centers instead
+    of flagging forever. The first row per key seeds the state and is
+    never flagged; keys are isolated."""
+    from floatchat_datapipeline_spark.operators.timeseries import (
+        ewma_anomalies,
+    )
+
+    rows = [
+        # user 1: stable at 10, jump to 500 and STAY there.
+        (1, 1, _ts(0), "x", 10.0),
+        (2, 1, _ts(1), "x", 10.0),
+        (3, 1, _ts(2), "x", 500.0),   # |500-10| > 150 -> flagged
+        (4, 1, _ts(3), "x", 500.0),   # ewma=255 -> |500-255|=245 -> flagged
+        (5, 1, _ts(4), "x", 500.0),   # ewma=377.5 -> 122.5 -> NOT flagged
+        # user 2: one huge first row seeds state, never flagged.
+        (6, 2, _ts(0), "x", 9999.0),
+        (7, 2, _ts(1), "x", 9999.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = ewma_anomalies(df).toPandas().sort_values("event_id")
+    assert list(out["event_id"]) == [3, 4]
+    assert list(out["prev_ewma"]) == [10.0, 255.0]
+
+
+def test_gapfill_linterp_midpoint_and_observed_passthrough(spark):
+    """Interior gaps take the straight line between the surrounding
+    observed buckets; observed buckets pass through unchanged; the grid
+    spans exactly [first, last] observed hour per key."""
+    from floatchat_datapipeline_spark.operators.timeseries import (
+        gapfill_linterp,
+    )
+
+    rows = [
+        # user 1: 100.00 at h0, 400.00 at h3 -> gaps at h1 (200.0), h2 (300.0)
+        (1, 1, dt.datetime(2024, 1, 1, 0, 30), "x", 100.0),
+        (2, 1, dt.datetime(2024, 1, 1, 3, 15), "x", 400.0),
+        # user 2: single bucket -> no gaps at all
+        (3, 2, dt.datetime(2024, 1, 1, 5, 0), "x", 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = gapfill_linterp(df).toPandas().sort_values(["user_id", "hour"])
+    u1 = out[out.user_id == 1]
+    assert list(u1["filled_value"]) == [10000.0, 20000.0, 30000.0, 40000.0]
+    assert list(u1["is_gap"]) == [False, True, True, False]
+    u2 = out[out.user_id == 2]
+    assert len(u2) == 1 and not u2["is_gap"].iloc[0]
