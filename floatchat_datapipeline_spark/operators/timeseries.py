@@ -504,10 +504,16 @@ def gapfill_linterp(
     return (
         grid.join(hourly, [key, "_hour"], "left")
         .withColumn("_hidx", hidx)
-        .withColumn("_prev_c", F.last("_sum_cents", ignorenulls=True).over(wb))
-        .withColumn("_prev_h", F.last(obs_hidx, ignorenulls=True).over(wb))
-        .withColumn("_next_c", F.first("_sum_cents", ignorenulls=True).over(wf))
-        .withColumn("_next_h", F.first(obs_hidx, ignorenulls=True).over(wf))
+        # all four nearest-observation columns in ONE projection so
+        # Catalyst plans a single Window node (one pass per sorted
+        # partition) instead of one node per withColumn
+        .select(
+            "*",
+            F.last("_sum_cents", ignorenulls=True).over(wb).alias("_prev_c"),
+            F.last(obs_hidx, ignorenulls=True).over(wb).alias("_prev_h"),
+            F.first("_sum_cents", ignorenulls=True).over(wf).alias("_next_c"),
+            F.first(obs_hidx, ignorenulls=True).over(wf).alias("_next_h"),
+        )
         .select(
             key,
             F.col("_hour").alias("hour"),
