@@ -450,6 +450,15 @@ def gapfill_linterp(
     plus two windows (carry-back and carry-forward of the nearest
     observed bucket), zero UDFs, everything partitioned by key.
 
+    The carry-forward columns deliberately do NOT use a
+    `currentRow..unboundedFollowing` frame: Spark's WindowExec evaluates
+    that shrinking frame by re-aggregating from the current row to the
+    partition end for EVERY row — O(n²) per key (measured 16× slower
+    than the LOCF twin at sf0.1). Instead "nearest following
+    observation" is a running `last(ignorenulls)` over the same key
+    partitioning sorted DESCENDING — a growing O(n) frame; the second
+    in-partition sort is O(n log n) and reuses the single exchange.
+
     Parity discipline: bucket sums are exact integer cents; the hour
     index is an exact integer (epoch_us div 3.6e9 — every quotient
     representable). The interpolation itself is double math, but BOTH
@@ -490,8 +499,8 @@ def gapfill_linterp(
     )
     wf = (
         Window.partitionBy(key)
-        .orderBy("_hour")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("_hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     hidx = (F.unix_micros(F.col("_hour")) / F.lit(3_600_000_000)).cast("long")
     obs_hidx = F.when(F.col("_sum_cents").isNotNull(), F.col("_hidx"))
@@ -504,15 +513,19 @@ def gapfill_linterp(
     return (
         grid.join(hourly, [key, "_hour"], "left")
         .withColumn("_hidx", hidx)
-        # all four nearest-observation columns in ONE projection so
-        # Catalyst plans a single Window node (one pass per sorted
-        # partition) instead of one node per withColumn
+        # each direction's pair in ONE projection → exactly two Window
+        # nodes (asc + desc running frames) over one exchange; both
+        # frames are growing (O(n)), never the shrinking
+        # unboundedFollowing frame WindowExec re-aggregates per row
         .select(
             "*",
             F.last("_sum_cents", ignorenulls=True).over(wb).alias("_prev_c"),
             F.last(obs_hidx, ignorenulls=True).over(wb).alias("_prev_h"),
-            F.first("_sum_cents", ignorenulls=True).over(wf).alias("_next_c"),
-            F.first(obs_hidx, ignorenulls=True).over(wf).alias("_next_h"),
+        )
+        .select(
+            "*",
+            F.last("_sum_cents", ignorenulls=True).over(wf).alias("_next_c"),
+            F.last(obs_hidx, ignorenulls=True).over(wf).alias("_next_h"),
         )
         .select(
             key,

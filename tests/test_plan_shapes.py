@@ -289,14 +289,14 @@ def test_scd2_single_shuffle_shared_sort(spark, sf_dir):
     assert plan.count("Window (") == 2, plan
 
 
-def test_gapfill_linterp_single_window_pass(spark, sf_dir):
-    """TS9: all four nearest-observation columns (carry-back and
-    carry-forward, both frames) must ride ONE Window node over ONE sort
-    — a node per withColumn would re-scan every sorted partition four
-    times. The grid join broadcasts (hourly rollup is small relative to
-    the exploded grid at small SF; at scale both sides share the key
-    partitioning)."""
+def test_gapfill_linterp_two_growing_window_passes(spark, sf_dir):
+    """TS9: exactly TWO Window nodes (asc carry-back, desc carry-forward)
+    over in-partition sorts — and crucially NO unboundedfollowing frame:
+    WindowExec evaluates that shrinking frame by re-aggregating to the
+    partition end per row, O(n²) per key (measured 16× slower than the
+    LOCF twin at sf0.1). Both directions must be growing running
+    frames sharing one hash exchange on the key."""
     q = registry()["events_gapfill_interp"].spark
     plan = plan_string(q(spark, sf_dir))
-    assert plan.count("Window (") == 1, plan
-    assert plan.count("Sort (") == 1, plan
+    assert plan.count("Window (") == 2, plan
+    assert "unboundedfollowing" not in plan.lower(), plan
