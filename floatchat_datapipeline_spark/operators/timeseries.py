@@ -376,8 +376,12 @@ def ewma_anomalies(
 
     Like rate_limit (D7), the recurrence depends on continuously evolving
     per-key state (ewma_i = a*x_i + (1-a)*ewma_{i-1}), which no window
-    function expresses: `applyInPandas` per key — sequential in each
-    key's event count, embarrassingly parallel across keys, one shuffle.
+    function expresses: `applyInPandas` — sequential in each key's
+    event count, embarrassingly parallel across keys, one shuffle.
+    Grouped by hash bucket (64), not raw key: one Arrow batch per
+    bucket instead of one per user, the in-worker pandas groupby runs
+    the per-key loop (same pattern as rate_limit/asof_join_cogrouped —
+    per-key Arrow batches are the dominant cost at scale).
     The DuckDB oracle replays the recurrence as a recursive CTE stepping
     rn -> rn+1, so the iterative operator is value-checked. With the
     default alpha=0.5 every multiply is exact in IEEE754 and both engines
@@ -411,7 +415,9 @@ def ewma_anomalies(
         ]
     )
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+    out_cols = [key, "event_id", ts_col, value_col]
+
+    def scan_key(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, "event_id"]).reset_index(drop=True)
         x = pdf[value_col].to_numpy(dtype="float64")
         keep: list[int] = []
@@ -426,14 +432,22 @@ def ewma_anomalies(
                 ewma = a * xv + b * ewma
             else:
                 ewma = xv
-        out = pdf.iloc[keep][[key, "event_id", ts_col, value_col]].copy()
+        out = pdf.iloc[keep][out_cols].copy()
         out["prev_ewma"] = prevs
         return out
 
+    def scan_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["_b"])
+        parts = [scan_key(g) for _, g in pdf.groupby(key, sort=False)]
+        if not parts:
+            return pd.DataFrame(columns=[*out_cols, "prev_ewma"])
+        return pd.concat(parts, ignore_index=True)
+
     return (
         df.select(key, "event_id", ts_col, value_col)
-        .groupBy(key)
-        .applyInPandas(scan, schema=out_schema)
+        .withColumn("_b", F.pmod(F.hash(F.col(key)), F.lit(64)))
+        .groupBy("_b")
+        .applyInPandas(scan_bucket, schema=out_schema)
     )
 
 
