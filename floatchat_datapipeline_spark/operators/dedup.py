@@ -546,3 +546,55 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def source_minhash_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_hashes: int = N_MINHASH,
+) -> DataFrame:
+    """L18 — corpus-level MinHash overlap: estimate the shingle-set
+    Jaccard similarity BETWEEN SOURCES (not documents) — "how much do
+    crawl dump A and dump B overlap?", the question a 100 TB curation
+    pipeline answers before deciding which sources to keep, down-weight,
+    or cross-deduplicate.
+
+    The corpus signature needs no new machinery: min is associative, so
+    each source's minhash per seed is the min over its rows' per-row
+    signatures — `_minhash_wide` keyed by `group_col` (map-only,
+    whole-stage codegen), then ONE partial-aggregable groupBy down to
+    n_sources × n_hashes cells. The pair stage joins that tiny
+    signature table to itself (broadcast, n_sources² rows at most) and
+    counts agreeing seeds: J_est = n_match / n_hashes — an exact k/16
+    double in both engines. At 100 TB the only data-sized pass is the
+    map-only signature scan; everything after is constant-sized.
+    """
+    wide = _minhash_wide(df, text_col, group_col, n_hashes)
+    sig = wide.groupBy(group_col).agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(n_hashes)]
+    )
+    a = sig.select(
+        F.col(group_col).alias("source_a"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(n_hashes)],
+    )
+    b = sig.select(
+        F.col(group_col).alias("source_b"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(n_hashes)],
+    )
+    n_match = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("long")
+        for s in range(n_hashes)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            n_match.alias("n_match"),
+            (n_match.cast("double") / F.lit(float(n_hashes))).alias(
+                "jaccard_est"
+            ),
+        )
+        .orderBy(F.desc("n_match"), "source_a", "source_b")
+    )

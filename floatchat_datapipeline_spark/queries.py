@@ -2404,6 +2404,45 @@ sh AS (
 _DOC_MINHASH_SIGS_ORACLE = f"WITH {_MINHASH_SIG_SQL} SELECT doc_id, seed, minhash FROM sig"
 
 
+def q_source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L18 — inter-source corpus overlap via corpus-level MinHash
+    (operators/dedup.source_minhash_overlap): per-source signature =
+    min over the source's rows (min is associative), pair stage counts
+    agreeing seeds on the tiny signature table. J_est = k/16 exact."""
+    from floatchat_datapipeline_spark.operators.dedup import (
+        source_minhash_overlap,
+    )
+
+    return source_minhash_overlap(load_table(spark, sf_dir, "documents"))
+
+
+_SOURCE_MINHASH_OVERLAP_ORACLE = f"""
+WITH sh AS (
+  SELECT source, unnest({_SHINGLES_3_SQL}) AS tok
+  FROM (SELECT source, string_split(text, ' ') t FROM documents)
+), base AS (
+  SELECT source, {_MD5_LONG_SQL.format(x="tok")} % 1073741789 AS b
+  FROM sh
+), seeds AS (
+  SELECT CAST(unnest(generate_series(0, 15)) AS INT) AS seed
+), sig AS (
+  SELECT source, seed,
+         min((CAST(2 * seed + 1 AS BIGINT) * b
+              + CAST(97 * seed + 13 AS BIGINT)) % 1073741789) AS mh
+  FROM base, seeds
+  GROUP BY source, seed
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) FILTER (WHERE a.mh = b.mh) AS BIGINT) AS n_match,
+       CAST(count(*) FILTER (WHERE a.mh = b.mh) AS DOUBLE) / 16.0
+         AS jaccard_est
+FROM sig a
+JOIN sig b ON a.seed = b.seed AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY n_match DESC, source_a, source_b
+"""
+
+
 def q_doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from floatchat_datapipeline_spark.operators.dedup import minhash_lsh_pairs
 
@@ -5942,6 +5981,11 @@ def _base_registry() -> dict[str, QuerySpec]:
         ),
         "doc_ngram_jaccard": QuerySpec(
             q_doc_ngram_jaccard, _DOC_NGRAM_JACCARD_ORACLE, ("dedup-jaccard",)
+        ),
+        "source_minhash_overlap": QuerySpec(
+            q_source_minhash_overlap,
+            _SOURCE_MINHASH_OVERLAP_ORACLE,
+            ("L18", "dedup-minhash"),
         ),
         "doc_minhash_sigs": QuerySpec(
             q_doc_minhash_sigs, _DOC_MINHASH_SIGS_ORACLE, ("dedup-minhash",)

@@ -88,6 +88,8 @@ SURVEY_IDS = [
     "L16",
     # BPE merge-candidate counting (tokenizer-training step 1)
     "L17",
+    # inter-source corpus overlap via corpus-level MinHash
+    "L18",
     # equi-width corpus length histogram
     "A21",
     # cross-table constraint audit (dbt-tests / Deequ role)
