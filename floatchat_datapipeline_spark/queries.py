@@ -3999,6 +3999,25 @@ FROM events GROUP BY user_id
 """
 
 
+def q_stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 — streaming EWMA control chart (TS8's twin): the tracker is
+    one double of GroupState per user; anomalies emit as events arrive
+    (streaming/windows.ewma_anomaly_stream). Identical recurrence and
+    arithmetic as the batch operator, so the SAME recursive-CTE oracle
+    value-checks the stream."""
+    from floatchat_datapipeline_spark.streaming.run import materialize
+    from floatchat_datapipeline_spark.streaming.sources import stream_table
+    from floatchat_datapipeline_spark.streaming.windows import (
+        ewma_anomaly_stream,
+    )
+
+    return materialize(
+        ewma_anomaly_stream(stream_table(spark, sf_dir, "events")),
+        "q_stream_ewma_anomaly",
+        output_mode="update",
+    )
+
+
 def q_stream_type_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S14 — Spark 4 transformWithStateInPandas: per-(user, event_type)
     running counters in a typed MapState (exact integer cents), emitted
@@ -5942,6 +5961,11 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_stream_type_counters,
             _STREAM_TYPE_COUNTERS_ORACLE,
             ("S14", "streaming-stateful"),
+        ),
+        "stream_ewma_anomaly": QuerySpec(
+            q_stream_ewma_anomaly,
+            _EVENTS_EWMA_ANOMALY_ORACLE,
+            ("S16", "streaming-stateful"),
         ),
         "events_scd2": QuerySpec(
             q_events_scd2,

@@ -467,3 +467,97 @@ def neardup_intake_stream(
         .groupBy("doc_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator — streaming EWMA control chart (TS8 twin, S16)
+# ---------------------------------------------------------------------------
+
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+EWMA_ANOMALY_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("prev_ewma", DoubleType()),
+    ]
+)
+
+_EWMA_ALPHA = 0.5
+_EWMA_THRESHOLD = 150.0
+
+
+def _update_ewma(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    """Streaming form of operators/timeseries.ewma_anomalies: the EWMA
+    tracker lives in GroupState across micro-batches; each batch sorts
+    its rows into event order, replays the identical recurrence
+    (alpha=0.5 — every multiply IEEE-exact, so state and emissions stay
+    bit-identical to the batch operator and its recursive-CTE oracle),
+    and emits ONLY the anomalous rows — monitoring/admission control at
+    ingest. Per-key order across batches relies on the source replaying
+    in event order (the harness AvailableNow file source delivers one
+    batch); within a batch the sort makes order explicit."""
+    a, b, thr = _EWMA_ALPHA, 1.0 - _EWMA_ALPHA, _EWMA_THRESHOLD
+    ewma = state.get[0] if state.exists else None
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    out_ids: list[int] = []
+    out_ts: list = []
+    out_val: list[float] = []
+    out_prev: list[float] = []
+    if frames:
+        pdf = (
+            pd.concat(frames, ignore_index=True)
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        for eid, ts, xv in zip(
+            pdf["event_id"], pdf["ts"], pdf["value"].astype(float)
+        ):
+            xv = float(xv)
+            if ewma is not None:
+                if abs(xv - ewma) > thr:
+                    out_ids.append(int(eid))
+                    out_ts.append(ts)
+                    out_val.append(xv)
+                    out_prev.append(ewma)
+                ewma = a * xv + b * ewma
+            else:
+                ewma = xv
+    state.update((ewma,))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_ids),
+            "event_id": out_ids,
+            "ts": out_ts,
+            "value": out_val,
+            "prev_ewma": out_prev,
+        }
+    )
+
+
+def ewma_anomaly_stream(events: DataFrame) -> DataFrame:
+    """S16 — streaming EWMA control-chart anomaly detection: per-user
+    continuous state (the tracker) in applyInPandasWithState, anomalous
+    events emitted as they arrive. State is ONE double per key —
+    bounded regardless of stream length, the property that makes a
+    recurrence safe at 100 TB where a windowed approach would buffer
+    rows."""
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_ewma,
+            outputStructType=EWMA_ANOMALY_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -118,6 +118,8 @@ SURVEY_IDS = [
     "S14",
     # streaming near-dup admission control (stream-static LSH join)
     "S15",
+    # streaming EWMA control chart (one-double GroupState per key)
+    "S16",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
