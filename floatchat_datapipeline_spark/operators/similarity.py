@@ -186,9 +186,13 @@ def mmr_rerank(
        documented custom-operator seam (cogrouped as-of join rule).
 
     Query vectors are the first ``n_queries`` embeddings by id —
-    deterministic, like emb_knn_label's probe choice. Greedy selection is
-    deterministic given the candidate set (IEEE products of identical
-    doubles + id tiebreak), so the driver's rows-only check is stable.
+    deterministic, like emb_knn_label's probe choice. Greedy selection
+    runs on 1e-6-ROUNDED rel and pairwise sims (the repo-wide cosine
+    parity convention, functions/vector.cosine_topk): decisions are then
+    pure IEEE products/compares of cross-engine-identical doubles + id
+    tiebreak, which is what lets the DuckDB recursive-CTE oracle
+    (queries._EMB_MMR_RERANK_ORACLE) replay the greedy argmax
+    value-exactly instead of a rows-only check.
     """
     import pandas as pd
 
@@ -215,8 +219,11 @@ def mmr_rerank(
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
             "rel",
-            dot(F.col(vec_col), F.col("query_vec"))
-            / (norm(F.col(vec_col)) * norm(F.col("query_vec"))),
+            F.round(
+                dot(F.col(vec_col), F.col("query_vec"))
+                / (norm(F.col(vec_col)) * norm(F.col("query_vec"))),
+                6,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("rel"), id_col)
@@ -244,7 +251,10 @@ def mmr_rerank(
         nrm = np.linalg.norm(vecs, axis=1)
         nrm[nrm == 0] = 1.0
         unit = vecs / nrm[:, None]
-        sims = unit @ unit.T
+        # 1e-6 rounding = the repo-wide cosine parity convention; raw
+        # matmul sums differ from a sequential fold in the last ulp, and
+        # the greedy argmax must compare the SAME numbers as the oracle.
+        sims = np.round(unit @ unit.T, 6)
         rel = pdf["rel"].to_numpy()
         ids = pdf["doc_id"].to_numpy()
         n = len(pdf)

@@ -448,7 +448,7 @@ def q_events_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENTS_SALTED_ROLLUP_ORACLE = """
 SELECT event_type,
        count(event_id) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
        min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
        max(CAST(round(value * 100) AS BIGINT)) AS max_cents
 FROM events
@@ -1596,10 +1596,10 @@ def q_linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LINESTATUS_PRIORITY_COUNTS_ORACLE = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -1610,7 +1610,9 @@ ORDER BY l_linestatus
 
 def q_supplier_part_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A18 (TPC-H Q16 shape): supplier diversity per (brand, type, size),
-    excluding one brand and any supplier with ≥ 25 returned lines (the
+    excluding one brand and any supplier with ≥ 205 returned lines (the
+    above-median complainer tail in this generator's ~200-per-supplier
+    return distribution, so the anti-join excludes SOME but not ALL — the
     customer-complaint NOT IN, rebuilt as a left-anti join against an
     aggregated exclusion list). The distinct count runs on pairs already
     deduped by a partial-aggregable groupBy — no Expand plan — and the
@@ -1625,7 +1627,7 @@ def q_supplier_part_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_returnflag") == "R")
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_ret"))
-        .filter(F.col("n_ret") >= 25)
+        .filter(F.col("n_ret") >= 205)
         .select(F.col("l_suppkey").alias("bad_suppkey"))
     )
     pairs = (
@@ -1650,7 +1652,7 @@ _SUPPLIER_PART_DIVERSITY_ORACLE = """
 WITH complainers AS (
   SELECT l_suppkey FROM lineitem
   WHERE l_returnflag = 'R'
-  GROUP BY l_suppkey HAVING count(*) >= 25
+  GROUP BY l_suppkey HAVING count(*) >= 205
 )
 SELECT p_brand, p_type, p_size,
        count(DISTINCT l_suppkey) AS supplier_cnt
@@ -2338,13 +2340,81 @@ def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     25-candidate sets from the brute-force cosine path. Candidate
     generation is the scalable retrieval stage; the greedy rerank is
     per-query applyInPandas (iterative in k, parallel across queries —
-    see operators/similarity.mmr_rerank). No SQL oracle: greedy argmax
-    with a running max-penalty is not expressible without recursion;
-    the driver records a rows-only check and tests/test_embeddings.py
-    replays the selection in numpy."""
+    see operators/similarity.mmr_rerank). The greedy argmax with a
+    running max-penalty has no window-function form, but like the
+    rate-limit/EWMA recurrences it IS a recursion: the oracle carries
+    the selected set as a LIST column through a recursive CTE and picks
+    each step's argmax with a LATERAL top-1. Decisions on both sides
+    run on 1e-6-rounded cosines (repo parity convention), so the value
+    hash is exact; tests/test_embeddings.py additionally replays the
+    selection in numpy."""
     from floatchat_datapipeline_spark.operators.similarity import mmr_rerank
 
     return mmr_rerank(load_table(spark, sf_dir, "embeddings"))
+
+
+_EMB_MMR_RERANK_ORACLE = """
+WITH RECURSIVE
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM base ORDER BY vec_id LIMIT 5
+),
+scored AS (
+  SELECT q.query_id, b.vec_id AS doc_id,
+         round(list_dot_product(b.v, q.qv)
+               / (sqrt(list_dot_product(b.v, b.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS rel,
+         b.v
+  FROM base b CROSS JOIN q
+  WHERE b.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, doc_id, rel, v FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn
+    FROM scored)
+  WHERE rn <= 25
+),
+sims AS (
+  SELECT a.query_id, a.doc_id AS id_a, b.doc_id AS id_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+),
+sel AS (
+  SELECT query_id, 1 AS rank, doc_id, rel, [doc_id] AS selected
+  FROM (
+    SELECT query_id, doc_id, rel, row_number() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn
+    FROM cand)
+  WHERE rn = 1
+  UNION ALL
+  SELECT s.query_id, s.rank + 1, p.doc_id, p.rel,
+         list_append(s.selected, p.doc_id)
+  FROM sel s JOIN LATERAL (
+    -- λ and (1-λ) as e0 literals so both factors are the same IEEE
+    -- doubles the Python side computes (0.7, 1.0-0.7).
+    SELECT c.doc_id, c.rel,
+           7e-1 * c.rel - (1e0 - 7e-1) * (
+             SELECT max(m.sim) FROM sims m
+             WHERE m.query_id = s.query_id AND m.id_a = c.doc_id
+               AND list_contains(s.selected, m.id_b)) AS score
+    FROM cand c
+    WHERE c.query_id = s.query_id
+      AND NOT list_contains(s.selected, c.doc_id)
+    ORDER BY score DESC, c.doc_id
+    LIMIT 1
+  ) p ON true
+  WHERE s.rank < 10
+)
+SELECT query_id, rank, doc_id, rel
+FROM sel
+ORDER BY query_id, rank
+"""
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5697,40 +5767,64 @@ GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 
-def _times_driver_checked() -> dict[str, int]:
-    """How many committed ``CORRECTNESS_r*.json`` rounds each query has
-    appeared in. The driver hash-checks only the FIRST 50 entries of
-    ``queries()``, so these files double as a shared, monotonic record of
-    which queries the hard gate has actually visited."""
+def _driver_check_history() -> tuple[dict[str, int], dict[str, bool]]:
+    """Per query: (times checked, was-red-at-latest-check) from the
+    committed ``CORRECTNESS_r*.json`` rounds. The driver hash-checks only
+    the FIRST 50 entries of ``queries()``, so these files double as a
+    shared, monotonic record of which queries the hard gate has actually
+    visited — and of which ones it last saw failing. "Red" = any of
+    rows/schema/hash false, or a recorded error (``no_oracle`` for
+    rows-only entries counts as red ONLY until the query grows an oracle;
+    for permanently oracle-less queries it cycles like any green —
+    harmless, since a rows-only re-check is cheap)."""
     import glob
     import json
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     counts: dict[str, int] = {}
+    latest_red: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                keys = list(json.load(f))
+                results = json.load(f)
         except (OSError, ValueError):
             continue
-        for k in keys:
+        for k, v in results.items():
             counts[k] = counts.get(k, 0) + 1
-    return counts
+            if isinstance(v, dict):
+                green = (
+                    v.get("rows_match") is True
+                    and v.get("schema_match") is True
+                    and v.get("hash_match") is True
+                    and not v.get("err")
+                )
+            else:
+                green = False
+            latest_red[k] = not green
+    return counts, latest_red
 
 
 def registry() -> dict[str, QuerySpec]:
-    """Least-driver-checked queries first. A fixed ordering leaves the
-    tail past the driver's 50-wide window permanently unchecked (rounds
-    1-4 hash-checked the identical 50), so the registry self-orders by
-    ascending times-checked (stable on base order within a tier): every
-    never-checked query enters the window before ANY query is re-checked,
-    the window sweeps the whole set within ceil(n/50) rounds, and once
-    all counts equalize the tiers keep cycling — no green is permanently
-    evicted. Local tests (tests/test_driver_parity.py) always gate the
-    full set regardless of order."""
+    """Self-ordering: (last-check-was-red DESC, times-checked ASC, base
+    order). A fixed ordering leaves the tail past the driver's 50-wide
+    window permanently unchecked (rounds 1-4 hash-checked the identical
+    50), and plain ascending-count ordering strands a fixed-but-stale red
+    in its high-count tier for rounds (the round-5 NTZ streaming fixes
+    would have waited ~2 rounds for re-verification). So: queries whose
+    LATEST driver check failed come first (their fixes need the hard gate
+    now), then never-checked queries, then greens cycling by ascending
+    count — no green is permanently evicted. Local tests
+    (tests/test_driver_parity.py) always gate the full set regardless of
+    order."""
     base = _base_registry()
-    counts = _times_driver_checked()
-    names = sorted(base, key=lambda n: counts.get(n, 0))
+    counts, latest_red = _driver_check_history()
+    names = sorted(
+        base,
+        key=lambda n: (
+            0 if latest_red.get(n, False) else 1,
+            counts.get(n, 0),
+        ),
+    )
     return {name: base[name] for name in names}
 
 
@@ -5974,8 +6068,7 @@ def _base_registry() -> dict[str, QuerySpec]:
         ),
         "emb_mmr_rerank": QuerySpec(
             q_emb_mmr_rerank,
-            None,  # greedy argmax is iterative — not SQL-expressible;
-            # tests/test_embeddings.py replays the algorithm in numpy
+            _EMB_MMR_RERANK_ORACLE,
             ("V12",),
         ),
         "order_price_deciles": QuerySpec(

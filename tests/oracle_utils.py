@@ -55,6 +55,21 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "que
     assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]
+        # The driver's value-hash renders values through pandas dtypes, so
+        # an integral column on one side vs float on the other (e.g. DuckDB
+        # sum(BIGINT) -> HUGEINT -> float64 vs Spark bigint) hashes `42` vs
+        # `42.0` and FAILS even when values are equal. Mirror that
+        # sensitivity: dtype KINDS must agree before values are compared.
+        _KIND = {"i": "int", "u": "int", "f": "float", "b": "bool"}
+        gk, wk = _KIND.get(g.dtype.kind), _KIND.get(w.dtype.kind)
+        # object columns (strings, lists, decimals, HUGEINT-as-object) fall
+        # through to the value comparison; int-vs-float is the hash killer.
+        if gk is not None and wk is not None:
+            assert gk == wk, (
+                f"{name}: column {c!r} dtype-kind mismatch — spark "
+                f"{g.dtype} vs duckdb {w.dtype}; the driver hash would "
+                f"fail this even with equal values (cast the oracle)"
+            )
         if pd.api.types.is_float_dtype(g) and pd.api.types.is_float_dtype(w):
             both_nan = g.isna() & w.isna()
             eq = (g == w) | both_nan

@@ -330,17 +330,18 @@ def test_double_sql_literals_reconstruct_exact_bits(spark):
 
 
 def test_mmr_rerank_satisfies_greedy_objective(spark, sf_dir):
-    """V12: validate the greedy MMR property against a numpy replay with
-    an ulp tolerance — the replay's rel/sim arithmetic (numpy pairwise
-    sums, BLAS matmul) is NOT fold-for-fold identical to the operator's
-    (Spark SQL aggregate fold; per-group GEMM), so exact tie resolution
-    may differ by <1e-12 on regenerated data. What must hold exactly:
-    ranks are 1..k per query, picks are distinct, rank-1 is the cosine
-    argmax (within tolerance), and every pick's MMR score is within
-    1e-9 of the best remaining candidate at its step."""
+    """V12: validate the greedy MMR property against a numpy replay.
+    The operator decides on 1e-6-ROUNDED rel/sims (the cross-engine
+    parity convention that enables the recursive-CTE DuckDB oracle), so
+    the replay's raw-double scores can differ from the operator's by up
+    to the rounding granularity; TOL covers rounding (5e-7 per term) +
+    fold-order ulps. What must hold: ranks are 1..k per query, picks are
+    distinct, rank-1 is the cosine argmax (within tolerance), and every
+    pick's MMR score is within TOL of the best remaining candidate at
+    its step."""
     from floatchat_datapipeline_spark.operators.similarity import mmr_rerank
 
-    TOL = 1e-9
+    TOL = 2e-6
     emb = load_table(spark, sf_dir, "embeddings")
     got = (
         mmr_rerank(emb, n_queries=3, candidates=15, k=5, lam=0.7)
