@@ -1,0 +1,163 @@
+"""Graph analytics over warehouse tables — edge building + PageRank.
+
+The reference has no graph surface; this extends the engine the way a
+training-data pipeline needs it: derive an entity graph FROM relational
+data (co-activity, co-citation, near-dup clusters) and rank nodes by
+centrality to weight/prioritize sources. The dup-cluster closure
+(operators/clusters.py large-star/small-star) already covers connected
+components; PageRank is the second canonical iterative-join algorithm.
+
+Cross-engine determinism: PageRank is usually float — and repeated float
+summation is order-dependent, so a DuckDB replay would drift after a few
+iterations. This implementation is FIXED-POINT: ranks are BIGINT
+"mass units" (total mass 10^15), per-edge contributions are integer
+division `rank div outdeg`, and damping is `(85 * inflow) div 100`.
+Integer addition is associative under any shuffle order, so ten
+iterations are bit-identical across Spark partitionings AND across
+engines — the oracle replays them as ten chained SQL CTEs. The floor
+divisions leak a few units of mass per node per iteration (bounded by
+outdeg + 100 units); that is a documented property of the algorithm, not
+noise — both engines leak identically.
+
+Scale notes (100 TB): the rank vector is |V| rows — tiny next to the
+edge list — so each iteration BROADCASTS ranks into the edge scan (no
+edge shuffle, no driver collect; the plan's only exchange is the
+partial-aggregable groupBy(dst)). When |V| outgrows the broadcast
+threshold, drop the explicit broadcast and pre-bucket both sides on the
+node key (sinks/bucketed.py) so the per-iteration join is co-located.
+Ranks are localCheckpointed every `checkpoint_every` iterations —
+10 chained join+agg plans otherwise stack into one giant lineage (the
+iterative-algorithm rule from operators/clusters.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from floatchat_datapipeline_spark.functions.eventtime import (
+    epoch_micros,
+    long_div,
+)
+
+# Total PageRank mass in integer units. 10^15 leaves headroom for the
+# 85×inflow product (8.5e16 << 2^63) and gives ~6 significant digits of
+# rank resolution at a million nodes.
+PAGERANK_MASS = 10**15
+DAMPING_NUM, DAMPING_DEN = 85, 100
+
+
+def coactivity_edges(
+    events: DataFrame,
+    bucket_cap: int = 64,
+    slot_seconds: int = 600,
+) -> DataFrame:
+    """Directed co-activity edges between users: u → v (and v → u) iff
+    both have ≥1 event of the same event_type within the same
+    `slot_seconds` time slot (default 10 min — hour-wide slots make the
+    graph near-complete on this generator's uniform traffic, which is
+    both meaningless as a signal and quadratically expensive).
+
+    Memberships dedupe to (event_type, slot, user) BEFORE pairing, and
+    each bucket keeps only its first `bucket_cap` users by ascending id
+    (row_number, deterministic) — the LSH posting-list rule: per-bucket
+    pair fan-out is O(cap²), never O(members²), so one viral slot cannot
+    produce a quadratic edge blowup. Pairs are generated in-array from
+    one sorted collect_set per bucket (the session_cooccurrence shape:
+    bounded by cap, no self-join re-execution), then deduped across
+    buckets. Returns distinct (src, dst), symmetric by construction —
+    every node therefore has outdeg ≥ 1 (no dangling-mass handling
+    needed in pagerank_fixed_point); users never co-active with anyone
+    are not nodes.
+    """
+    slot_us = slot_seconds * 1_000_000
+    members = events.select(
+        "event_type",
+        long_div(epoch_micros(F.col("ts")), slot_us).alias("h"),
+        "user_id",
+    ).distinct()
+    w = Window.partitionBy("event_type", "h").orderBy("user_id")
+    capped = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= bucket_cap)
+        .drop("_rn")
+    )
+    buckets = capped.groupBy("event_type", "h").agg(
+        F.sort_array(F.collect_set("user_id")).alias("us")
+    )
+    # all ordered pairs (i ≠ j) from each bucket's sorted user array
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("us"),
+            lambda x: F.filter(
+                F.transform(
+                    F.col("us"),
+                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                ),
+                lambda p: p["src"] != p["dst"],
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.src", "p.dst")
+        .distinct()
+    )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iters: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-point PageRank (α = 0.85) over a directed edge list whose
+    every node has outdeg ≥ 1 (symmetric edge lists qualify).
+
+    rank₀(v)   = MASS div n
+    rankᵢ₊₁(v) = (15·(MASS div n)) div 100
+                 + (85 · Σ_{u→v} rankᵢ(u) div outdeg(u)) div 100
+
+    All BIGINT; returns (node, rank_units). See module docstring for the
+    determinism and 100 TB rationale.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # edges ⋈ outdeg once, up front; localCheckpoint so the 10 iterations
+    # re-read a materialized edge list instead of re-running the dedup.
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = ed.select(F.col("src").alias("node")).distinct()
+    stats = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = F.expr(f"{PAGERANK_MASS} div n")
+    ranks = (
+        nodes.crossJoin(F.broadcast(stats))
+        .select("node", base.alias("rank"), "n")
+        .localCheckpoint(eager=True)
+    )
+    teleport = F.expr(f"({15} * ({PAGERANK_MASS} div n)) div 100")
+    for i in range(iters):
+        inflow = (
+            ed.join(
+                F.broadcast(ranks.select("node", "rank")),
+                ed.src == F.col("node"),
+            )
+            .select(F.col("dst"), F.expr("rank div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            ranks.select("node", "n")
+            .join(inflow, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    teleport
+                    + F.expr(
+                        f"({DAMPING_NUM} * coalesce(inflow, 0L))"
+                        f" div {DAMPING_DEN}"
+                    )
+                ).alias("rank"),
+                "n",
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "rank")

@@ -555,3 +555,119 @@ def gapfill_linterp(
             F.col("_sum_cents").isNull().alias("is_gap"),
         )
     )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    hold_seconds: int = 300,
+    key: str = "event_type",
+) -> DataFrame:
+    """Max-overlap sweep line: treating each event as an open interval
+    [ts, ts + hold), the peak number of simultaneously open intervals per
+    key — the "how many sessions were live at the worst moment" question
+    capacity planning asks of any event log.
+
+    Plan: one union of +1/−1 boundary points, ONE window (running sum
+    over (t, delta) within the key partition — a growing ROWS frame,
+    O(n)), one groupBy max. Ordering by (t, delta) puts closes before
+    opens at the same instant, so touching intervals don't double-count;
+    within a tied (t, delta) block the block-end prefix sum — the only
+    one the max can land on — is permutation-invariant, so the result is
+    deterministic under any shuffle order. All integer arithmetic.
+
+    Scale: partitions by key; a single globally-hot key serializes its
+    sweep — shard the key by time range first (each shard sweeps
+    independently, seeded by the open-count carried over from the
+    previous shard via one small join) — documented, not needed at the
+    5-key test cardinality.
+    """
+    ev = df.select(key, "ts")
+    pts = ev.select(
+        key, F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        ev.select(
+            key,
+            (F.col("ts") + F.expr(f"INTERVAL {hold_seconds} SECONDS")).alias(
+                "t"
+            ),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.withColumn("open_now", F.sum("delta").over(w))
+        .groupBy(key)
+        .agg(
+            F.max("open_now").alias("peak_concurrency"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        )
+        .orderBy(key)
+    )
+
+
+def interval_union(
+    df: DataFrame,
+    hold_seconds: int = 300,
+    key: str = "user_id",
+) -> DataFrame:
+    """Interval-union coverage (gaps-and-islands merge): per key, merge
+    the overlapping/touching intervals [ts, ts + hold) and report how
+    many merged islands remain and the total covered microseconds — the
+    "actual active time" metric that naive sum-of-durations double-counts
+    whenever events overlap.
+
+    Plan: one window partitioning — a running max of interval-end over
+    strictly-preceding rows marks island starts (ts > max carries a gap),
+    a running sum of those flags numbers the islands, then one groupBy
+    per (key, island) and one per key. The running max and sum share the
+    same (key · ts, event_id) sort, so Catalyst plans ONE exchange + sort
+    for both Window nodes. End-of-island and coverage are exact integer
+    microseconds (epoch_micros), so the DuckDB oracle hashes identically.
+    """
+    hold_us = hold_seconds * 1_000_000
+    ev = df.select(
+        key, "event_id", epoch_micros(F.col("ts")).alias("s_us")
+    ).withColumn("e_us", F.col("s_us") + F.lit(hold_us))
+    wp = (
+        Window.partitionBy(key)
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wr = (
+        Window.partitionBy(key)
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(
+            F.col("s_us") > F.max("e_us").over(wp), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum(
+            # first row per key has a NULL running max → new_island 0;
+            # make row 1 open island 1 explicitly
+            F.when(F.max("e_us").over(wp).isNull(), F.lit(1)).otherwise(
+                F.col("new_island")
+            )
+        ).over(wr),
+    )
+    islands = flagged.groupBy(key, "island").agg(
+        F.min("s_us").alias("i_start"),
+        F.max("e_us").alias("i_end"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return (
+        islands.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("n_ev").alias("n_intervals"),
+            F.sum(F.col("i_end") - F.col("i_start")).alias("covered_us"),
+        )
+        .orderBy(key)
+    )

@@ -5763,6 +5763,163 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Graph + interval algebra (beyond-reference: iterative joins, sweep lines)
+# ---------------------------------------------------------------------------
+
+
+def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (10 iterations, α=0.85) over the user
+    co-activity graph — users linked when active in the same
+    (event_type, 10-minute slot) bucket (membership capped at 64, the
+    LSH posting-list rule). Ranks are BIGINT mass units with integer-division
+    damping, so ten iterations are bit-identical across engines and
+    shuffle orders; the oracle replays them as ten chained CTEs. The
+    rank vector broadcasts into each per-iteration edge join (no edge
+    shuffle); see operators/graph.py for the 100 TB notes."""
+    from floatchat_datapipeline_spark.operators.graph import (
+        coactivity_edges,
+        pagerank_fixed_point,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ranks = pagerank_fixed_point(coactivity_edges(ev), iters=10)
+    return ranks.select(
+        F.col("node").alias("user_id"), F.col("rank").alias("rank_units")
+    ).orderBy(F.desc("rank_units"), "user_id")
+
+
+def _pagerank_oracle(iters: int = 10, cap: int = 64) -> str:
+    head = f"""
+WITH members AS (
+  SELECT DISTINCT event_type,
+         epoch_us(ts) // 600000000 AS h, user_id
+  FROM events
+), capped AS (
+  SELECT event_type, h, user_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type, h ORDER BY user_id) AS rn
+    FROM members)
+  WHERE rn <= {cap}
+), edges0 AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM capped a JOIN capped b
+    ON a.event_type = b.event_type AND a.h = b.h
+   AND a.user_id <> b.user_id
+), deg AS (
+  SELECT src, count(*) AS outdeg FROM edges0 GROUP BY src
+), edges AS (
+  SELECT e.src, e.dst, d.outdeg FROM edges0 e JOIN deg d USING (src)
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges0
+), const AS (
+  SELECT CAST(1000000000000000 // count(*) AS BIGINT) AS base FROM nodes
+), r0 AS (
+  SELECT node, (SELECT base FROM const) AS pr FROM nodes
+)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""", r{i} AS (
+  SELECT n.node,
+         CAST((SELECT (15 * base) // 100 FROM const)
+              + (85 * COALESCE(s.inflow, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(r.pr // e.outdeg) AS BIGINT) AS inflow
+    FROM edges e JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst) s USING (node)
+)""")
+    tail = f"""
+SELECT node AS user_id, pr AS rank_units
+FROM r{iters}
+ORDER BY rank_units DESC, user_id
+"""
+    return head + "".join(steps) + tail
+
+
+_EVENTS_PAGERANK_ORACLE = _pagerank_oracle()
+
+
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval max-overlap per event_type: events held open for 5
+    minutes; peak simultaneous-open count via a +1/−1 boundary sweep with
+    one growing-frame running sum (operators/timeseries.peak_concurrency).
+    The capacity-planning twin of the OHLC decimation."""
+    from floatchat_datapipeline_spark.operators.timeseries import (
+        peak_concurrency,
+    )
+
+    return peak_concurrency(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_PEAK_CONCURRENCY_ORACLE = """
+WITH pts AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 300 SECOND, -1 FROM events
+), run AS (
+  SELECT event_type,
+         CAST(sum(delta) OVER (
+           PARTITION BY event_type ORDER BY t, delta
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS open_now
+  FROM pts
+)
+SELECT event_type,
+       max(open_now) AS peak_concurrency,
+       CAST(count(*) // 2 AS BIGINT) AS n_intervals
+FROM run
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage per user: merge overlapping/touching
+    5-minute activity intervals (gaps-and-islands running max) and report
+    merged-island count and exact covered microseconds
+    (operators/timeseries.interval_union) — the de-double-counted
+    active-time metric."""
+    from floatchat_datapipeline_spark.operators.timeseries import (
+        interval_union,
+    )
+
+    return interval_union(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_INTERVAL_UNION_ORACLE = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + 300000000 AS e_us
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, s_us, e_us,
+         CASE WHEN max(e_us) OVER w IS NULL THEN 1
+              WHEN s_us > max(e_us) OVER w THEN 1 ELSE 0 END AS new_island
+  FROM iv
+  WINDOW w AS (PARTITION BY user_id ORDER BY s_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), numbered AS (
+  SELECT user_id, s_us, e_us,
+         CAST(sum(new_island) OVER (
+           PARTITION BY user_id ORDER BY s_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS island
+  FROM flagged
+), islands AS (
+  SELECT user_id, island, min(s_us) AS i_start, max(e_us) AS i_end,
+         count(*) AS n_ev
+  FROM numbered GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(n_ev) AS BIGINT) AS n_intervals,
+       CAST(sum(i_end - i_start) AS BIGINT) AS covered_us
+FROM islands
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -6070,6 +6227,21 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_emb_mmr_rerank,
             _EMB_MMR_RERANK_ORACLE,
             ("V12",),
+        ),
+        "events_pagerank": QuerySpec(
+            q_events_pagerank,
+            _EVENTS_PAGERANK_ORACLE,
+            ("G1", "graph-pagerank", "iterative-join"),
+        ),
+        "events_peak_concurrency": QuerySpec(
+            q_events_peak_concurrency,
+            _EVENTS_PEAK_CONCURRENCY_ORACLE,
+            ("I1", "interval-sweep"),
+        ),
+        "events_interval_union": QuerySpec(
+            q_events_interval_union,
+            _EVENTS_INTERVAL_UNION_ORACLE,
+            ("I2", "interval-union"),
         ),
         "order_price_deciles": QuerySpec(
             q_order_price_deciles,

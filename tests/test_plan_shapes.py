@@ -300,3 +300,41 @@ def test_gapfill_linterp_two_growing_window_passes(spark, sf_dir):
     plan = plan_string(q(spark, sf_dir))
     assert plan.count("Window (") == 2, plan
     assert "unboundedfollowing" not in plan.lower(), plan
+
+
+def test_peak_concurrency_single_exchange(spark, sf_dir):
+    """Interval sweep: union + running sum + rollup must share ONE hash
+    exchange (the event_type partitioning) — a second would mean the
+    window and the groupBy partitioned differently."""
+    q = registry()["events_peak_concurrency"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_interval_union_windows_share_one_exchange(spark, sf_dir):
+    """Gaps-and-islands: the running-max and island-number windows sort
+    by the same (user_id · s_us, event_id) key, so Catalyst must plan one
+    user_id exchange for the windows; only the island rollup may add a
+    second."""
+    q = registry()["events_interval_union"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning") <= 2, plan
+    # both running frames are growing — the O(n²) shrinking frame is banned
+    assert "unboundedfollowing" not in plan.lower(), plan
+
+
+def test_pagerank_iteration_joins_broadcast_ranks(spark, sf_dir):
+    """The per-iteration edges ⋈ ranks join must broadcast the rank
+    vector (tiny) into the edge scan — a SortMergeJoin would shuffle the
+    edge list ten times. The left joins against inflow are node-sized on
+    both sides and may plan either way."""
+    from floatchat_datapipeline_spark.operators.graph import (
+        coactivity_edges,
+        pagerank_fixed_point,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    df = pagerank_fixed_point(coactivity_edges(ev), iters=2)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan, plan

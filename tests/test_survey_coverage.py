@@ -120,6 +120,12 @@ SURVEY_IDS = [
     "S15",
     # streaming EWMA control chart (one-double GroupState per key)
     "S16",
+    # fixed-point PageRank over the co-activity graph (iterative joins)
+    "G1",
+    # interval max-overlap sweep (peak concurrency)
+    "I1",
+    # interval-union coverage (gaps-and-islands merge)
+    "I2",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
