@@ -5919,6 +5919,104 @@ ORDER BY user_id
 """
 
 
+def q_events_hourly_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K12 — incremental view maintenance for an additive rollup: the
+    hourly (hour, type) → (count, cents) view is maintained by MERGING
+    the base view's aggregate state with the late-arrival delta's partial
+    state — never by rescanning base facts. Base (event_id % 17 ≠ 0,
+    standing in for the already-materialized view) is rolled up once and
+    localCheckpointed; the delta (% 17 = 0, the late batch) rolls up
+    independently; the union re-aggregates with SUM over the partial
+    (n, cents) pairs — legal exactly because count/sum are
+    re-aggregable (the same property the partial/merge two-phase agg and
+    the HLL sketch merge rely on). At 100 TB the base side is a stored
+    table and the maintenance cost is O(|delta| + |view|), not
+    O(|facts|). Oracle = the full recompute over all events — IVM's
+    defining equation."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    base_view = rollup(ev.filter(F.col("event_id") % 17 != 0)).localCheckpoint(
+        eager=True
+    )
+    delta = rollup(ev.filter(F.col("event_id") % 17 == 0))
+    return (
+        base_view.unionByName(delta)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+_EVENTS_HOURLY_IVM_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY hour, event_type
+"""
+
+
+def q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z3 — co-located fact ⋈ fact join over bucketed layout: lineitem
+    and orders are persisted bucketed by orderkey (16 buckets, write-once
+    memoized per sf — sinks/bucketed.ensure_bucketed_order_tables), so
+    the sort-merge join reads co-located, pre-sorted buckets and plans
+    ZERO exchanges and ZERO sorts on either side (pinned by
+    test_bucketed_join_has_no_exchange). The only shuffle in the whole
+    plan is the 5-group priority rollup. The merge hint keeps AQE from
+    "helpfully" broadcasting the locally-small orders side — at 100 TB
+    neither side broadcasts, and this zero-shuffle SMJ is the plan that
+    survives. Revenue in exact 1e-4-dollar units."""
+    from floatchat_datapipeline_spark.sinks.bucketed import (
+        ensure_bucketed_order_tables,
+        read_bucketed,
+    )
+
+    lt, ot = ensure_bucketed_order_tables(spark, sf_dir)
+    li = read_bucketed(spark, lt)
+    orders = read_bucketed(spark, ot)
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.hint("merge")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(rev_e4).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_BUCKETED_ORDER_REVENUE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6242,6 +6340,16 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_events_interval_union,
             _EVENTS_INTERVAL_UNION_ORACLE,
             ("I2", "interval-union"),
+        ),
+        "events_hourly_ivm": QuerySpec(
+            q_events_hourly_ivm,
+            _EVENTS_HOURLY_IVM_ORACLE,
+            ("K12", "incremental-view"),
+        ),
+        "bucketed_order_revenue": QuerySpec(
+            q_bucketed_order_revenue,
+            _BUCKETED_ORDER_REVENUE_ORACLE,
+            ("Z3", "bucketed-join"),
         ),
         "order_price_deciles": QuerySpec(
             q_order_price_deciles,

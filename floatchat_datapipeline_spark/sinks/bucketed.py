@@ -66,3 +66,52 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     the bucket spec into planning; a raw `spark.read.parquet(path)` of
     the same files would not, and every join would shuffle again."""
     return spark.table(table)
+
+
+def ensure_bucketed_order_tables(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 16
+) -> tuple[str, str]:
+    """Memoized per (session, sf): persist slim lineitem/orders
+    projections bucketed by orderkey — the write-once layout build whose
+    cost every co-located join afterwards amortizes (the ANN-index
+    lifecycle applied to table layout). Returns the two table names.
+
+    Slimming to the join/agg columns at write time doubles as projection
+    pushdown baked into the layout: the bucketed scan reads 3+2 columns,
+    never the full TPC-H width."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from floatchat_datapipeline_spark.catalog import load_table
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    if spark.catalog.tableExists(lt) and spark.catalog.tableExists(ot):
+        return lt, ot
+    # A fresh session's in-memory catalog forgets managed tables, but
+    # their warehouse directories survive — and saveAsTable refuses to
+    # CREATE over a non-empty location. The layout is a derived cache of
+    # the source parquet, so a stale orphaned location is safe to drop.
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    import shutil
+
+    for table in (lt, ot):
+        if not spark.catalog.tableExists(table):
+            loc = os.path.join(warehouse, table)
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(li, lt, ("l_orderkey",), n_buckets, sort_by=("l_orderkey",))
+    write_bucketed(
+        orders, ot, ("o_orderkey",), n_buckets, sort_by=("o_orderkey",)
+    )
+    return lt, ot

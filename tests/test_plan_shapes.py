@@ -338,3 +338,28 @@ def test_pagerank_iteration_joins_broadcast_ranks(spark, sf_dir):
     df = pagerank_fixed_point(coactivity_edges(ev), iters=2)
     plan = plan_string(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Z3: both sides scan `Bucketed: true` and the sort-merge join runs
+    with NO exchange on either side — the only hash exchange in the plan
+    is the 5-group priority rollup. (The write-time shuffle happened once
+    in ensure_bucketed_order_tables; this pins that every subsequent join
+    gets co-location for free.)"""
+    q = registry()["bucketed_order_revenue"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_ivm_merge_reaggregates_partial_states(spark, sf_dir):
+    """K12: the maintenance plan merges the checkpointed base view with
+    the delta rollup — the base side must enter as a materialized
+    (checkpointed) relation, not as a second scan of the events parquet."""
+    q = registry()["events_hourly_ivm"].spark
+    plan = plan_string(q(spark, sf_dir))
+    # formatted mode lists each node in the tree AND in the detail
+    # section, so ONE parquet scan (the delta) appears exactly twice
+    assert plan.lower().count("scan parquet") <= 2, plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan

@@ -126,6 +126,10 @@ SURVEY_IDS = [
     "I1",
     # interval-union coverage (gaps-and-islands merge)
     "I2",
+    # incremental view maintenance (additive partial-state merge)
+    "K12",
+    # bucketed-layout co-located join (zero-exchange SMJ)
+    "Z3",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
