@@ -127,10 +127,11 @@ def pagerank_fixed_point(
     nodes = ed.select(F.col("src").alias("node")).distinct()
     stats = nodes.agg(F.count(F.lit(1)).alias("n"))
     base = F.expr(f"{PAGERANK_MASS} div n")
-    ranks = (
-        nodes.crossJoin(F.broadcast(stats))
-        .select("node", base.alias("rank"), "n")
-        .localCheckpoint(eager=True)
+    # no checkpoint on the init vector: its lineage is one distinct off
+    # the already-checkpointed edge list — an extra eager action would
+    # cost a scheduled job and save nothing
+    ranks = nodes.crossJoin(F.broadcast(stats)).select(
+        "node", base.alias("rank"), "n"
     )
     teleport = F.expr(f"({15} * ({PAGERANK_MASS} div n)) div 100")
     for i in range(iters):

@@ -81,8 +81,7 @@ def ensure_bucketed_order_tables(
     never the full TPC-H width."""
     import os
     import re
-
-    from pyspark.sql import functions as F
+    import shutil
 
     from floatchat_datapipeline_spark.catalog import load_table
 
@@ -97,8 +96,6 @@ def ensure_bucketed_order_tables(
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
-    import shutil
-
     for table in (lt, ot):
         if not spark.catalog.tableExists(table):
             loc = os.path.join(warehouse, table)

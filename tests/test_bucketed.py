@@ -73,3 +73,33 @@ def test_bucketed_aggregation_elides_exchange(
     assert "Exchange" not in plan_string(agg), plan_string(agg)
     assert agg.count() == lineitem.select("l_orderkey").distinct().count()
     spark.sql("DROP TABLE IF EXISTS b_li_agg")
+
+
+def test_ensure_bucketed_recovers_from_orphaned_location(spark, sf_dir):
+    """A fresh session's in-memory catalog forgets managed tables while
+    their warehouse directories survive; ensure_bucketed_order_tables
+    must clear the orphaned location and rebuild instead of dying on
+    LOCATION_ALREADY_EXISTS."""
+    import os
+
+    from floatchat_datapipeline_spark.sinks.bucketed import (
+        ensure_bucketed_order_tables,
+    )
+
+    lt, ot = ensure_bucketed_order_tables(spark, sf_dir)
+    # memoized fast path: same names, no rewrite
+    assert (lt, ot) == ensure_bucketed_order_tables(spark, sf_dir)
+    # simulate the orphan: drop from the catalog (managed drop removes
+    # the dir), then recreate a non-empty location with no table behind it
+    spark.sql(f"DROP TABLE {lt}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    loc = os.path.join(warehouse, lt)
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "stale.parquet"), "w") as f:
+        f.write("junk")
+    lt2, ot2 = ensure_bucketed_order_tables(spark, sf_dir)
+    assert (lt2, ot2) == (lt, ot)
+    assert spark.catalog.tableExists(lt2)
+    assert spark.table(lt2).count() > 0
