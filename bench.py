@@ -40,6 +40,7 @@ HEADLINE = (
 
 
 def main() -> None:
+    load_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark(
@@ -145,10 +146,12 @@ def main() -> None:
             sum(v for n, v in timings.items() if n.endswith("_train")), 3
         ),
         "sf": sf,
-        # Ambient host load when the run started/ended: identical code
-        # measured 66-74 s at load <1 and 96-112 s at load 5-6.5 on this
-        # box, so totals are uninterpretable without it.
+        # Ambient host load: identical code measured 66-74 s at load <1
+        # and 96-112 s at load 5-6.5 on this box, so totals are
+        # uninterpretable without it. end-load includes the bench's own
+        # local[32] work; START load is the contention signal.
         "load_avg_1m": round(os.getloadavg()[0], 2),
+        "load_avg_start_1m": load_start,
     }
     if errors:
         result["errors"] = errors
