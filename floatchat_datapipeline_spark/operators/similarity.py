@@ -254,7 +254,12 @@ def mmr_rerank(
         # 1e-6 rounding = the repo-wide cosine parity convention; raw
         # matmul sums differ from a sequential fold in the last ulp, and
         # the greedy argmax must compare the SAME numbers as the oracle.
-        sims = np.round(unit @ unit.T, 6)
+        # np.round is HALF-EVEN while Spark round / DuckDB round() are
+        # half-away-from-zero — use the explicit half-away form (the
+        # streaming _cents_half_up rule) so an exact .5e-6 boundary
+        # rounds the same way in all three engines.
+        raw = (unit @ unit.T) * 1e6
+        sims = np.where(raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)) / 1e6
         rel = pdf["rel"].to_numpy()
         ids = pdf["doc_id"].to_numpy()
         n = len(pdf)

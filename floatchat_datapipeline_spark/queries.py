@@ -6022,22 +6022,30 @@ ORDER BY o_orderpriority
 # ---------------------------------------------------------------------------
 
 
-def _driver_check_history() -> tuple[dict[str, int], dict[str, bool]]:
-    """Per query: (times checked, was-red-at-latest-check) from the
-    committed ``CORRECTNESS_r*.json`` rounds. The driver hash-checks only
-    the FIRST 50 entries of ``queries()``, so these files double as a
-    shared, monotonic record of which queries the hard gate has actually
-    visited — and of which ones it last saw failing. "Red" = any of
-    rows/schema/hash false, or a recorded error (``no_oracle`` for
-    rows-only entries counts as red ONLY until the query grows an oracle;
-    for permanently oracle-less queries it cycles like any green —
-    harmless, since a rows-only re-check is cheap)."""
+def _driver_check_history() -> tuple[
+    dict[str, int], dict[str, bool], dict[str, bool]
+]:
+    """Per query, from the committed ``CORRECTNESS_r*.json`` rounds:
+    (times checked, was-red-at-latest-check, latest-was-rows-only). The
+    driver hash-checks only the FIRST 50 entries of ``queries()``, so
+    these files double as a shared, monotonic record of which queries
+    the hard gate has actually visited — and of which ones it last saw
+    failing. "Red" = any of rows/schema/hash false, or a recorded error
+    other than a passing rows-only row (``err == 'no_oracle'`` with a
+    Spark row count): that is the driver's weaker check SUCCEEDING for
+    a query that had no oracle at the time. Whether a rows-only pass
+    still counts as verified depends on whether the query HAS an oracle
+    now — the registry decides that (a permanently oracle-less query
+    must cycle like a green, or it would park at the head of the window
+    forever; one that has since grown an oracle has never had its hash
+    checked and must re-enter)."""
     import glob
     import json
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     counts: dict[str, int] = {}
     latest_red: dict[str, bool] = {}
+    latest_rows_only: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -6047,16 +6055,22 @@ def _driver_check_history() -> tuple[dict[str, int], dict[str, bool]]:
         for k, v in results.items():
             counts[k] = counts.get(k, 0) + 1
             if isinstance(v, dict):
-                green = (
+                rows_only_pass = (
+                    v.get("err") == "no_oracle"
+                    and v.get("spark_rows") is not None
+                )
+                green = rows_only_pass or (
                     v.get("rows_match") is True
                     and v.get("schema_match") is True
                     and v.get("hash_match") is True
                     and not v.get("err")
                 )
             else:
+                rows_only_pass = False
                 green = False
             latest_red[k] = not green
-    return counts, latest_red
+            latest_rows_only[k] = rows_only_pass
+    return counts, latest_red, latest_rows_only
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -6068,15 +6082,23 @@ def registry() -> dict[str, QuerySpec]:
     would have waited ~2 rounds for re-verification). So: queries whose
     LATEST driver check failed come first (their fixes need the hard gate
     now), then never-checked queries, then greens cycling by ascending
-    count — no green is permanently evicted. Local tests
-    (tests/test_driver_parity.py) always gate the full set regardless of
-    order."""
+    count — no green is permanently evicted. A query whose latest check
+    was a rows-only pass counts as needing the gate iff it HAS an oracle
+    now (the hash has never seen it); a permanently oracle-less query
+    cycles like a green. Local tests (tests/test_driver_parity.py)
+    always gate the full set regardless of order."""
     base = _base_registry()
-    counts, latest_red = _driver_check_history()
+    counts, latest_red, latest_rows_only = _driver_check_history()
+
+    def needs_gate(n: str) -> bool:
+        if latest_red.get(n, False):
+            return True
+        return latest_rows_only.get(n, False) and base[n].oracle is not None
+
     names = sorted(
         base,
         key=lambda n: (
-            0 if latest_red.get(n, False) else 1,
+            0 if needs_gate(n) else 1,
             counts.get(n, 0),
         ),
     )

@@ -1,10 +1,13 @@
 """The driver hash-checks only the first 50 registry() entries, so the
-registry self-orders by (last-check-red DESC, ascending driver-checked
-count), both read from the committed CORRECTNESS_r*.json files.
+registry self-orders by (needs-the-gate DESC, ascending driver-checked
+count), read from the committed CORRECTNESS_r*.json files. "Needs the
+gate" = latest check failed, OR latest check was a rows-only pass but
+the query has since grown an oracle (its hash has never been checked).
 Invariants: no query is ever dropped, specs are identical under
-reordering, last-red queries lead the window (fixes reach the hard gate
-immediately), never-checked queries enter before any green re-check, and
-the 50-wide window visits every query within bounded rounds."""
+reordering, gate-needing queries lead the window, never-checked queries
+enter before any green re-check, permanently oracle-less queries cycle
+like greens (no permanent red-pin), and the 50-wide window visits every
+query within bounded rounds."""
 
 from floatchat_datapipeline_spark.queries import (
     _base_registry,
@@ -13,6 +16,17 @@ from floatchat_datapipeline_spark.queries import (
 )
 
 WINDOW = 50
+
+
+def _needs_gate_set():
+    base = _base_registry()
+    counts, latest_red, latest_rows_only = _driver_check_history()
+    return {
+        n
+        for n in base
+        if latest_red.get(n, False)
+        or (latest_rows_only.get(n, False) and base[n].oracle is not None)
+    }
 
 
 def test_reordering_preserves_every_query():
@@ -24,64 +38,97 @@ def test_reordering_preserves_every_query():
         assert rot[name].oracle == base[name].oracle
 
 
-def test_last_red_queries_lead_the_window():
-    counts, latest_red = _driver_check_history()
+def test_gate_needing_queries_lead_the_window():
     ordered = list(registry())
-    reds = [n for n in ordered if latest_red.get(n, False)]
-    if not reds:
-        return  # nothing red at latest check
-    window = ordered[: min(len(reds), WINDOW)]
-    assert window == reds[: len(window)], (
-        "every last-check-red query must precede all non-red queries"
+    need = [n for n in ordered if n in _needs_gate_set()]
+    if not need:
+        return  # nothing needs the gate
+    window = ordered[: min(len(need), WINDOW)]
+    assert window == need[: len(window)], (
+        "every gate-needing query must precede all settled queries"
     )
 
 
 def test_never_checked_queries_precede_green_rechecks():
-    counts, latest_red = _driver_check_history()
+    counts, latest_red, _ = _driver_check_history()
     ordered = list(registry())
+    need = _needs_gate_set()
     never = [n for n in ordered if counts.get(n, 0) == 0]
     if not never:
         return  # every query already visited at least once
     last_never = max(ordered.index(n) for n in never)
-    green_checked = [
-        n
-        for n in ordered
-        if counts.get(n, 0) > 0 and not latest_red.get(n, False)
+    settled_checked = [
+        n for n in ordered if counts.get(n, 0) > 0 and n not in need
     ]
-    if green_checked:
-        first_green = min(ordered.index(n) for n in green_checked)
+    if settled_checked:
+        first_green = min(ordered.index(n) for n in settled_checked)
         assert last_never < first_green, (
             "never-checked queries must all precede green re-checks"
         )
 
 
+def test_oracle_less_queries_do_not_red_pin():
+    """A permanently oracle-less query whose latest driver row was a
+    rows-only pass must NOT sort into the gate-needing tier — red-pinning
+    it would park it at the head of the window forever, displacing real
+    hash checks round after round."""
+    base = _base_registry()
+    _, latest_red, latest_rows_only = _driver_check_history()
+    need = _needs_gate_set()
+    for n in base:
+        if base[n].oracle is None and latest_rows_only.get(n, False):
+            assert n not in need, n
+            assert not latest_red.get(n, True), (
+                f"{n}: a rows-only pass must read as green"
+            )
+
+
+def test_rows_only_history_with_new_oracle_reenters_window():
+    """A query whose latest check predates its oracle (recorded as
+    err=no_oracle) must be treated as gate-needing — the hash check has
+    never seen it."""
+    base = _base_registry()
+    _, _, latest_rows_only = _driver_check_history()
+    stale = [
+        n
+        for n in base
+        if latest_rows_only.get(n, False) and base[n].oracle is not None
+    ]
+    ordered = list(registry())
+    for n in stale:
+        assert ordered.index(n) < WINDOW, (
+            f"{n} grew an oracle but would not be re-checked"
+        )
+
+
 def test_window_covers_all_queries_within_bounded_rounds():
     """Simulate future rounds: each round the first 50 get +1 checked and
-    (optimistically) go green; reds never pin the window forever because a
-    re-checked red either greens or keeps its slot by design."""
-    base = list(_base_registry())
-    n = len(base)
-    counts, latest_red = _driver_check_history()
+    (optimistically) settle; the window must reach every query."""
+    base = _base_registry()
+    names = list(base)
+    n = len(names)
+    counts, latest_red, latest_rows_only = _driver_check_history()
     counts = dict(counts)
-    red = dict(latest_red)
-    seen = {q for q in base if counts.get(q, 0) > 0}
+    need = _needs_gate_set()
+    seen = {q for q in names if counts.get(q, 0) > 0}
     max_rounds = -(-n // WINDOW) + 1
     for _ in range(max_rounds):
         if len(seen) == n:
             break
         ordered = sorted(
-            base, key=lambda q: (0 if red.get(q, False) else 1, counts.get(q, 0))
+            names,
+            key=lambda q: (0 if q in need else 1, counts.get(q, 0)),
         )
         window = ordered[:WINDOW]
         seen.update(window)
         for q in window:
             counts[q] = counts.get(q, 0) + 1
-            red[q] = False
+            need.discard(q)
     assert len(seen) == n, f"window never covers all {n}; got {len(seen)}"
 
 
 def test_counts_reflect_committed_rounds():
-    counts, _ = _driver_check_history()
+    counts, _, _ = _driver_check_history()
     assert counts, "no CORRECTNESS files found"
     assert max(counts.values()) >= 1
     base = _base_registry()
