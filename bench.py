@@ -39,8 +39,22 @@ HEADLINE = (
 )
 
 
+def _cpu_probe() -> float:
+    """Seconds for a fixed 10M-iteration Python loop. This host's CPU
+    throughput varies >2x run-to-run (hypervisor steal: measured 0.31 s
+    vs 0.72 s for this probe minutes apart, with bench totals moving
+    123 s vs 153 s in lockstep), so totals are only comparable
+    round-over-round after normalizing by probe time."""
+    t0 = time.time()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     load_start = round(os.getloadavg()[0], 2)
+    cpu_probe = _cpu_probe()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark(
@@ -152,6 +166,7 @@ def main() -> None:
         # local[32] work; START load is the contention signal.
         "load_avg_1m": round(os.getloadavg()[0], 2),
         "load_avg_start_1m": load_start,
+        "cpu_probe_seconds": cpu_probe,
     }
     if errors:
         result["errors"] = errors
