@@ -109,3 +109,72 @@ def diff_both(
         a.select(key).distinct(), key, "left_anti"
     ).withColumn("side", F.lit("only_b"))
     return only_a.unionByName(only_b)
+
+
+BLOOM_JOIN_BITS = 1 << 17  # 131,072 bits = 2,048 packed longs (~16 KB)
+BLOOM_JOIN_HASHES = 5
+
+
+def _bloom_join_positions(col, k: int = BLOOM_JOIN_HASHES, m: int = BLOOM_JOIN_BITS):
+    # Kirsch–Mitzenmacher double hashing: two independent xxhash64 seeds
+    # generate all k positions. Both hashes reduce mod m BEFORE the
+    # affine combine — xxhash64 spans the full signed-long range, so
+    # i*h2 on the raw hash overflows under ANSI arithmetic; reduced
+    # operands keep every intermediate below k·m ≪ 2^63.
+    h1 = F.pmod(F.xxhash64(col), F.lit(m))
+    h2 = F.pmod(F.xxhash64(F.lit("bloom-join"), col), F.lit(m))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    keys_key: str,
+) -> DataFrame:
+    """Semi-join for the regime where the build side's ROWS are too big
+    to broadcast but its KEY SET fits a bloom filter: pack the distinct
+    keys into a ~16 KB bit array (the decontam bloom recipe — explode to
+    bit positions, one bounded bit_or aggregation, collect ≤ m/64
+    longs), probe the fact MAP-ONLY with k bit tests riding as a long-
+    array literal, then run the exact LEFT SEMI join on the survivors to
+    remove false positives. The result is therefore IDENTICAL to the
+    plain semi-join (the oracle is the plain SQL), while the fact rows
+    entering the exact join's shuffle shrink to true-matches + the bloom
+    false-positive rate — at 100 TB that prefilter is the difference
+    between shuffling the whole fact and shuffling the selectivity.
+    This is the manual, composable form of Spark's runtime bloom-join
+    filter (spark.sql.optimizer.runtimeFilter.bloomFilter.*), usable
+    where the optimizer won't inject one (non-equi gates, pre-aggregated
+    build sides, cross-session reuse of the packed filter).
+    """
+    m, k = BLOOM_JOIN_BITS, BLOOM_JOIN_HASHES
+    key_set = keys.select(F.col(keys_key).alias("_k")).distinct()
+    pos = (
+        key_set.select(
+            F.explode(F.array(*_bloom_join_positions(F.col("_k")))).alias("p")
+        )
+        .distinct()
+        .groupBy(F.expr("CAST(p div 64 AS INT)").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").alias("bits"))
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in pos:
+        words[r["w"]] = r["bits"]
+    blit = F.lit(words)
+
+    probe = None
+    for p in _bloom_join_positions(F.col(fact_key)):
+        test = (
+            F.bit_get(
+                F.element_at(blit, (p / 64).cast("int") + 1),
+                (p % 64).cast("int"),
+            )
+            == 1
+        )
+        probe = test if probe is None else (probe & test)
+    prefiltered = fact.filter(probe)
+    return prefiltered.join(
+        key_set, prefiltered[fact_key] == key_set["_k"], "left_semi"
+    )

@@ -6017,6 +6017,49 @@ ORDER BY o_orderpriority
 """
 
 
+def q_bloom_filtered_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J16 — bloom-prefiltered semi-join: revenue by order priority for
+    orders whose customer is in the AUTOMOBILE segment, with the
+    customer key set packed into a ~16 KB bloom filter probed MAP-ONLY
+    on the orders scan before the exact left-semi join removes false
+    positives (operators/joins.bloom_semi_join). The result is
+    bit-identical to the plain semi-join — the oracle IS the plain SQL —
+    but the fact rows entering the join shuffle shrink to
+    true-matches + fpr. The regime this exists for: the build side's
+    rows are too big to broadcast, its key set is not. Money in exact
+    cents."""
+    from floatchat_datapipeline_spark.operators.joins import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    auto = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    kept = bloom_semi_join(orders, auto, "o_custkey", "c_custkey")
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_BLOOM_FILTERED_ORDER_REVENUE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6372,6 +6415,11 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_bucketed_order_revenue,
             _BUCKETED_ORDER_REVENUE_ORACLE,
             ("Z3", "bucketed-join"),
+        ),
+        "bloom_filtered_order_revenue": QuerySpec(
+            q_bloom_filtered_order_revenue,
+            _BLOOM_FILTERED_ORDER_REVENUE_ORACLE,
+            ("J16", "bloom-join"),
         ),
         "order_price_deciles": QuerySpec(
             q_order_price_deciles,

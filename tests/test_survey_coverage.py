@@ -130,6 +130,8 @@ SURVEY_IDS = [
     "K12",
     # bucketed-layout co-located join (zero-exchange SMJ)
     "Z3",
+    # bloom-prefiltered semi-join (manual runtime-filter form)
+    "J16",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
