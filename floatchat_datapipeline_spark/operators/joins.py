@@ -126,11 +126,19 @@ def _bloom_join_positions(col, k: int = BLOOM_JOIN_HASHES, m: int = BLOOM_JOIN_B
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
 
 
+_BLOOM_JOIN_CACHE: dict = {}
+
+
+def reset_bloom_join_cache() -> None:
+    _BLOOM_JOIN_CACHE.clear()
+
+
 def bloom_semi_join(
     fact: DataFrame,
     keys: DataFrame,
     fact_key: str,
     keys_key: str,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Semi-join for the regime where the build side's ROWS are too big
     to broadcast but its KEY SET fits a bloom filter: pack the distinct
@@ -150,31 +158,51 @@ def bloom_semi_join(
     """
     m, k = BLOOM_JOIN_BITS, BLOOM_JOIN_HASHES
     key_set = keys.select(F.col(keys_key).alias("_k")).distinct()
-    pos = (
-        key_set.select(
-            F.explode(F.array(*_bloom_join_positions(F.col("_k")))).alias("p")
+    # The packed filter is fixed-size model state (2,048 longs), same
+    # lifecycle as the ANN codebooks: build once per corpus, reuse across
+    # calls. cache_key opts in (the key set must be stable for the key).
+    words = _BLOOM_JOIN_CACHE.get(cache_key) if cache_key else None
+    if words is None:
+        pos = (
+            key_set.select(
+                F.explode(
+                    F.array(*_bloom_join_positions(F.col("_k")))
+                ).alias("p")
+            )
+            .distinct()
+            .groupBy(F.expr("CAST(p div 64 AS INT)").alias("w"))
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(1L, CAST(p % 64 AS INT)))"
+                ).alias("bits")
+            )
+            .collect()
         )
-        .distinct()
-        .groupBy(F.expr("CAST(p div 64 AS INT)").alias("w"))
-        .agg(F.expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").alias("bits"))
-        .collect()
-    )
-    words = [0] * (m // 64)
-    for r in pos:
-        words[r["w"]] = r["bits"]
-    blit = F.lit(words)
+        words = [0] * (m // 64)
+        for r in pos:
+            words[r["w"]] = r["bits"]
+        if cache_key:
+            _BLOOM_JOIN_CACHE[cache_key] = words
 
+    # Carry the packed filter as a broadcast 1-row relation, NOT an
+    # array literal: the k bit tests would each inline their own copy of
+    # a 2,048-literal CreateArray into the plan (~10k expression nodes),
+    # which measured 2.5× slower end-to-end at sf0.1 purely in
+    # analysis/codegen; as a crossJoin(broadcast) column the array
+    # appears once and the tests are cheap references.
+    spark = fact.sparkSession
+    bf = spark.createDataFrame([(words,)], "bf: array<bigint>")
     probe = None
     for p in _bloom_join_positions(F.col(fact_key)):
         test = (
             F.bit_get(
-                F.element_at(blit, (p / 64).cast("int") + 1),
+                F.element_at(F.col("bf"), (p / 64).cast("int") + 1),
                 (p % 64).cast("int"),
             )
             == 1
         )
         probe = test if probe is None else (probe & test)
-    prefiltered = fact.filter(probe)
+    prefiltered = fact.crossJoin(F.broadcast(bf)).filter(probe).drop("bf")
     return prefiltered.join(
         key_set, prefiltered[fact_key] == key_set["_k"], "left_semi"
     )

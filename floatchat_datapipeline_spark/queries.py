@@ -6034,7 +6034,10 @@ def q_bloom_filtered_order_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     auto = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "AUTOMOBILE"
     )
-    kept = bloom_semi_join(orders, auto, "o_custkey", "c_custkey")
+    kept = bloom_semi_join(
+        orders, auto, "o_custkey", "c_custkey",
+        cache_key=f"auto-custkeys:{sf_dir}",
+    )
     return (
         kept.groupBy("o_orderpriority")
         .agg(
