@@ -36,6 +36,9 @@ MODULE_COVERED: dict[str, str] = {
     "K10": "sources/pyds.ErddapReportDataSource (tests/test_pyds.py)",
     # zero-cost in-flight pipeline metrics via df.observe
     "A15": "plans/metrics.observe_quality (tests/test_metrics.py)",
+    # additive parquet schema evolution: mergeSchema bootstrap + pinned
+    # steady-state reads (tests/test_schema_evolution.py)
+    "S17": "sources/evolution.py (tests/test_schema_evolution.py)",
 }
 
 SURVEY_IDS = [
@@ -132,6 +135,8 @@ SURVEY_IDS = [
     "Z3",
     # bloom-prefiltered semi-join (manual runtime-filter form)
     "J16",
+    # additive parquet schema evolution (mergeSchema / pinned reads)
+    "S17",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
