@@ -363,3 +363,40 @@ def test_ivm_merge_reaggregates_partial_states(spark, sf_dir):
     # section, so ONE parquet scan (the delta) appears exactly twice
     assert plan.lower().count("scan parquet") <= 2, plan
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def test_hive_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """A partitionBy(event_type) layout must prune at PLANNING time: the
+    scan's PartitionFilters carries the partition predicate (directory
+    pruning — non-matching partitions are never listed into the scan),
+    while a data-column predicate lands in PushedFilters instead."""
+    import os
+
+    from floatchat_datapipeline_spark.sinks.upsert import _swap_write
+
+    path = os.path.join(str(tmp_path), "events_parted")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    _swap_write(ev, path, partition_by=("event_type",))
+
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("event_type") == "click")
+        .filter(F.col("value") > 10)
+        .select("event_id")
+    )
+    plan = plan_string(df)
+    pf = next(
+        (
+            line
+            for line in plan.splitlines()
+            if line.strip().startswith("PartitionFilters:")
+        ),
+        "",
+    )
+    assert "event_type" in pf, plan
+    assert "GreaterThan(value" in pushed_filters(df), plan
+    # pruning is real: the filtered scan reads exactly the one partition
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    assert df.count() <= n_click
