@@ -133,6 +133,21 @@ def reset_bloom_join_cache() -> None:
     _BLOOM_JOIN_CACHE.clear()
 
 
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _bloom_hash_col(df: DataFrame, key: str):
+    """Column used for bloom hashing. xxhash64 is TYPE-SENSITIVE: the
+    same value hashes differently as int vs bigint, so a type mismatch
+    between build and probe sides would produce silent FALSE NEGATIVES
+    (dropped true-match rows). Normalize every integral key to bigint so
+    int-vs-bigint call sites hash identically; other types must match
+    exactly (enforced in bloom_semi_join)."""
+    if df.schema[key].dataType.simpleString() in _INTEGRAL_TYPES:
+        return F.col(key).cast("bigint")
+    return F.col(key)
+
+
 def bloom_semi_join(
     fact: DataFrame,
     keys: DataFrame,
@@ -157,11 +172,29 @@ def bloom_semi_join(
     build sides, cross-session reuse of the packed filter).
     """
     m, k = BLOOM_JOIN_BITS, BLOOM_JOIN_HASHES
-    key_set = keys.select(F.col(keys_key).alias("_k")).distinct()
+    fact_t = fact.schema[fact_key].dataType.simpleString()
+    keys_t = keys.schema[keys_key].dataType.simpleString()
+    if fact_t != keys_t and not (
+        fact_t in _INTEGRAL_TYPES and keys_t in _INTEGRAL_TYPES
+    ):
+        raise ValueError(
+            f"bloom_semi_join key types must hash identically: "
+            f"{fact_key}:{fact_t} vs {keys_key}:{keys_t}"
+        )
+    key_set = keys.select(_bloom_hash_col(keys, keys_key).alias("_k")).distinct()
     # The packed filter is fixed-size model state (2,048 longs), same
     # lifecycle as the ANN codebooks: build once per corpus, reuse across
-    # calls. cache_key opts in (the key set must be stable for the key).
-    words = _BLOOM_JOIN_CACHE.get(cache_key) if cache_key else None
+    # calls. cache_key opts in — and carries a FINGERPRINT of the key set
+    # (distinct count + xor of key hashes, one cheap partial-aggregable
+    # scan) so a regenerated build side at the same cache_key rebuilds
+    # the filter instead of silently false-negating against stale bits.
+    fp = tuple(
+        key_set.agg(
+            F.count(F.lit(1)), F.coalesce(F.expr("bit_xor(xxhash64(_k))"), F.lit(0))
+        ).first()
+    )
+    cached = _BLOOM_JOIN_CACHE.get(cache_key) if cache_key else None
+    words = cached[1] if cached is not None and cached[0] == fp else None
     if words is None:
         pos = (
             key_set.select(
@@ -182,7 +215,7 @@ def bloom_semi_join(
         for r in pos:
             words[r["w"]] = r["bits"]
         if cache_key:
-            _BLOOM_JOIN_CACHE[cache_key] = words
+            _BLOOM_JOIN_CACHE[cache_key] = (fp, words)
 
     # Carry the packed filter as a broadcast 1-row relation, NOT an
     # array literal: the k bit tests would each inline their own copy of
@@ -193,7 +226,7 @@ def bloom_semi_join(
     spark = fact.sparkSession
     bf = spark.createDataFrame([(words,)], "bf: array<bigint>")
     probe = None
-    for p in _bloom_join_positions(F.col(fact_key)):
+    for p in _bloom_join_positions(_bloom_hash_col(fact, fact_key)):
         test = (
             F.bit_get(
                 F.element_at(F.col("bf"), (p / 64).cast("int") + 1),

@@ -248,9 +248,14 @@ def mmr_rerank(
         pdf = pdf.sort_values(["rel", "doc_id"], ascending=[False, True])
         pdf = pdf.reset_index(drop=True)
         vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        nrm = np.linalg.norm(vecs, axis=1)
+        # Same ALGEBRAIC FORM as the oracle — dot(a,b) / (sqrt(dot(a,a))
+        # * sqrt(dot(b,b))), NOT normalize-then-dot: a different operation
+        # order can land an ulp across a .5e-6 rounding boundary and flip
+        # the greedy argmax. diag(dots) is dot(v,v) from the SAME matmul
+        # reduction as the off-diagonal pair dots.
+        dots = vecs @ vecs.T
+        nrm = np.sqrt(np.maximum(np.diag(dots), 0.0))
         nrm[nrm == 0] = 1.0
-        unit = vecs / nrm[:, None]
         # 1e-6 rounding = the repo-wide cosine parity convention; raw
         # matmul sums differ from a sequential fold in the last ulp, and
         # the greedy argmax must compare the SAME numbers as the oracle.
@@ -258,7 +263,7 @@ def mmr_rerank(
         # half-away-from-zero — use the explicit half-away form (the
         # streaming _cents_half_up rule) so an exact .5e-6 boundary
         # rounds the same way in all three engines.
-        raw = (unit @ unit.T) * 1e6
+        raw = dots / np.outer(nrm, nrm) * 1e6
         sims = np.where(raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)) / 1e6
         rel = pdf["rel"].to_numpy()
         ids = pdf["doc_id"].to_numpy()

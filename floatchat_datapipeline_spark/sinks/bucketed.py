@@ -68,6 +68,36 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def _layout_tag(sf_dir: str) -> str:
+    """Tag = basename (readable) + hash of the FULL resolved path: two
+    datasets whose directories share a basename (/a/sf1 vs /b/sf1) must
+    not collide on the memoized layout, or the second caller would
+    silently read buckets built from the first dataset."""
+    import hashlib
+    import os
+    import re
+
+    full = os.path.abspath(sf_dir.rstrip("/"))
+    digest = hashlib.md5(full.encode()).hexdigest()[:8]
+    base = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(full))
+    return f"{base}_{digest}"
+
+
+def _looks_like_parquet_table(loc: str) -> bool:
+    """True iff every file under `loc` is Spark table-output shaped
+    (part-* data files, _SUCCESS, checksum/_committed sidecars). Guards
+    the stale-layout rmtree in ensure_bucketed_order_tables against
+    deleting an unrelated directory parked at the expected path."""
+    import os
+
+    ok = ("part-", "_SUCCESS", "_committed", "_started", ".")
+    for root, _dirs, files in os.walk(loc):
+        for f in files:
+            if not (f.startswith(ok) or f.endswith(".crc")):
+                return False
+    return True
+
+
 def ensure_bucketed_order_tables(
     spark: SparkSession, sf_dir: str, n_buckets: int = 16
 ) -> tuple[str, str]:
@@ -80,26 +110,27 @@ def ensure_bucketed_order_tables(
     pushdown baked into the layout: the bucketed scan reads 3+2 columns,
     never the full TPC-H width."""
     import os
-    import re
     import shutil
 
     from floatchat_datapipeline_spark.catalog import load_table
 
-    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    tag = _layout_tag(sf_dir)
     lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
     if spark.catalog.tableExists(lt) and spark.catalog.tableExists(ot):
         return lt, ot
     # A fresh session's in-memory catalog forgets managed tables, but
     # their warehouse directories survive — and saveAsTable refuses to
     # CREATE over a non-empty location. The layout is a derived cache of
-    # the source parquet, so a stale orphaned location is safe to drop.
+    # the source parquet, so a stale orphaned location is safe to drop —
+    # but ONLY if it actually looks like a parquet table directory; an
+    # unrelated directory parked at that path is not ours to delete.
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
     for table in (lt, ot):
         if not spark.catalog.tableExists(table):
             loc = os.path.join(warehouse, table)
-            if os.path.exists(loc):
+            if os.path.exists(loc) and _looks_like_parquet_table(loc):
                 shutil.rmtree(loc)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"

@@ -97,6 +97,45 @@ def test_bloom_probe_is_map_side_filter(spark, sf_dir):
     assert "LeftSemi" in plan or "left_semi" in plan.lower(), plan
 
 
+def test_bloom_mixed_integral_types_no_false_negatives(spark):
+    """xxhash64 is type-sensitive (int vs bigint hash differently), so
+    mixed integral key types must be normalized to a common type before
+    hashing — otherwise true-match rows silently drop (ADVICE r6)."""
+    keys = spark.createDataFrame([(x,) for x in [1, 7, 123456]], "k: int")
+    fact = spark.createDataFrame(
+        [(x,) for x in [1, 7, 123456, 999]], "fk: bigint"
+    )
+    got = bloom_semi_join(fact, keys, "fk", "k")
+    assert sorted(r["fk"] for r in got.collect()) == [1, 7, 123456]
+
+
+def test_bloom_mismatched_nonintegral_types_rejected(spark):
+    import pytest
+
+    keys = spark.createDataFrame([("a",)], "k: string")
+    fact = spark.createDataFrame([(1,)], "fk: bigint")
+    with pytest.raises(ValueError, match="hash identically"):
+        bloom_semi_join(fact, keys, "fk", "k")
+
+
+def test_bloom_cache_rebuilds_on_changed_key_set(spark):
+    """The memoized packed filter carries a key-set fingerprint: reusing
+    a cache_key after the build side changed must REBUILD, not serve
+    stale bits that false-negate the new keys (ADVICE r6)."""
+    from floatchat_datapipeline_spark.operators.joins import (
+        reset_bloom_join_cache,
+    )
+
+    reset_bloom_join_cache()
+    a = spark.createDataFrame([(x,) for x in range(10)], "k: bigint")
+    b = spark.createDataFrame([(x,) for x in range(1000, 1010)], "k: bigint")
+    fact = a.unionByName(b).select(F.col("k").alias("fk"))
+    assert bloom_semi_join(fact, a, "fk", "k", cache_key="t").count() == 10
+    got = bloom_semi_join(fact, b, "fk", "k", cache_key="t")
+    assert sorted(r["fk"] for r in got.collect()) == list(range(1000, 1010))
+    reset_bloom_join_cache()
+
+
 def test_bloom_no_false_negatives_on_adversarial_keys(spark):
     """Every true key must pass the probe (bloom guarantees no false
     negatives) including negative and extreme key values."""

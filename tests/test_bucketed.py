@@ -97,9 +97,55 @@ def test_ensure_bucketed_recovers_from_orphaned_location(spark, sf_dir):
     )
     loc = os.path.join(warehouse, lt)
     os.makedirs(loc, exist_ok=True)
-    with open(os.path.join(loc, "stale.parquet"), "w") as f:
+    # realistic orphan: Spark table-output shaped (part-* + _SUCCESS)
+    with open(os.path.join(loc, "part-00000-dead.parquet"), "w") as f:
         f.write("junk")
+    open(os.path.join(loc, "_SUCCESS"), "w").close()
     lt2, ot2 = ensure_bucketed_order_tables(spark, sf_dir)
     assert (lt2, ot2) == (lt, ot)
     assert spark.catalog.tableExists(lt2)
     assert spark.table(lt2).count() > 0
+
+
+def test_ensure_bucketed_never_deletes_unrelated_directory(spark, sf_dir):
+    """ADVICE r6: the stale-layout rmtree must NOT delete a directory at
+    the expected path that does not look like Spark table output — fail
+    loudly (LOCATION_ALREADY_EXISTS) and leave the user's files alone."""
+    import os
+
+    import pytest
+
+    from floatchat_datapipeline_spark.sinks.bucketed import (
+        ensure_bucketed_order_tables,
+    )
+
+    lt, ot = ensure_bucketed_order_tables(spark, sf_dir)
+    spark.sql(f"DROP TABLE {lt}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    loc = os.path.join(warehouse, lt)
+    os.makedirs(loc, exist_ok=True)
+    keep = os.path.join(loc, "important-notes.txt")
+    with open(keep, "w") as f:
+        f.write("not yours")
+    with pytest.raises(Exception):
+        ensure_bucketed_order_tables(spark, sf_dir)
+    assert os.path.exists(keep)
+    # clean up so later tests can rebuild
+    os.remove(keep)
+    os.rmdir(loc)
+    lt2, _ = ensure_bucketed_order_tables(spark, sf_dir)
+    assert spark.catalog.tableExists(lt2)
+
+
+def test_bucketed_tag_distinguishes_same_basename_dirs(tmp_path):
+    """Two sf_dirs sharing a basename must map to different table tags
+    (ADVICE r6: /a/sf1 and /b/sf1 previously collided on the memo)."""
+    from floatchat_datapipeline_spark.sinks.bucketed import _layout_tag
+
+    a = str(tmp_path / "a" / "sf1")
+    b = str(tmp_path / "b" / "sf1")
+    assert _layout_tag(a) != _layout_tag(b)
+    # stable for the same dir (trailing slash / relative form included)
+    assert _layout_tag(a) == _layout_tag(a + "/")
