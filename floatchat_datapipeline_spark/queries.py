@@ -5235,15 +5235,11 @@ FROM documents GROUP BY source
 """
 
 
-def q_source_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 scale path — the SAME rollup through `approx_percentile`
-    (Greenwald-Khanna quantile summaries: partial-aggregable, bounded
-    memory per group), i.e. the form that actually runs at 100 TB where
-    `percentile`'s per-group value buffer cannot. accuracy=10000 bounds
-    rank error at n/10000. No value oracle — the sketch layout and merge
-    order are engine-internal — so the driver records a rows-only check;
-    tests/test_sketches.py bounds its error against the exact twin
-    instead."""
+def _source_quantiles_approx_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw approx_percentile rollup (Greenwald-Khanna summaries:
+    partial-aggregable, bounded memory per group) — the form that runs
+    at 100 TB where `percentile`'s per-group value buffer cannot.
+    accuracy=10000 bounds rank error at n/10000."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.groupBy("source")
@@ -5262,6 +5258,50 @@ def q_source_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("_p", 3).cast("double").alias("p99"),
         )
     )
+
+
+def q_source_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 scale path WITH a cross-engine value oracle. The sketch values
+    themselves are engine-internal (GK summary layout/merge order), so
+    instead of hashing them the query emits the sketch's ACCURACY
+    CERTIFICATE: for each returned quantile value v, its true rank
+    interval [count(<v)+1, count(<=v)] must intersect the guaranteed
+    band (q ± ε)·n (ε = 1 % ≫ the 10⁻⁴ accuracy bound, ±1 rank slack
+    for the small-n exact-mode path). The oracle is the exact rollup plus
+    literal TRUE per certificate — a sketch drifting outside its
+    guarantee flips the driver hash red. Two scans of documents (sketch
+    build + rank check); the certificate-free scale path is
+    `_source_quantiles_approx_df`."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    a = _source_quantiles_approx_df(spark, sf_dir)
+    j = docs.join(F.broadcast(a), "source")
+    agg = [F.first("n_docs").alias("n_docs")]
+    for q, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99")):
+        v = F.col(f"p{tag}")
+        agg.append(
+            F.sum((F.col("n_chars") < v).cast("long")).alias(f"_lt{tag}")
+        )
+        agg.append(
+            F.sum((F.col("n_chars") <= v).cast("long")).alias(f"_le{tag}")
+        )
+    chk = j.groupBy("source").agg(*agg)
+    eps = 0.01
+    cols = [F.col("source"), F.col("n_docs")]
+    for q, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99")):
+        n = F.col("n_docs").cast("double")
+        ok = (
+            (F.col(f"_lt{tag}") + 1 <= (q + eps) * n + 1)
+            & (F.col(f"_le{tag}") >= (q - eps) * n - 1)
+        )
+        cols.append(ok.alias(f"p{tag}_ok"))
+    return chk.select(*cols)
+
+
+_SOURCE_QUANTILES_SKETCH_ORACLE = """
+SELECT source, count(*) AS n_docs,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM documents GROUP BY source
+"""
 
 
 def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5675,20 +5715,39 @@ FROM events GROUP BY 1, 2
 
 
 def q_events_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sketch-hll scale path — the SAME rollup through HLL++
-    (`approx_count_distinct`, rsd 1%): fixed-size mergeable sketch per
-    group, partial-aggregable — the form that runs at 100 TB where the
-    exact distinct's per-group user set cannot. No value oracle (the
-    sketch layout is engine-internal); the driver records a rows-only
-    check and tests/test_sketches.py bounds the error vs the exact
-    twin."""
-    from floatchat_datapipeline_spark.operators.windows import (
-        distinct_users_rollup,
+    """sketch-hll scale path WITH a cross-engine value oracle. The HLL++
+    estimate itself is engine-internal, so the query emits the sketch's
+    ACCURACY CERTIFICATE instead: per (day, event_type) cell, the exact
+    distinct count plus a boolean asserting |HLL − exact| ≤
+    max(5 %·exact, 2) — 5× the configured rsd (1 %), so a correct sketch
+    passes with massive margin and a broken merge flips the driver hash
+    red. Both aggregates ride ONE groupBy (HLL adds a fixed-size
+    partial-aggregable sketch next to the exact distinct's Expand). The
+    certificate-free 100 TB path — sketch only, no exact twin — remains
+    `distinct_users_rollup(approx=True)`."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("_a"),
+    )
+    tol = F.greatest(F.ceil(F.col("n_users") * 0.05), F.lit(2).cast("bigint"))
+    return g.select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        "n_events",
+        "n_users",
+        (F.abs(F.col("_a") - F.col("n_users")) <= tol).alias("sketch_ok"),
     )
 
-    return distinct_users_rollup(
-        load_table(spark, sf_dir, "events"), approx=True
-    )
+
+_EVENTS_DISTINCT_USERS_SKETCH_ORACLE = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       TRUE AS sketch_ok
+FROM events GROUP BY 1, 2
+"""
 
 
 def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6642,7 +6701,7 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_source_quantiles, _SOURCE_QUANTILES_ORACLE, ("A9",)
         ),
         "source_quantiles_sketch": QuerySpec(
-            q_source_quantiles_sketch, None, ("A9",)
+            q_source_quantiles_sketch, _SOURCE_QUANTILES_SKETCH_ORACLE, ("A9",)
         ),
         "emb_quantize": QuerySpec(
             q_emb_quantize, _EMB_QUANTIZE_ORACLE, ("V9",)
@@ -6677,7 +6736,9 @@ def _base_registry() -> dict[str, QuerySpec]:
             ("A11", "sketch-hll", "A7"),
         ),
         "events_distinct_users_sketch": QuerySpec(
-            q_events_distinct_users_sketch, None, ("A11", "sketch-hll")
+            q_events_distinct_users_sketch,
+            _EVENTS_DISTINCT_USERS_SKETCH_ORACLE,
+            ("A11", "sketch-hll"),
         ),
         "events_cube": QuerySpec(
             q_events_cube, _EVENTS_CUBE_ORACLE, ("A12", "grouping-sets")

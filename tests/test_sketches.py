@@ -115,6 +115,7 @@ def test_source_quantiles_sketch_tracks_exact(spark, sf_dir):
     approx answer must land between the neighboring exact ranks (checked
     loosely as a small relative band on the value scale)."""
     from floatchat_datapipeline_spark.queries import (
+        _source_quantiles_approx_df,
         q_source_quantiles,
         q_source_quantiles_sketch,
     )
@@ -125,7 +126,7 @@ def test_source_quantiles_sketch_tracks_exact(spark, sf_dir):
     }
     approx = {
         r["source"]: r
-        for r in q_source_quantiles_sketch(spark, sf_dir).collect()
+        for r in _source_quantiles_approx_df(spark, sf_dir).collect()
     }
     assert exact.keys() == approx.keys()
     for src, e in exact.items():
@@ -135,12 +136,18 @@ def test_source_quantiles_sketch_tracks_exact(spark, sf_dir):
             # GK returns an actual data value at the bounded rank; exact
             # interpolates between ranks — allow one interpolation step.
             assert abs(a[p] - e[p]) <= max(0.02 * e[p], 50.0), (src, p, a[p], e[p])
+    # the registered audit form certifies the same bound cross-engine
+    for r in q_source_quantiles_sketch(spark, sf_dir).collect():
+        assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"], r
 
 
 def test_registry_hll_twin_tracks_exact_twin(spark):
     """The registry pair events_distinct_users / _sketch must agree per
     (day, event_type) cell within the sketch's rsd — the driver can only
     rows-check the sketch form, so this is its value gate."""
+    from floatchat_datapipeline_spark.operators.windows import (
+        distinct_users_rollup,
+    )
     from floatchat_datapipeline_spark.queries import _base_registry
 
     reg = _base_registry()
@@ -148,12 +155,21 @@ def test_registry_hll_twin_tracks_exact_twin(spark):
         (r["day"], r["event_type"]): r["n_users"]
         for r in reg["events_distinct_users"].spark(spark, SF_CORRECT).collect()
     }
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    from floatchat_datapipeline_spark.catalog import normalize_event_time
+
     approx = {
         (str(r["day"]), r["event_type"]): r["n_users"]
-        for r in reg["events_distinct_users_sketch"]
-        .spark(spark, SF_CORRECT)
-        .collect()
+        for r in distinct_users_rollup(
+            normalize_event_time(ev), approx=True
+        ).collect()
     }
     assert set(exact) == set(approx)
     for key, ex in exact.items():
         assert abs(approx[key] - ex) / max(ex, 1) <= 0.05, (key, ex, approx[key])
+    # the registered audit form certifies the same bound cross-engine
+    rows = (
+        reg["events_distinct_users_sketch"].spark(spark, SF_CORRECT).collect()
+    )
+    assert rows and all(r["sketch_ok"] for r in rows)
+    assert {(r["day"], r["event_type"]): r["n_users"] for r in rows} == exact
