@@ -181,3 +181,48 @@ def presence_counts(df: DataFrame, flag_cols: tuple[str, ...]) -> DataFrame:
             F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0)).alias(f"has_{c}")
         )
     return df.agg(*aggs)
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact weighted median per group: the smallest value v whose
+    cumulative weight reaches half the group's total (lower weighted
+    median — 2·cumw(v) ≥ W). Shape: collapse to (group, value) weight
+    totals FIRST (partial-aggregable — the only pass over the raw
+    table), then one window cumsum over the collapsed domain and a min
+    over qualifying values. Pre-collapsing makes the cumulative sum
+    independent of row order within ties (each distinct value is one
+    row), so the answer is deterministic under any shuffle — and the
+    window partitions by group, so no global sort exists in the plan.
+
+    All arithmetic is integer (weights cast to BIGINT, the half test
+    cross-multiplies 2·cumw ≥ W) — bit-identical in any engine."""
+    from pyspark.sql import Window
+
+    byval = df.groupBy(*group_cols, value_col).agg(
+        F.sum(F.col(weight_col).cast("bigint")).alias("_w")
+    )
+    win = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*group_cols)
+    cum = byval.select(
+        *group_cols,
+        F.col(value_col),
+        F.sum("_w").over(win).alias("_cumw"),
+        F.sum("_w").over(tot).alias("_totw"),
+    )
+    return (
+        cum.filter(2 * F.col("_cumw") >= F.col("_totw"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min(value_col).alias("w_median"),
+            F.max("_totw").alias("total_weight"),
+        )
+    )

@@ -162,3 +162,97 @@ def pagerank_fixed_point(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Exact triangle census over a symmetric edge list — one row:
+    (n_nodes, n_edges, n_wedges, n_triangles, global_clustering).
+
+    Algorithm is the degree-ordered node-iterator (the MapReduce triangle
+    classic): orient each undirected edge from its lower-(degree, id)
+    endpoint to the higher one, so every node's OUT-degree is bounded by
+    O(√E) regardless of how viral its raw degree is — the skew cap that
+    makes the wedge join survive power-law graphs. Triangles close by
+    joining oriented wedges (a→b, a→c with b<c in the total order)
+    against the oriented edge set (b→c); each triangle is produced
+    exactly once, at its lowest-ordered vertex.
+
+    Scale notes (100 TB): two self-joins on node keys, both
+    partial-aggregable afterwards; the oriented edge list is ≤ half the
+    symmetric input and both joins shuffle only (src,dst) pairs. Wedge
+    count Σ outdeg·(outdeg−1)/2 is bounded by the orientation (no
+    quadratic hub blowup). All counters are exact BIGINTs; the closing
+    global_clustering = 3·T/W divides two exact integers, so the IEEE
+    quotient is bit-identical in any engine.
+
+    Wedge semantics: n_wedges counts UNDIRECTED wedges (paths of length
+    2) = Σ_v deg(v)·(deg(v)−1)/2 over raw degrees — the denominator of
+    the standard global clustering coefficient.
+    """
+    und = edges.filter(F.col("src") < F.col("dst"))
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # total order: (deg, node) — attach to both endpoints, orient upward
+    e = (
+        und.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("deg", "deg_s")
+        .join(
+            deg.withColumnRenamed("node", "dst").withColumnRenamed(
+                "deg", "deg_d"
+            ),
+            "dst",
+        )
+    )
+    lo_first = (F.col("deg_s") < F.col("deg_d")) | (
+        (F.col("deg_s") == F.col("deg_d")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = e.select(
+        F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("b"),
+        F.when(lo_first, F.col("deg_d")).otherwise(F.col("deg_s")).alias(
+            "deg_hi"
+        ),
+        F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+    ).select(
+        "a",
+        "b",
+        # rank of the higher endpoint in the total order, for wedge dedup
+        F.struct(F.col("deg_hi").alias("d"), F.col("hi").alias("n")).alias(
+            "ord_b"
+        ),
+    )
+    w1 = oriented.select("a", F.col("b").alias("w1"), F.col("ord_b").alias("o1"))
+    w2 = oriented.select("a", F.col("b").alias("w2"), F.col("ord_b").alias("o2"))
+    wedges = w1.join(w2, "a").filter(
+        (F.col("o1.d") < F.col("o2.d"))
+        | ((F.col("o1.d") == F.col("o2.d")) & (F.col("o1.n") < F.col("o2.n")))
+    )
+    closed = wedges.join(
+        oriented.select(
+            F.col("a").alias("w1"), F.col("b").alias("w2")
+        ),
+        ["w1", "w2"],
+        "left_semi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(
+                F.expr("CAST(deg AS BIGINT) * (deg - 1) div 2")
+            ).alias("n_wedges"),
+        )
+    )
+    return counts.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (
+            F.lit(3).cast("double")
+            * F.col("n_triangles")
+            / F.col("n_wedges")
+        ).alias("global_clustering"),
+    )

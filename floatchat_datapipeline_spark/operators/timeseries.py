@@ -671,3 +671,45 @@ def interval_union(
         )
         .orderBy(key)
     )
+
+
+def seasonal_baseline_spikes(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Hour-of-day seasonal anomaly detection: a (day, hour, event_type)
+    cell is a spike when its value mass exceeds `factor`× the MEAN mass
+    of the same (event_type, hour-of-day) slot across all days — the
+    seasonality-aware twin of the global MAD detector (events_mad_
+    outliers). Two aggregations: the cell rollup (one shuffle over the
+    log, partial-aggregable) and the per-(type, hour-of-day) baseline
+    (≤ types×24 rows — broadcast back, no second shuffle of the log).
+
+    Exact integer arithmetic end-to-end: masses are summed in cents and
+    the threshold test cross-multiplies (cents · n_days > factor ·
+    total_cents) instead of dividing, so there is NO float anywhere and
+    any engine agrees bit-for-bit. The baseline includes the cell under
+    test (population mean, not leave-one-out) — deterministic and
+    side-effect-free for backfills."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    cell = df.groupBy(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hod"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("cents"),
+    )
+    base = cell.groupBy("event_type", "hod").agg(
+        F.sum("cents").alias("base_cents"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    j = cell.join(F.broadcast(base), ["event_type", "hod"])
+    return j.select(
+        F.col("day").cast("string").alias("day"),
+        "hod",
+        "event_type",
+        "n_events",
+        "cents",
+        (
+            F.col("cents") * F.col("n_days")
+            > F.lit(factor) * F.col("base_cents")
+        ).alias("is_spike"),
+    )

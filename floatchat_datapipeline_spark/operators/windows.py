@@ -448,3 +448,38 @@ def retention_cohort(df: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def sliding_distinct_users(df: DataFrame, window_hours: int = 24) -> DataFrame:
+    """Trailing-`window_hours` DISTINCT users per hour — the sliding
+    HAU/DAU counter. Distinct counts do NOT compose over overlapping
+    window frames (Spark's window functions rightly refuse
+    `count(distinct) OVER RANGE`), so the scalable form is
+    bucket-contribution: dedupe to (hour, user) FIRST (the only pass
+    over the raw log — partial-aggregable), then each membership
+    contributes to the ≤W windows ending at hour..hour+W−1 via a
+    `sequence` explode, and one hash-distinct per target hour finishes
+    it. Fan-out is W× the DEDUPED memberships, never W× the raw events;
+    at 100 TB the dedupe collapses the log ~events-per-user-hour-fold
+    before any fan-out. Only hours that actually have activity are
+    reported (left-semi against observed hours)."""
+    hu = df.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+    ).distinct()
+    hours = hu.select("h").distinct()
+    contrib = hu.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("h"),
+                F.col("h")
+                + F.make_interval(hours=F.lit(window_hours - 1)),
+                F.make_interval(hours=F.lit(1)),
+            )
+        ).alias("t"),
+    )
+    return (
+        contrib.join(hours, contrib["t"] == hours["h"], "left_semi")
+        .groupBy(F.col("t").alias("hour"))
+        .agg(F.countDistinct("user_id").alias("n_users_trailing"))
+    )

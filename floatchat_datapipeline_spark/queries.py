@@ -6123,6 +6123,462 @@ ORDER BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# Round-7 additions: sliding distinct, seasonal baseline, regression trend,
+# triangle census, column profiling, spatial grid join, Pareto/ABC, weighted
+# median (SURVEY.md §2.14: A24-A28, TS10, G2, J17)
+# ---------------------------------------------------------------------------
+
+
+def q_events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24 — trailing-24h distinct users per hour (sliding HAU). Distinct
+    does not compose over overlapping frames, so the scalable form is
+    bucket-contribution: dedupe to (hour, user) once, explode each
+    membership to the ≤24 windows it serves, one hash-distinct per
+    target hour (operators/windows.sliding_distinct_users)."""
+    from floatchat_datapipeline_spark.operators.windows import (
+        sliding_distinct_users,
+    )
+
+    return sliding_distinct_users(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_SLIDING_DISTINCT_ORACLE = """
+WITH hu AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+), hrs AS (
+  SELECT DISTINCT h FROM hu
+), c AS (
+  SELECT user_id, h + k * INTERVAL 1 HOUR AS t
+  FROM hu CROSS JOIN (SELECT unnest(range(0, 24)) AS k)
+)
+SELECT c.t AS hour,
+       CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users_trailing
+FROM c JOIN hrs ON c.t = hrs.h
+GROUP BY c.t
+"""
+
+
+def q_events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS10 — hour-of-day seasonal spike detection: a (day, hour, type)
+    cell is a spike when its cents mass exceeds 2× the mean of its
+    (type, hour-of-day) slot across days. Exact integer cross-multiply,
+    zero floats (operators/timeseries.seasonal_baseline_spikes)."""
+    from floatchat_datapipeline_spark.operators.timeseries import (
+        seasonal_baseline_spikes,
+    )
+
+    return seasonal_baseline_spikes(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_SEASONAL_BASELINE_ORACLE = """
+WITH cell AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(hour(ts) AS INT) AS hod, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2, 3
+), base AS (
+  SELECT event_type, hod,
+         CAST(sum(cents) AS BIGINT) AS base_cents,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM cell GROUP BY 1, 2
+)
+SELECT c.day, c.hod, c.event_type, c.n_events, c.cents,
+       (c.cents * b.n_days > 2 * b.base_cents) AS is_spike
+FROM cell c JOIN base b USING (event_type, hod)
+"""
+
+
+def q_events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25 — per-type OLS trend of hourly value mass, in EXACT integer
+    sums: hours rebase to a 0-based index (one tiny global-min agg,
+    broadcast), y is cents, and slope/intercept come from the closed-form
+    normal equations whose numerators/denominators are all BIGINT —
+    the only float op is the final division of two exact integers, which
+    is one IEEE-deterministic quotient in any engine. The rebased x
+    keeps every product far from 2^63 at test scales; at extreme scales
+    split the time axis per window (docstring contract, not a silent
+    cap). One shuffle (hourly rollup); the per-type reduce is algebraic
+    sums, partial-aggregable."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        long_div(
+            epoch_micros(F.date_trunc("hour", F.col("ts"))), 3_600_000_000
+        ).alias("hx"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
+    )
+    x0 = hourly.agg(F.min("hx").alias("x0"))
+    h = hourly.crossJoin(F.broadcast(x0)).select(
+        "event_type", (F.col("hx") - F.col("x0")).alias("x"), "y"
+    )
+    sums = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_num = F.col("n_hours") * F.col("sxy") - F.col("sx") * F.col("sy")
+    icept_num = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return sums.select(
+        "event_type",
+        "n_hours",
+        F.col("sy").alias("sum_cents"),
+        (slope_num.cast("double") / den.cast("double")).alias(
+            "slope_cents_per_hour"
+        ),
+        (icept_num.cast("double") / den.cast("double")).alias(
+            "intercept_cents"
+        ),
+    )
+
+
+_EVENTS_VALUE_TREND_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hx,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), x0 AS (
+  SELECT CAST(min(hx) AS BIGINT) AS x0 FROM hourly
+), h AS (
+  SELECT event_type, CAST(hx - x0 AS BIGINT) AS x, y FROM hourly, x0
+), sums AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM h GROUP BY 1
+)
+SELECT event_type, n_hours, sy AS sum_cents,
+       CAST(n_hours * sxy - sx * sy AS DOUBLE)
+         / CAST(n_hours * sxx - sx * sx AS DOUBLE) AS slope_cents_per_hour,
+       CAST(sy * sxx - sx * sxy AS DOUBLE)
+         / CAST(n_hours * sxx - sx * sx AS DOUBLE) AS intercept_cents
+FROM sums
+"""
+
+
+def q_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — exact triangle census of the user co-activity graph (same
+    capped edge builder as events_pagerank), via the degree-ordered
+    node-iterator: orient edges low→high in the (degree, id) total
+    order, join oriented wedges against oriented edges. All counters
+    BIGINT; clustering = 3T/W is one exact-integer division
+    (operators/graph.triangle_stats has the 100 TB analysis)."""
+    from floatchat_datapipeline_spark.operators.graph import (
+        coactivity_edges,
+        triangle_stats,
+    )
+
+    return triangle_stats(
+        coactivity_edges(load_table(spark, sf_dir, "events"))
+    )
+
+
+_USER_TRIANGLES_ORACLE = """
+WITH members AS (
+  SELECT DISTINCT event_type,
+         epoch_us(ts) // 600000000 AS h, user_id
+  FROM events
+), capped AS (
+  SELECT event_type, h, user_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type, h ORDER BY user_id) AS rn
+    FROM members)
+  WHERE rn <= 64
+), edges0 AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM capped a JOIN capped b
+    ON a.event_type = b.event_type AND a.h = b.h
+   AND a.user_id <> b.user_id
+), und AS (
+  SELECT src, dst FROM edges0 WHERE src < dst
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+  FROM edges0 GROUP BY src
+), o AS (
+  SELECT CASE WHEN ds.deg < dd.deg
+                OR (ds.deg = dd.deg AND u.src < u.dst)
+              THEN u.src ELSE u.dst END AS a,
+         CASE WHEN ds.deg < dd.deg
+                OR (ds.deg = dd.deg AND u.src < u.dst)
+              THEN u.dst ELSE u.src END AS b,
+         CASE WHEN ds.deg < dd.deg
+                OR (ds.deg = dd.deg AND u.src < u.dst)
+              THEN dd.deg ELSE ds.deg END AS db
+  FROM und u
+  JOIN deg ds ON ds.node = u.src
+  JOIN deg dd ON dd.node = u.dst
+), wedge AS (
+  SELECT w1.b AS x, w2.b AS y
+  FROM o w1 JOIN o w2 ON w1.a = w2.a
+  WHERE w1.db < w2.db OR (w1.db = w2.db AND w1.b < w2.b)
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM wedge w
+  WHERE EXISTS (SELECT 1 FROM o WHERE o.a = w.x AND o.b = w.y)
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+), ecnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       3.0 * n_triangles / n_wedges AS global_clustering
+FROM stats, ecnt, tri
+"""
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26 — single-pass column profiler over events + documents: per
+    column null count, exact distinct cardinality, and (strings) total
+    length — the Deequ/Great-Expectations profile op
+    (operators/profiling.profile_tables; swap exact=False for the HLL
+    form at 100 TB)."""
+    from floatchat_datapipeline_spark.operators.profiling import (
+        profile_tables,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_tables(
+        [
+            (
+                "events",
+                ev,
+                ["event_id", "user_id", "event_type", "value", "props"],
+            ),
+            (
+                "documents",
+                docs,
+                ["doc_id", "lang", "source", "n_chars", "text"],
+            ),
+        ]
+    )
+
+
+def _profile_oracle() -> str:
+    cols = {
+        "events": [
+            ("event_id", False),
+            ("user_id", False),
+            ("event_type", True),
+            ("value", False),
+            ("props", True),
+        ],
+        "documents": [
+            ("doc_id", False),
+            ("lang", True),
+            ("source", True),
+            ("n_chars", False),
+            ("text", True),
+        ],
+    }
+    parts = []
+    for tbl, cs in cols.items():
+        for c, is_str in cs:
+            slen = (
+                f"CAST(sum(length({c})) AS BIGINT)"
+                if is_str
+                else "CAST(NULL AS BIGINT)"
+            )
+            parts.append(
+                f"SELECT '{tbl}' AS table_name, '{c}' AS column, "
+                f"       CAST(count(*) AS BIGINT) AS n_rows, "
+                f"       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS n_null, "
+                f"       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+                f"       {slen} AS sum_len "
+                f"FROM {tbl}"
+            )
+    return " UNION ALL ".join(parts)
+
+
+_TABLE_PROFILE_ORACLE = _profile_oracle()
+
+
+def q_geo_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J17 — spatial all-pairs-within-250km over hash-derived customer
+    coordinates, via the 3×3 grid-bucket equi-join (the spatial LSH
+    band: one shuffle on the cell key, constant 9× fan-out, no cross
+    join). Distances round to integer meters BEFORE the radius gate and
+    the per-cell sums, so both engines admit the same pairs and sum the
+    same BIGINTs (operators/spatial.grid_close_pairs)."""
+    from floatchat_datapipeline_spark.operators.spatial import (
+        grid_close_pairs,
+        hash_coords,
+    )
+
+    pts = hash_coords(
+        load_table(spark, sf_dir, "customer"), "c_custkey"
+    ).withColumnRenamed("c_custkey", "id")
+    return grid_close_pairs(pts)
+
+
+_GEO_CLOSE_PAIRS_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey AS id,
+         (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)
+               AS BIGINT) % 1200000) / 10000.0 - 60.0 AS lat,
+         (CAST('0x' || substr(md5('lon|' || CAST(c_custkey AS VARCHAR)),
+                              1, 15)
+               AS BIGINT) % 3600000) / 10000.0 - 180.0 AS lon
+  FROM customer
+), home AS (
+  SELECT id, lat, lon,
+         CAST(floor(lat / 5.0) AS INT) AS cy,
+         CAST(floor(lon / 5.0) AS INT) AS cx
+  FROM pts
+), probe AS (
+  SELECT h.id, h.lat, h.lon, h.cy + dy.k AS cy, h.cx + dx.k AS cx
+  FROM home h,
+       (SELECT unnest(range(-1, 2)) AS k) dy,
+       (SELECT unnest(range(-1, 2)) AS k) dx
+), cand AS (
+  SELECT b.cy, b.cx,
+         CAST(round(2 * 6371.0 * asin(sqrt(
+             pow(sin(radians(b.lat - a.lat) / 2), 2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+               * pow(sin(radians(b.lon - a.lon) / 2), 2)
+         )) * 1000.0) AS BIGINT) AS dist_m
+  FROM probe a JOIN home b
+    ON a.cy = b.cy AND a.cx = b.cx AND a.id < b.id
+)
+SELECT cy AS cell_lat, cx AS cell_lon,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(dist_m) AS BIGINT) AS sum_dist_m
+FROM cand WHERE dist_m <= 250000
+GROUP BY 1, 2
+"""
+
+
+def q_part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27 — Pareto/ABC inventory classification: parts ranked by
+    discounted revenue, classified A/B/C at 80 %/95 % cumulative share.
+    The raw fact collapses to one row per part FIRST (the only shuffle
+    over lineitem, partial-aggregable); the cumulative window then runs
+    over the collapsed PART domain — a dim-sized sort, not a fact sort.
+    Share gates cross-multiply exact cents (cum·100 ≤ total·80): no
+    floats. At a part domain too large for one window sort, the same
+    cumsum splits into per-range partials + broadcast prefix offsets;
+    the classification thresholds are unchanged."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("cents")
+    )
+    total = rev.agg(F.sum("cents").alias("t"))
+    w = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.select(
+        "l_partkey", "cents", F.sum("cents").over(w).alias("c")
+    ).crossJoin(F.broadcast(total))
+    cls = (
+        F.when(F.col("c") * 100 <= F.col("t") * 80, F.lit("A"))
+        .when(F.col("c") * 100 <= F.col("t") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        cum.select(cls.alias("abc_class"), "cents")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+_PART_REVENUE_ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev
+), cum AS (
+  SELECT cents,
+         CAST(sum(cents) OVER (
+           ORDER BY cents DESC, l_partkey ROWS UNBOUNDED PRECEDING)
+           AS BIGINT) AS c
+  FROM rev
+)
+SELECT CASE WHEN c * 100 <= t * 80 THEN 'A'
+            WHEN c * 100 <= t * 95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM cum, tot GROUP BY 1
+"""
+
+
+def q_lineitem_weighted_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A28 — exact quantity-weighted median price per (returnflag,
+    linestatus): collapse to per-distinct-price weight totals (the only
+    fact pass), one per-group window cumsum over the collapsed value
+    domain, lower-median pick by integer cross-multiply
+    (operators/aggregate.weighted_median)."""
+    from floatchat_datapipeline_spark.operators.aggregate import (
+        weighted_median,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("l_quantity").alias("qty"),
+    )
+    return weighted_median(
+        li, ["l_returnflag", "l_linestatus"], "price_cents", "qty"
+    )
+
+
+_LINEITEM_WEIGHTED_MEDIAN_ORACLE = """
+WITH byval AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2, 3
+), cum AS (
+  SELECT l_returnflag, l_linestatus, price_cents,
+         CAST(sum(w) OVER (
+           PARTITION BY l_returnflag, l_linestatus
+           ORDER BY price_cents ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cumw,
+         CAST(sum(w) OVER (
+           PARTITION BY l_returnflag, l_linestatus) AS BIGINT) AS totw
+  FROM byval
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(min(price_cents) AS BIGINT) AS w_median,
+       CAST(max(totw) AS BIGINT) AS total_weight
+FROM cum WHERE 2 * cumw >= totw
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -6212,6 +6668,36 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "events_sliding_distinct": QuerySpec(
+            q_events_sliding_distinct,
+            _EVENTS_SLIDING_DISTINCT_ORACLE,
+            ("A24",),
+        ),
+        "events_seasonal_baseline": QuerySpec(
+            q_events_seasonal_baseline,
+            _EVENTS_SEASONAL_BASELINE_ORACLE,
+            ("TS10",),
+        ),
+        "events_value_trend": QuerySpec(
+            q_events_value_trend, _EVENTS_VALUE_TREND_ORACLE, ("A25",)
+        ),
+        "user_triangles": QuerySpec(
+            q_user_triangles, _USER_TRIANGLES_ORACLE, ("G2",)
+        ),
+        "table_profile": QuerySpec(
+            q_table_profile, _TABLE_PROFILE_ORACLE, ("A26",)
+        ),
+        "geo_close_pairs": QuerySpec(
+            q_geo_close_pairs, _GEO_CLOSE_PAIRS_ORACLE, ("J17",)
+        ),
+        "part_revenue_abc": QuerySpec(
+            q_part_revenue_abc, _PART_REVENUE_ABC_ORACLE, ("A27",)
+        ),
+        "lineitem_weighted_median": QuerySpec(
+            q_lineitem_weighted_median,
+            _LINEITEM_WEIGHTED_MEDIAN_ORACLE,
+            ("A28",),
+        ),
         "argo_clean": QuerySpec(
             q_argo_clean,
             _ARGO_CLEAN_ORACLE,

@@ -1,0 +1,224 @@
+"""Round-7 operators: triangle census, sliding distinct, weighted
+median, spatial grid join, column profiler, seasonal baseline —
+hand-built semantic cases + the plan shapes behind their scale claims."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from floatchat_datapipeline_spark.plans.checks import plan_string
+
+
+def test_triangle_stats_hand_graph(spark):
+    """K4 minus one edge: nodes 1-4, edges 12,13,14,23,24 (34 missing)
+    → triangles {1,2,3} and {1,2,4}; wedges = Σ deg(deg-1)/2 =
+    3+3+1+1 = 8."""
+    from floatchat_datapipeline_spark.operators.graph import triangle_stats
+
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src: bigint, dst: bigint"
+    )
+    r = triangle_stats(edges).first()
+    assert r["n_nodes"] == 4
+    assert r["n_edges"] == 5
+    assert r["n_wedges"] == 8
+    assert r["n_triangles"] == 2
+    assert abs(r["global_clustering"] - 6.0 / 8.0) < 1e-12
+
+
+def test_triangle_stats_no_cartesian(spark, sf_dir):
+    """The scale-critical stages (orientation joins, wedge join, closure
+    semi-join) must all be key-equi joins; the only non-equi joins in
+    the full plan are the final 1-row stat-assembly crossJoins. Pin that
+    by planning the closure stage alone: zero cartesian/nested-loop."""
+    from floatchat_datapipeline_spark.operators.graph import (
+        coactivity_edges,
+        triangle_stats,
+    )
+    from floatchat_datapipeline_spark.catalog import load_table
+
+    full = plan_string(
+        triangle_stats(coactivity_edges(load_table(spark, sf_dir, "events")))
+    )
+    # the assembly is two single-row broadcast combines, nothing more
+    # (count tree-form tokens; the details section repeats node names)
+    assert full.count("BroadcastNestedLoopJoin Cross") <= 2, full
+    assert "CartesianProduct" not in full, full
+    # and the wedge/closure machinery itself is equi-join only: strip
+    # the assembly by planning the census WITHOUT the final crossJoins
+    edges = coactivity_edges(load_table(spark, sf_dir, "events"))
+    und = edges.filter(F.col("src") < F.col("dst"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e = (
+        und.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("deg", "deg_s")
+        .join(
+            deg.withColumnRenamed("node", "dst").withColumnRenamed(
+                "deg", "deg_d"
+            ),
+            "dst",
+        )
+    )
+    plan = plan_string(e)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_sliding_distinct_users_hand_case(spark):
+    """User 1 active at hours 0 and 30; user 2 at hour 1. Window ending
+    hour 1 sees both; hour 30 sees only user 1 again (hour 0 aged out);
+    hours 2..24 (from h=1 contribution) see user 2 etc. Check a few
+    cells exactly."""
+    from floatchat_datapipeline_spark.operators.windows import (
+        sliding_distinct_users,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:10:00"),
+        (1, "2024-01-02 06:20:00"),  # hour 30
+        (2, "2024-01-01 01:30:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id: bigint, ts: string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {
+        str(r["hour"]): r["n_users_trailing"]
+        for r in sliding_distinct_users(df).collect()
+    }
+    # observed hours only: 00, 01, 30
+    assert got == {
+        "2024-01-01 00:00:00": 1,
+        "2024-01-01 01:00:00": 2,
+        "2024-01-02 06:00:00": 1,
+    }
+
+
+def test_weighted_median_hand_cases(spark):
+    from floatchat_datapipeline_spark.operators.aggregate import (
+        weighted_median,
+    )
+
+    rows = [
+        # group a: values 1(w1), 2(w1), 3(w2): W=4, half=2 → cum at 2 is 2
+        # → 2*2 >= 4 → lower median 2
+        ("a", 1, 1), ("a", 2, 1), ("a", 3, 2),
+        # group b: single value
+        ("b", 7, 5),
+        # group c: duplicate rows collapse; 5(w3) 9(w1): median 5
+        ("c", 5, 1), ("c", 5, 2), ("c", 9, 1),
+    ]
+    df = spark.createDataFrame(rows, "g: string, v: bigint, w: bigint")
+    got = {
+        r["g"]: (r["w_median"], r["total_weight"])
+        for r in weighted_median(df, ["g"], "v", "w").collect()
+    }
+    assert got == {"a": (2, 4), "b": (7, 5), "c": (5, 4)}
+
+
+def test_grid_close_pairs_matches_brute_force(spark, sf_dir):
+    """The 3×3 grid join must find EXACTLY the pairs a brute-force cross
+    join finds (the neighborhood is exhaustive for radius ≤ cell
+    coverage) — checked on the sf customer sample."""
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.operators.spatial import (
+        grid_close_pairs,
+        hash_coords,
+        haversine_km,
+    )
+
+    pts = hash_coords(
+        load_table(spark, sf_dir, "customer").limit(400), "c_custkey"
+    ).withColumnRenamed("c_custkey", "id")
+    got = (
+        grid_close_pairs(pts)
+        .agg(F.sum("n_pairs"), F.sum("sum_dist_m"))
+        .first()
+    )
+    a = pts.select(
+        F.col("id").alias("ia"),
+        F.col("lat").alias("la"),
+        F.col("lon").alias("na"),
+    )
+    b = pts.select(
+        F.col("id").alias("ib"),
+        F.col("lat").alias("lb"),
+        F.col("lon").alias("nb"),
+    )
+    dist_m = F.round(
+        haversine_km(F.col("la"), F.col("na"), F.col("lb"), F.col("nb"))
+        * 1000.0,
+        0,
+    ).cast("bigint")
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .select(dist_m.alias("d"))
+        .filter(F.col("d") <= 250_000)
+        .agg(F.count(F.lit(1)), F.sum("d"))
+        .first()
+    )
+    assert (got[0] or 0) == brute[0]
+    assert (got[1] or 0) == (brute[1] or 0)
+
+
+def test_grid_close_pairs_plan_has_no_cartesian(spark, sf_dir):
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.operators.spatial import (
+        grid_close_pairs,
+        hash_coords,
+    )
+
+    pts = hash_coords(
+        load_table(spark, sf_dir, "customer"), "c_custkey"
+    ).withColumnRenamed("c_custkey", "id")
+    plan = plan_string(grid_close_pairs(pts))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_profile_columns_null_and_string_semantics(spark):
+    from floatchat_datapipeline_spark.operators.profiling import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, None), (None, "c")], "k: bigint, s: string"
+    )
+    got = {
+        r["column"]: r
+        for r in profile_columns(df, "t", ["k", "s"]).collect()
+    }
+    assert got["k"]["n_rows"] == 3 and got["k"]["n_null"] == 1
+    assert got["k"]["n_distinct"] == 2
+    assert got["k"]["sum_len"] is None  # non-string: no length mass
+    assert got["s"]["n_null"] == 1 and got["s"]["sum_len"] == 3
+
+
+def test_seasonal_baseline_flags_only_true_spikes(spark):
+    from floatchat_datapipeline_spark.operators.timeseries import (
+        seasonal_baseline_spikes,
+    )
+
+    rows = [
+        # type x, hour 3: three days of cents 100, one day of 900
+        ("2024-01-01 03:00:01", "x", 1.00),
+        ("2024-01-02 03:00:01", "x", 1.00),
+        ("2024-01-03 03:00:01", "x", 1.00),
+        ("2024-01-04 03:00:01", "x", 9.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts: string, event_type: string, value: double"
+    ).select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    got = {r["day"]: r["is_spike"] for r in seasonal_baseline_spikes(df).collect()}
+    # baseline mean = 1200/4 = 300; spike iff cents > 600
+    assert got == {
+        "2024-01-01": False,
+        "2024-01-02": False,
+        "2024-01-03": False,
+        "2024-01-04": True,
+    }

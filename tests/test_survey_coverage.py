@@ -137,6 +137,22 @@ SURVEY_IDS = [
     "J16",
     # additive parquet schema evolution (mergeSchema / pinned reads)
     "S17",
+    # trailing-window sliding distinct count (bucket-contribution)
+    "A24",
+    # seasonal-baseline spike detection (hour-of-day, exact integers)
+    "TS10",
+    # OLS trend from exact integer sums (normal equations)
+    "A25",
+    # triangle census (degree-ordered node-iterator)
+    "G2",
+    # single-pass column profiler (Deequ/GE role; HLL twin at scale)
+    "A26",
+    # spatial grid-bucket join (all pairs within radius)
+    "J17",
+    # Pareto/ABC cumulative-share classification
+    "A27",
+    # exact weighted median (collapsed-domain window cumsum)
+    "A28",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
