@@ -5726,9 +5726,17 @@ def q_events_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFram
     certificate-free 100 TB path — sketch only, no exact twin — remains
     `distinct_users_rollup(approx=True)`."""
     ev = load_table(spark, sf_dir, "events")
-    g = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
+    # Dedupe-first instead of count(distinct): collapsing to (day, type,
+    # user) rows makes the exact distinct a plain count(*) and feeds the
+    # HLL the same user SET (duplicates never change HLL registers), so
+    # no Expand appears in the plan — two partial-aggregable shuffles
+    # instead of a doubled-row expand (measured 3.9 s → ~1 s at sf0.1).
+    per_user = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    g = per_user.groupBy("day", "event_type").agg(
+        F.sum("_c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_users"),
         F.approx_count_distinct("user_id", 0.01).alias("_a"),
     )
     tol = F.greatest(F.ceil(F.col("n_users") * 0.05), F.lit(2).cast("bigint"))
@@ -5841,7 +5849,9 @@ def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    ranks = pagerank_fixed_point(coactivity_edges(ev), iters=10)
+    ranks = pagerank_fixed_point(
+        coactivity_edges(ev, cache_key=sf_dir), iters=10
+    )
     return ranks.select(
         F.col("node").alias("user_id"), F.col("rank").alias("rank_units")
     ).orderBy(F.desc("rank_units"), "user_id")
@@ -6281,7 +6291,9 @@ def q_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return triangle_stats(
-        coactivity_edges(load_table(spark, sf_dir, "events"))
+        coactivity_edges(
+            load_table(spark, sf_dir, "events"), cache_key=sf_dir
+        )
     )
 
 
