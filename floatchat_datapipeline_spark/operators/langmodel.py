@@ -98,3 +98,37 @@ def perplexity_filter(
         "avg_logprob",
         (F.col("avg_logprob") >= F.col("_thr")).alias("kept"),
     )
+
+
+def char_entropy(docs: DataFrame, threshold: float = 2.0) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the
+    Gopher-family gibberish/boilerplate signal orthogonal to the
+    stopword/length heuristics of doc_quality: natural prose sits near
+    ~3 nats, runs of one character or base64-ish noise fall outside.
+
+    H = ln(n) − (Σ_c k_c·ln k_c)/n over per-doc char counts k_c. The
+    counts are exact integers from one explode + two partial-aggregable
+    hash aggs keyed by doc_id (the shuffle carries (doc, char) partials,
+    never raw text). The only floats are ≤ ~95 ln() terms per doc; H is
+    rounded to 1e-6 (the repo-wide float-parity convention) and the
+    low-entropy flag tests the ROUNDED value, so both engines flag the
+    same docs."""
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    ent = counts.groupBy("doc_id").agg(
+        F.sum("k").alias("n"),
+        F.sum(F.col("k").cast("double") * F.log(F.col("k").cast("double"))).alias("_s"),
+    )
+    h = F.round(
+        F.log(F.col("n").cast("double")) - F.col("_s") / F.col("n").cast("double"), 6
+    )
+    return ent.select(
+        "doc_id",
+        F.col("n").alias("n_chars_counted"),
+        h.alias("entropy"),
+        (h < F.lit(threshold)).alias("low_entropy"),
+    )

@@ -84,3 +84,52 @@ def profile_tables(
         p = profile_columns(df, name, cols, exact=exact)
         out = p if out is None else out.unionByName(p)
     return out
+
+
+def distribution_drift(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    threshold_pct: int = 5,
+) -> DataFrame:
+    """Categorical distribution drift between the first and second half
+    of a table's time range — the monitoring op that catches a source
+    whose category mix shifts mid-backfill. The split point is the
+    integer-microsecond midpoint of [min ts, max ts] (one tiny global
+    agg, broadcast); per key the drift gate compares first-half vs
+    second-half SHARES by cross-multiplication:
+
+        |n1/T1 − n2/T2| > p/100  ⟺  100·|n1·T2 − n2·T1| > p·T1·T2
+
+    so every comparison is exact BIGINT — no float shares, no rounding
+    rules, bit-identical across engines. One partial-aggregable rollup
+    over the fact (conditional sums), dim-sized everything after."""
+    from floatchat_datapipeline_spark.functions.eventtime import epoch_micros
+
+    us = epoch_micros(F.col(ts_col))
+    bounds = df.agg(
+        F.min(us).alias("_lo"), F.max(us).alias("_hi")
+    ).select(F.expr("(_lo + _hi) div 2").alias("_mid"))
+    per = (
+        df.crossJoin(F.broadcast(bounds))
+        .groupBy(key_col)
+        .agg(
+            F.sum((us <= F.col("_mid")).cast("bigint")).alias("n_first"),
+            F.sum((us > F.col("_mid")).cast("bigint")).alias("n_second"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_first").alias("_t1"), F.sum("n_second").alias("_t2")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        key_col,
+        "n_first",
+        "n_second",
+        (
+            100 * F.abs(
+                F.col("n_first") * F.col("_t2")
+                - F.col("n_second") * F.col("_t1")
+            )
+            > F.lit(threshold_pct) * F.col("_t1") * F.col("_t2")
+        ).alias("drifted"),
+    )

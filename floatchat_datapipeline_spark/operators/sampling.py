@@ -222,3 +222,56 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def mixing_allocation(
+    docs: DataFrame,
+    budget: int = 1_000_000,
+    mass_col: str = "n_chars",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a training-data
+    budget across strata — the corpus-mixing step that turns per-source
+    masses into an INTEGER per-source quota summing to exactly `budget`
+    (the temperature_sample twin for the case where the target is a hard
+    global budget, not per-stratum keep-rates).
+
+    base_s = ⌊B·m_s / M⌋ under-allocates by L = B − Σ base_s < n_strata
+    units; the L strata with the largest remainders (B·m_s mod M,
+    deterministic tie-break on the stratum key) each get one extra unit.
+    ALL integer arithmetic — quotas replay bit-identically in any
+    engine, and Σ alloc = B is an invariant, not a rounding accident.
+
+    Scale notes: one partial-aggregable rollup over the corpus; the
+    apportionment itself runs on the n_strata-row summary (window over
+    strata — dim-sized). B·m_s must stay below 2^63: at corpus masses
+    beyond ~2^63/B, pre-scale masses by a common divisor (the ratio is
+    what matters), which keeps the method exact."""
+    per = docs.groupBy(stratum_col).agg(
+        F.sum(F.col(mass_col).cast("bigint")).alias("mass")
+    )
+    tot = per.agg(F.sum("mass").alias("_m"), F.sum(F.lit(1)).alias("_k"))
+    j = per.crossJoin(F.broadcast(tot))
+    j = j.select(
+        stratum_col,
+        "mass",
+        F.expr(f"CAST({budget} AS BIGINT) * mass div _m").alias("base"),
+        F.expr(f"(CAST({budget} AS BIGINT) * mass) % _m").alias("rem"),
+        "_m",
+    )
+    leftover = j.groupBy().agg(
+        (F.lit(int(budget)) - F.sum("base")).alias("_l")
+    )
+    w = Window.orderBy(F.desc("rem"), stratum_col)
+    return (
+        j.withColumn("_rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            stratum_col,
+            "mass",
+            (
+                F.col("base")
+                + (F.col("_rk") <= F.col("_l")).cast("bigint")
+            ).alias("alloc"),
+        )
+    )

@@ -6590,6 +6590,111 @@ GROUP BY 1, 2
 """
 
 
+def q_corpus_mixing_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """L19 — largest-remainder apportionment of a 1M-unit training
+    budget across sources ∝ char mass: integer base quotas + top-up of
+    the largest remainders, Σ alloc = budget exactly
+    (operators/sampling.mixing_allocation; all-BIGINT, dim-sized
+    window)."""
+    from floatchat_datapipeline_spark.operators.sampling import (
+        mixing_allocation,
+    )
+
+    return mixing_allocation(load_table(spark, sf_dir, "documents"))
+
+
+_CORPUS_MIXING_ALLOCATION_ORACLE = """
+WITH per AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(mass) AS BIGINT) AS m FROM per
+), j AS (
+  SELECT source, mass,
+         CAST(1000000 * mass // m AS BIGINT) AS base,
+         CAST((1000000 * mass) % m AS BIGINT) AS rem
+  FROM per, tot
+), lo AS (
+  SELECT CAST(1000000 - sum(base) AS BIGINT) AS l FROM j
+), rk AS (
+  SELECT source, mass, base,
+         row_number() OVER (ORDER BY rem DESC, source) AS r
+  FROM j
+)
+SELECT source, mass,
+       CAST(base + CASE WHEN r <= l THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM rk, lo
+"""
+
+
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L20 — per-doc character Shannon entropy + low-entropy gibberish
+    flag (operators/langmodel.char_entropy; exact integer char counts,
+    1e-6-rounded nats, flag on the ROUNDED value)."""
+    from floatchat_datapipeline_spark.operators.langmodel import (
+        char_entropy,
+    )
+
+    return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+_DOC_CHAR_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i)
+), counts AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS k
+  FROM chars GROUP BY 1, 2
+), ent AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+         sum(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE))) AS s
+  FROM counts GROUP BY 1
+)
+SELECT doc_id, n AS n_chars_counted,
+       round(ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6) AS entropy,
+       (round(ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6) < 2.0)
+         AS low_entropy
+FROM ent
+"""
+
+
+def q_events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29 — first-half vs second-half categorical distribution drift
+    per event_type, shares compared by exact BIGINT cross-multiply
+    (operators/profiling.distribution_drift)."""
+    from floatchat_datapipeline_spark.operators.profiling import (
+        distribution_drift,
+    )
+
+    return distribution_drift(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_DRIFT_ORACLE = """
+WITH b AS (
+  SELECT (CAST(epoch_us(min(ts)) AS BIGINT)
+          + CAST(epoch_us(max(ts)) AS BIGINT)) // 2 AS mid
+  FROM events
+), per AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN epoch_us(ts) <= mid THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_first,
+         CAST(sum(CASE WHEN epoch_us(ts) > mid THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_second
+  FROM events, b GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_first) AS BIGINT) AS t1,
+         CAST(sum(n_second) AS BIGINT) AS t2
+  FROM per
+)
+SELECT event_type, n_first, n_second,
+       (100 * abs(n_first * t2 - n_second * t1) > 5 * t1 * t2) AS drifted
+FROM per, tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6709,6 +6814,17 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_lineitem_weighted_median,
             _LINEITEM_WEIGHTED_MEDIAN_ORACLE,
             ("A28",),
+        ),
+        "corpus_mixing_allocation": QuerySpec(
+            q_corpus_mixing_allocation,
+            _CORPUS_MIXING_ALLOCATION_ORACLE,
+            ("L19",),
+        ),
+        "doc_char_entropy": QuerySpec(
+            q_doc_char_entropy, _DOC_CHAR_ENTROPY_ORACLE, ("L20",)
+        ),
+        "events_drift": QuerySpec(
+            q_events_drift, _EVENTS_DRIFT_ORACLE, ("A29",)
         ),
         "argo_clean": QuerySpec(
             q_argo_clean,

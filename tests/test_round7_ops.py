@@ -222,3 +222,69 @@ def test_seasonal_baseline_flags_only_true_spikes(spark):
         "2024-01-03": False,
         "2024-01-04": True,
     }
+
+
+def test_mixing_allocation_sums_to_budget_and_orders_remainders(spark):
+    from floatchat_datapipeline_spark.operators.sampling import (
+        mixing_allocation,
+    )
+
+    # masses 1,1,1 with budget 100: base 33 each, leftover 1 goes to the
+    # lexicographically-first stratum (equal remainders)
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "source: string, n_chars: bigint"
+    )
+    got = {
+        r["source"]: r["alloc"]
+        for r in mixing_allocation(df, budget=100).collect()
+    }
+    assert got == {"a": 34, "b": 33, "c": 33}
+    assert sum(got.values()) == 100
+    # skewed masses: exact proportionality of the base quotas
+    df2 = spark.createDataFrame(
+        [("x", 7), ("y", 2), ("z", 1)], "source: string, n_chars: bigint"
+    )
+    got2 = {
+        r["source"]: r["alloc"]
+        for r in mixing_allocation(df2, budget=10).collect()
+    }
+    assert sum(got2.values()) == 10 and got2["x"] == 7
+
+
+def test_char_entropy_flags_repetitive_text(spark):
+    from floatchat_datapipeline_spark.operators.langmodel import char_entropy
+
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaaaa"), (2, "abcdefghij"), (3, "")],
+        "doc_id: bigint, text: string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert got[1]["entropy"] == 0.0 and got[1]["low_entropy"]
+    assert abs(got[2]["entropy"] - round(math.log(10), 6)) < 1e-9
+    assert not got[2]["low_entropy"]
+    assert 3 not in got  # empty docs drop (both engines)
+
+
+def test_distribution_drift_cross_multiply_gate(spark):
+    from floatchat_datapipeline_spark.operators.profiling import (
+        distribution_drift,
+    )
+
+    rows = []
+    # first half (hours 0..9): 50 a, 50 b; second half (10..19): 90 a, 10 b
+    for i in range(50):
+        rows.append(("a", f"2024-01-01 0{i % 10}:00:{i % 60:02d}"))
+        rows.append(("b", f"2024-01-01 0{i % 10}:01:{i % 60:02d}"))
+    for i in range(90):
+        rows.append(("a", f"2024-01-01 1{i % 10}:02:{i % 60:02d}"))
+    for i in range(10):
+        rows.append(("b", f"2024-01-01 1{i % 10}:03:{i % 60:02d}"))
+    df = spark.createDataFrame(
+        rows, "event_type: string, ts: string"
+    ).select("event_type", F.col("ts").cast("timestamp").alias("ts"))
+    got = {r["event_type"]: r for r in distribution_drift(df).collect()}
+    # shares: a 50% -> 90%, b 50% -> 10% — both drift at the 5% gate
+    assert got["a"]["drifted"] and got["b"]["drifted"]
+    assert got["a"]["n_first"] + got["a"]["n_second"] == 140

@@ -153,6 +153,12 @@ SURVEY_IDS = [
     "A27",
     # exact weighted median (collapsed-domain window cumsum)
     "A28",
+    # corpus-mixing largest-remainder budget apportionment
+    "L19",
+    # character-entropy gibberish filter
+    "L20",
+    # categorical distribution drift monitor
+    "A29",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
