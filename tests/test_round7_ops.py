@@ -288,3 +288,58 @@ def test_distribution_drift_cross_multiply_gate(spark):
     # shares: a 50% -> 90%, b 50% -> 10% — both drift at the 5% gate
     assert got["a"]["drifted"] and got["b"]["drifted"]
     assert got["a"]["n_first"] + got["a"]["n_second"] == 140
+
+
+def test_seasonal_baseline_broadcasts_tiny_baseline(spark, sf_dir):
+    """The (type × 24) baseline must ride a broadcast join back onto the
+    cell rollup — a shuffle join there would re-shuffle the cells for a
+    ≤120-row dim."""
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.operators.timeseries import (
+        seasonal_baseline_spikes,
+    )
+
+    plan = plan_string(
+        seasonal_baseline_spikes(load_table(spark, sf_dir, "events"))
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_abc_window_runs_over_collapsed_part_domain(spark, sf_dir):
+    """part_revenue_abc's cumulative window must consume the per-part
+    aggregate (dim-sized sort), and the lineitem scan must be pruned to
+    the 3 revenue columns — a fact-wide scan or a pre-agg window means
+    the collapse regressed."""
+    from floatchat_datapipeline_spark.queries import q_part_revenue_abc
+
+    plan = plan_string(q_part_revenue_abc(spark, sf_dir))
+    assert "Window" in plan
+    # column pruning: no unrelated lineitem columns in the scan schema
+    assert "l_comment" not in plan and "l_shipdate" not in plan, plan
+    # formatted plans print root-first: the first HashAggregate is the
+    # final class rollup sitting ABOVE the window, and the per-part
+    # collapse appears again below it — i.e. ≥2 aggregates bracketing
+    # the Window node
+    assert plan.index("HashAggregate") < plan.index("Window")
+    assert plan.count("HashAggregate (") >= 2 or plan.count("HashAggregate") >= 2
+
+
+def test_mixing_allocation_window_is_dim_sized(spark, sf_dir):
+    """The remainder-ranking window partitions nothing (global order),
+    which is only acceptable because its input is the n_strata-row
+    summary — pin that the window consumes an aggregate, and that the
+    documents scan reads only (source, n_chars)."""
+    from floatchat_datapipeline_spark.queries import (
+        q_corpus_mixing_allocation,
+    )
+
+    plan = plan_string(q_corpus_mixing_allocation(spark, sf_dir))
+    # formatted plans print root-first: the Window sits ABOVE (before)
+    # the corpus aggregate it consumes
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<[^>]*>", plan)
+    doc_scans = [s for s in scans if "n_chars" in s]
+    assert doc_scans and all("text" not in s for s in doc_scans), scans
