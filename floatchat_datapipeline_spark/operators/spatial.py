@@ -122,3 +122,44 @@ def grid_close_pairs(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("dist_m").alias("sum_dist_m"),
     )
+
+
+def grid_hotspots(
+    points: DataFrame, id_col: str = "id", cell_deg: float = 5.0
+) -> DataFrame:
+    """Local-density hotspot detection (a Getis-Ord-flavored gate in
+    exact integers): bucket points into grid cells, smooth each cell
+    against its 3×3 neighborhood, and flag cells whose own count exceeds
+    2× the neighborhood MEAN — by cross-multiplication (9·n > 2·nb_sum,
+    neighborhood sum includes self), so there is no float anywhere.
+
+    Scale notes: the point rollup is the only fact shuffle
+    (partial-aggregable); everything after runs on the CELL domain
+    (≤ 72×36 cells at 5°), where the 9× neighbor explode and equi-join
+    are negligible. Missing neighbor cells contribute zero (cells with
+    no points never join), matching the 'empty ocean' intuition."""
+    cells = points.groupBy(
+        F.floor(F.col("lat") / cell_deg).cast("int").alias("cy"),
+        F.floor(F.col("lon") / cell_deg).cast("int").alias("cx"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    probe = (
+        cells.withColumn("dy", off)
+        .withColumn("dx", off)
+        .select(
+            (F.col("cy") + F.col("dy")).alias("cy"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            F.col("n").alias("_nn"),
+        )
+    )
+    nb = probe.groupBy("cy", "cx").agg(F.sum("_nn").alias("nb_sum"))
+    return (
+        cells.join(nb, ["cy", "cx"])
+        .select(
+            F.col("cy").alias("cell_lat"),
+            F.col("cx").alias("cell_lon"),
+            "n",
+            "nb_sum",
+            (9 * F.col("n") > 2 * F.col("nb_sum")).alias("is_hotspot"),
+        )
+    )

@@ -483,3 +483,38 @@ def sliding_distinct_users(df: DataFrame, window_hours: int = 24) -> DataFrame:
         .groupBy(F.col("t").alias("hour"))
         .agg(F.countDistinct("user_id").alias("n_users_trailing"))
     )
+
+
+def new_vs_returning(df: DataFrame) -> DataFrame:
+    """Daily growth accounting: active users split into first-ever-seen
+    (new) vs returning, plus the cumulative distinct-user count to date.
+    Shape: dedupe activity to (day, user) — the only pass over the log,
+    partial-aggregable — derive first-seen by a user-keyed min, join the
+    two BY USER (the aggregation's own hash partitioning; broadcast
+    while small), roll up per day, and run the cumulative sum over the
+    tiny day domain. The running cum_users equals Σ n_new because each
+    user is 'new' exactly once — no sliding distinct needed."""
+    daily = df.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    first = daily.groupBy("user_id").agg(F.min("day").alias("_first"))
+    per_day = (
+        daily.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum((F.col("day") == F.col("_first")).cast("bigint")).alias(
+                "n_new"
+            ),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("day").cast("string").alias("day"),
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(w).alias("cum_users"),
+    )

@@ -6695,6 +6695,85 @@ FROM per, tot
 """
 
 
+def q_events_new_vs_returning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A30 — daily growth accounting: active users split new vs
+    returning, plus cumulative distinct users to date (= Σ n_new, since
+    each user is new exactly once — no sliding distinct needed)
+    (operators/windows.new_vs_returning)."""
+    from floatchat_datapipeline_spark.operators.windows import (
+        new_vs_returning,
+    )
+
+    return new_vs_returning(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_NEW_VS_RETURNING_ORACLE = """
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), first AS (
+  SELECT user_id, min(day) AS f FROM daily GROUP BY 1
+), per AS (
+  SELECT d.day,
+         CAST(count(*) AS BIGINT) AS n_active,
+         CAST(sum(CASE WHEN d.day = f.f THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new
+  FROM daily d JOIN first f USING (user_id)
+  GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day, n_active, n_new,
+       n_active - n_new AS n_returning,
+       CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM per
+"""
+
+
+def q_geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J18 — grid-cell density hotspots over the hash-derived customer
+    coordinates: 3×3 neighborhood smoothing on the CELL domain, hotspot
+    gate 9·n > 2·nb_sum in exact integers
+    (operators/spatial.grid_hotspots)."""
+    from floatchat_datapipeline_spark.operators.spatial import (
+        grid_hotspots,
+        hash_coords,
+    )
+
+    pts = hash_coords(
+        load_table(spark, sf_dir, "customer"), "c_custkey"
+    ).withColumnRenamed("c_custkey", "id")
+    return grid_hotspots(pts)
+
+
+_GEO_HOTSPOTS_ORACLE = """
+WITH pts AS (
+  SELECT (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)
+               AS BIGINT) % 1200000) / 10000.0 - 60.0 AS lat,
+         (CAST('0x' || substr(md5('lon|' || CAST(c_custkey AS VARCHAR)),
+                              1, 15)
+               AS BIGINT) % 3600000) / 10000.0 - 180.0 AS lon
+  FROM customer
+), cells AS (
+  SELECT CAST(floor(lat / 5.0) AS INT) AS cy,
+         CAST(floor(lon / 5.0) AS INT) AS cx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2
+), probe AS (
+  SELECT c.cy + dy.k AS cy, c.cx + dx.k AS cx, c.n AS nn
+  FROM cells c,
+       (SELECT unnest(range(-1, 2)) AS k) dy,
+       (SELECT unnest(range(-1, 2)) AS k) dx
+), nb AS (
+  SELECT cy, cx, CAST(sum(nn) AS BIGINT) AS nb_sum
+  FROM probe GROUP BY 1, 2
+)
+SELECT c.cy AS cell_lat, c.cx AS cell_lon, c.n, nb.nb_sum,
+       (9 * c.n > 2 * nb.nb_sum) AS is_hotspot
+FROM cells c JOIN nb ON c.cy = nb.cy AND c.cx = nb.cx
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6814,6 +6893,14 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_lineitem_weighted_median,
             _LINEITEM_WEIGHTED_MEDIAN_ORACLE,
             ("A28",),
+        ),
+        "events_new_vs_returning": QuerySpec(
+            q_events_new_vs_returning,
+            _EVENTS_NEW_VS_RETURNING_ORACLE,
+            ("A30",),
+        ),
+        "geo_hotspots": QuerySpec(
+            q_geo_hotspots, _GEO_HOTSPOTS_ORACLE, ("J18",)
         ),
         "corpus_mixing_allocation": QuerySpec(
             q_corpus_mixing_allocation,

@@ -343,3 +343,71 @@ def test_mixing_allocation_window_is_dim_sized(spark, sf_dir):
     scans = re.findall(r"ReadSchema: struct<[^>]*>", plan)
     doc_scans = [s for s in scans if "n_chars" in s]
     assert doc_scans and all("text" not in s for s in doc_scans), scans
+
+
+def test_new_vs_returning_hand_case(spark):
+    from floatchat_datapipeline_spark.operators.windows import (
+        new_vs_returning,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 11:00:00"),
+        (1, "2024-01-02 10:00:00"),  # returning
+        (3, "2024-01-02 12:00:00"),  # new
+        (1, "2024-01-02 13:00:00"),  # same-day dup: one active row
+    ]
+    df = spark.createDataFrame(rows, "user_id: bigint, ts: string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {r["day"]: r for r in new_vs_returning(df).collect()}
+    d1, d2 = got["2024-01-01"], got["2024-01-02"]
+    assert (d1["n_active"], d1["n_new"], d1["n_returning"], d1["cum_users"]) == (2, 2, 0, 2)
+    assert (d2["n_active"], d2["n_new"], d2["n_returning"], d2["cum_users"]) == (2, 1, 1, 3)
+
+
+def test_grid_hotspots_isolated_cluster_flags(spark):
+    from floatchat_datapipeline_spark.operators.spatial import grid_hotspots
+
+    # 10 points in one cell, 1 point in a far-away cell: the dense cell's
+    # neighborhood sum is 10 (others empty) → 90 > 20 → hotspot; the
+    # lone point: 9 > 2 → also "hotspot" relative to its empty
+    # neighborhood — the gate is local, both flag
+    rows = [(i, 1.0 + i * 1e-4, 1.0) for i in range(10)] + [(99, 51.0, 51.0)]
+    pts = spark.createDataFrame(rows, "id: bigint, lat: double, lon: double")
+    got = {(r["cell_lat"], r["cell_lon"]): r for r in grid_hotspots(pts).collect()}
+    assert got[(0, 0)]["n"] == 10 and got[(0, 0)]["is_hotspot"]
+    assert got[(10, 10)]["n"] == 1 and got[(10, 10)]["is_hotspot"]
+    # add diffuse neighbors around a single point: no longer a hotspot
+    rows2 = [(0, 0.5, 0.5)] + [
+        (i + 1, 0.5 + dy * 5.0, 0.5 + dx * 5.0)
+        for i, (dy, dx) in enumerate(
+            (a, b) for a in (-1, 0, 1) for b in (-1, 0, 1) if (a, b) != (0, 0)
+        )
+    ]
+    pts2 = spark.createDataFrame(rows2, "id: bigint, lat: double, lon: double")
+    got2 = {(r["cell_lat"], r["cell_lon"]): r for r in grid_hotspots(pts2).collect()}
+    center = got2[(0, 0)]
+    assert center["nb_sum"] == 9 and not center["is_hotspot"]
+
+
+def test_edge_cache_lifecycle(spark, sf_dir):
+    """coactivity_edges(cache_key=...) must serve the SAME checkpointed
+    relation on a hit and rebuild after reset (the LSH-index memo
+    contract applied to the graph family)."""
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.operators.graph import (
+        coactivity_edges,
+        reset_edge_cache,
+    )
+
+    reset_edge_cache()
+    ev = load_table(spark, sf_dir, "events")
+    e1 = coactivity_edges(ev, cache_key="t7")
+    e2 = coactivity_edges(ev, cache_key="t7")
+    assert e1 is e2  # memo hit returns the identical checkpointed DF
+    n = e1.count()
+    reset_edge_cache()
+    e3 = coactivity_edges(ev, cache_key="t7")
+    assert e3 is not e1 and e3.count() == n
+    reset_edge_cache()

@@ -159,6 +159,10 @@ SURVEY_IDS = [
     "L20",
     # categorical distribution drift monitor
     "A29",
+    # daily growth accounting (new vs returning, cumulative users)
+    "A30",
+    # grid-density hotspot detection (3x3 smoothing, integer gate)
+    "J18",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
