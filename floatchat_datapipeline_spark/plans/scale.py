@@ -23,6 +23,7 @@ import os
 import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _SIZE_SUFFIXES = {
     "": 1,
@@ -112,3 +113,55 @@ def rebalance(df: DataFrame, target: int | None = None) -> DataFrame:
     if width >= target:
         return df
     return df.repartition(target)
+
+
+def ranged_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cum",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Two-phase RANGE-PARTITIONED cumulative sum — the 100 TB form of a
+    global `sum() OVER (ORDER BY …)` window, which Spark otherwise plans
+    as a SINGLE-partition sort (the `WindowExec: No Partition Defined`
+    warning; fine on a dim, fatal on a fact).
+
+    Phase 1: `repartitionByRange` on the total order, then a cumsum
+    windowed WITHIN each range partition (parallel, spill-safe).
+    Phase 2: per-partition totals (n_partitions rows) get their own
+    exclusive prefix — a window over the tiny partition-id domain — and
+    broadcast back; each row's global cumsum = local cumsum + its
+    partition's prefix offset.
+
+    Correctness requires `order_cols` to be a TOTAL order (unique key
+    tuples): range boundaries then cannot split ties across partitions,
+    and the result is identical to the single-partition window for ANY
+    boundary placement — which also makes it independent of the range
+    sampler, hence deterministic. The equivalence is pinned by
+    tests/test_round7_ops.py::test_ranged_cumsum_equals_global_window.
+
+    `value_col` should be integral (BIGINT cents in this repo's money
+    convention) so partial sums merge exactly."""
+    from pyspark.sql import Window
+
+    ranged = df.repartitionByRange(n_partitions, *order_cols)
+    local = ranged.withColumn("_pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = local.withColumn("_loc", F.sum(F.col(value_col)).over(w_local))
+    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
+    w_prev = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w_prev), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_loc") + F.col("_off"))
+        .drop("_pid", "_loc", "_off")
+    )

@@ -6479,13 +6479,13 @@ def q_part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A27 — Pareto/ABC inventory classification: parts ranked by
     discounted revenue, classified A/B/C at 80 %/95 % cumulative share.
     The raw fact collapses to one row per part FIRST (the only shuffle
-    over lineitem, partial-aggregable); the cumulative window then runs
-    over the collapsed PART domain — a dim-sized sort, not a fact sort.
-    Share gates cross-multiply exact cents (cum·100 ≤ total·80): no
-    floats. At a part domain too large for one window sort, the same
-    cumsum splits into per-range partials + broadcast prefix offsets;
-    the classification thresholds are unchanged."""
-    from pyspark.sql import Window
+    over lineitem, partial-aggregable); the cumulative sum then runs
+    over the collapsed PART domain via the RANGE-PARTITIONED two-phase
+    cumsum (plans/scale.ranged_cumsum) — per-range local windows +
+    broadcast prefix offsets, so no single-partition global sort exists
+    even when the part domain itself is huge. Share gates cross-multiply
+    exact cents (cum·100 ≤ total·80): no floats."""
+    from floatchat_datapipeline_spark.plans.scale import ranged_cumsum
 
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
@@ -6496,11 +6496,8 @@ def q_part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents")
     )
     total = rev.agg(F.sum("cents").alias("t"))
-    w = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = rev.select(
-        "l_partkey", "cents", F.sum("cents").over(w).alias("c")
+    cum = ranged_cumsum(
+        rev, [F.desc("cents"), F.col("l_partkey")], "cents", out_col="c"
     ).crossJoin(F.broadcast(total))
     cls = (
         F.when(F.col("c") * 100 <= F.col("t") * 80, F.lit("A"))

@@ -411,3 +411,46 @@ def test_edge_cache_lifecycle(spark, sf_dir):
     e3 = coactivity_edges(ev, cache_key="t7")
     assert e3 is not e1 and e3.count() == n
     reset_edge_cache()
+
+
+def test_ranged_cumsum_equals_global_window(spark):
+    """The two-phase range-partitioned cumsum must equal the
+    single-partition global window for every row, including duplicate
+    VALUES (the order is totalized by the id tie-break)."""
+    from pyspark.sql import Window
+
+    from floatchat_datapipeline_spark.plans.scale import ranged_cumsum
+
+    rows = [(i, (i * 37) % 11) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id: bigint, v: bigint")
+    order = [F.desc("v"), F.col("id")]
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {r["id"]: r["c"] for r in df.select("id", F.sum("v").over(w).alias("c")).collect()}
+    got = {
+        r["id"]: r["c"]
+        for r in ranged_cumsum(df, order, "v", out_col="c", n_partitions=7).collect()
+    }
+    assert got == want
+
+
+def test_abc_plan_has_no_single_partition_window(spark, sf_dir):
+    """After the ranged_cumsum swap, part_revenue_abc's plan must not
+    contain a partition-less Window over the part domain: every Window
+    node partitions by _pid (the range bucket) or the tiny offsets
+    domain."""
+    from floatchat_datapipeline_spark.queries import q_part_revenue_abc
+
+    plan = plan_string(q_part_revenue_abc(spark, sf_dir))
+    # the per-part cumsum Window must carry the _pid partition spec
+    # (formatted style: windowspecdefinition(_pid#N, cents#M DESC ...))
+    import re
+
+    assert re.search(r"windowspecdefinition\(_pid#\d+, cents", plan), plan
+    # and exactly one partition-less window remains: the tiny
+    # per-partition-totals prefix (ordered by _pid alone)
+    global_specs = re.findall(
+        r"windowspecdefinition\((?!_pid#\d+,)[^)]*\)", plan
+    )
+    assert all("_pid" in sp for sp in global_specs), global_specs
