@@ -6771,6 +6771,162 @@ FROM cells c JOIN nb ON c.cy = nb.cy AND c.cx = nb.cx
 """
 
 
+def q_events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31 — A/B experiment lift report over a deterministic variant
+    assignment (user_id parity stands in for the experiment system's
+    bucket column). Per event_type: per-variant event counts and exact
+    cents mass, the mean-value lift ratio — ONE IEEE division of two
+    exact BIGINT cross-products — and a ≥5 % lift gate evaluated
+    entirely by integer cross-multiplication (cents_b·n_a·100 >
+    105·cents_a·n_b), so the boolean can never drift between engines.
+    One partial-aggregable rollup; everything after is
+    (types × 2)-sized. Products stay ≪ 2^63 at test scales; at extreme
+    masses pre-scale cents by a common divisor (only ratios matter)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("_v")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    a = per.filter(F.col("_v") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("cents").alias("cents_a"),
+    )
+    b = per.filter(F.col("_v") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("cents").alias("cents_b"),
+    )
+    j = a.join(b, "event_type")
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "cents_a",
+        "cents_b",
+        (
+            (F.col("cents_b") * F.col("n_a")).cast("double")
+            / (F.col("cents_a") * F.col("n_b")).cast("double")
+        ).alias("mean_lift"),
+        (
+            F.col("cents_b") * F.col("n_a") * 100
+            > F.lit(105) * F.col("cents_a") * F.col("n_b")
+        ).alias("lifted_5pct"),
+    )
+
+
+_EVENTS_AB_LIFT_ORACLE = """
+WITH per AS (
+  SELECT event_type, user_id % 2 AS v,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+       a.cents AS cents_a, b.cents AS cents_b,
+       CAST(b.cents * a.n AS DOUBLE) / CAST(a.cents * b.n AS DOUBLE)
+         AS mean_lift,
+       (b.cents * a.n * 100 > 105 * a.cents * b.n) AS lifted_5pct
+FROM per a JOIN per b ON a.event_type = b.event_type
+WHERE a.v = 0 AND b.v = 1
+"""
+
+
+def q_events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32 — Theil–Sen robust trend per event_type: the median of all
+    pairwise hourly slopes (y in exact cents, x a rebased hour index),
+    immune to the outlier hours that tilt the A25 OLS fit. Each slope is
+    ONE IEEE division of two exact BIGINTs, rounded 1e-9 (the parity
+    convention for derived floats), and the median is the exact lower
+    weighted median over the collapsed slope domain — the
+    operators/aggregate.weighted_median machinery, so tie order can
+    never matter. The pair stage is an equi-join on event_type over the
+    HOURLY rollup (≤ n_hours² pairs per type, never the raw log); at
+    horizons where n_hours² is too big, Theil–Sen's standard remedies —
+    pair sampling or the repeated-median variant — drop in without
+    changing this plan's shape."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+    from floatchat_datapipeline_spark.operators.aggregate import (
+        weighted_median,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        long_div(
+            epoch_micros(F.date_trunc("hour", F.col("ts"))), 3_600_000_000
+        ).alias("hx"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    x0 = hourly.agg(F.min("hx").alias("x0"))
+    h = hourly.crossJoin(F.broadcast(x0)).select(
+        "event_type", (F.col("hx") - F.col("x0")).alias("x"), "y"
+    )
+    h2 = h.select(
+        "event_type", F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    slopes = (
+        h.join(h2, "event_type")
+        .filter(F.col("x") < F.col("x2"))
+        .select(
+            "event_type",
+            F.round(
+                (F.col("y2") - F.col("y")).cast("double")
+                / (F.col("x2") - F.col("x")).cast("double"),
+                9,
+            ).alias("slope"),
+        )
+    )
+    med = weighted_median(
+        slopes.withColumn("_w", F.lit(1).cast("bigint")),
+        ["event_type"],
+        "slope",
+        "_w",
+    )
+    return med.select(
+        "event_type",
+        F.col("total_weight").alias("n_pairs"),
+        F.col("w_median").alias("ts_slope"),
+    )
+
+
+_EVENTS_THEILSEN_TREND_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hx,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), x0 AS (
+  SELECT CAST(min(hx) AS BIGINT) AS x0 FROM hourly
+), h AS (
+  SELECT event_type, CAST(hx - x0 AS BIGINT) AS x, y FROM hourly, x0
+), slopes AS (
+  SELECT a.event_type,
+         round(CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE), 9)
+           AS slope
+  FROM h a JOIN h b
+    ON a.event_type = b.event_type AND a.x < b.x
+), byval AS (
+  SELECT event_type, slope, CAST(count(*) AS BIGINT) AS w
+  FROM slopes GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, slope,
+         CAST(sum(w) OVER (
+           PARTITION BY event_type
+           ORDER BY slope ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+         CAST(sum(w) OVER (PARTITION BY event_type) AS BIGINT) AS totw
+  FROM byval
+)
+SELECT event_type, CAST(max(totw) AS BIGINT) AS n_pairs,
+       min(slope) AS ts_slope
+FROM cum WHERE 2 * cumw >= totw
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6890,6 +7046,14 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_lineitem_weighted_median,
             _LINEITEM_WEIGHTED_MEDIAN_ORACLE,
             ("A28",),
+        ),
+        "events_ab_lift": QuerySpec(
+            q_events_ab_lift, _EVENTS_AB_LIFT_ORACLE, ("A31",)
+        ),
+        "events_theilsen_trend": QuerySpec(
+            q_events_theilsen_trend,
+            _EVENTS_THEILSEN_TREND_ORACLE,
+            ("A32",),
         ),
         "events_new_vs_returning": QuerySpec(
             q_events_new_vs_returning,

@@ -163,6 +163,10 @@ SURVEY_IDS = [
     "A30",
     # grid-density hotspot detection (3x3 smoothing, integer gate)
     "J18",
+    # A/B lift report (integer cross-multiplied gate)
+    "A31",
+    # Theil-Sen robust trend (median of pairwise slopes)
+    "A32",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
