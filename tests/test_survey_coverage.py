@@ -39,6 +39,9 @@ MODULE_COVERED: dict[str, str] = {
     # additive parquet schema evolution: mergeSchema bootstrap + pinned
     # steady-state reads (tests/test_schema_evolution.py)
     "S17": "sources/evolution.py (tests/test_schema_evolution.py)",
+    # interchange formats (ORC/CSV/JSON micro-exact roundtrip) + dynamic
+    # partition overwrite, tests/test_formats.py
+    "S18": "sources/formats.py (tests/test_formats.py)",
 }
 
 SURVEY_IDS = [
@@ -167,6 +170,8 @@ SURVEY_IDS = [
     "A31",
     # Theil-Sen robust trend (median of pairwise slopes)
     "A32",
+    # interchange formats + dynamic partition overwrite
+    "S18",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
