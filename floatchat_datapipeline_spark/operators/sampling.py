@@ -275,3 +275,35 @@ def mixing_allocation(
             ).alias("alloc"),
         )
     )
+
+
+def bottomk_sample(
+    docs: DataFrame,
+    k: int = 10,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "bk1",
+) -> DataFrame:
+    """Exact-k deterministic uniform sample per stratum — bottom-k by
+    salted content hash. The distributed replacement for reservoir
+    sampling when the contract is "exactly k per group, stable across
+    reruns and engines": rank rows by md5_long(salt|id) inside each
+    stratum and keep rank ≤ k. The hash IS the randomness (uniform over
+    ids, decorrelated from any data order), the salt versions the
+    sample, and membership is a pure function of (salt, id) — so
+    incremental reruns, backfills, and the DuckDB oracle all select the
+    SAME rows. One shuffle (rank window per stratum); at strata too
+    large to sort fully, pre-filter with a hash-threshold guess
+    (keep hash < c·k/n quantile estimate) before the exact rank —
+    the classic bottom-k sketch refinement."""
+    from floatchat_datapipeline_spark.functions.textstats import md5_long
+
+    h = md5_long(
+        F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col))
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

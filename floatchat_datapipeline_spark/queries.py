@@ -6927,6 +6927,37 @@ GROUP BY 1
 """
 
 
+def q_doc_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L21 — exact-k deterministic per-source sample (bottom-k by salted
+    md5-long): the eval-set construction primitive — same k rows per
+    stratum on every rerun and in the oracle
+    (operators/sampling.bottomk_sample)."""
+    from floatchat_datapipeline_spark.operators.sampling import (
+        bottomk_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return bottomk_sample(docs)
+
+
+_DOC_BOTTOMK_SAMPLE_ORACLE = """
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+         CAST('0x' || substr(md5('bk1|' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hv
+  FROM documents
+), rk AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY hv, doc_id) AS r
+  FROM h
+)
+SELECT doc_id, source, n_chars FROM rk WHERE r <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7046,6 +7077,9 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_lineitem_weighted_median,
             _LINEITEM_WEIGHTED_MEDIAN_ORACLE,
             ("A28",),
+        ),
+        "doc_bottomk_sample": QuerySpec(
+            q_doc_bottomk_sample, _DOC_BOTTOMK_SAMPLE_ORACLE, ("L21",)
         ),
         "events_ab_lift": QuerySpec(
             q_events_ab_lift, _EVENTS_AB_LIFT_ORACLE, ("A31",)

@@ -172,6 +172,8 @@ SURVEY_IDS = [
     "A32",
     # interchange formats + dynamic partition overwrite
     "S18",
+    # exact-k deterministic stratified sample (bottom-k by salted hash)
+    "L21",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
