@@ -38,7 +38,17 @@ _PROBE = textwrap.dedent(
     qs = entry_mod.queries()
     sf = "/root/testdata/sf0.001"
     out = {}
-    for name in ("events_hourly", "events_props_avg", "stream_hourly"):
+    for name in (
+        "events_hourly",
+        "events_props_avg",
+        "stream_hourly",
+        # round-7 families: sequence/make_interval fan-out, graph memo,
+        # spatial md5 coords, ranged cumsum — all must survive vanilla
+        "events_sliding_distinct",
+        "user_triangles",
+        "geo_close_pairs",
+        "part_revenue_abc",
+    ):
         out[name] = qs[name](spark, sf).count()
     out["entry"] = entry_mod.entry(spark).count()
     print("RESULT:" + json.dumps(out))
