@@ -285,3 +285,42 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             / F.col("n_wedges")
         ).alias("global_clustering"),
     )
+
+
+def k_hop_counts(
+    edges: DataFrame, seeds: DataFrame, k: int = 3
+) -> DataFrame:
+    """BFS frontier expansion from `seeds` (one column `seed`): per seed
+    and hop (1..k), how many NEW nodes become reachable — the blast-
+    radius / influence-horizon census, and the third canonical iterative
+    graph pattern beside PageRank (fixed-point) and the CC closure
+    (star contraction).
+
+    Each hop is one equi-join of the CURRENT frontier against the edge
+    list plus an anti-join against the visited set — set algebra only,
+    so results are exactly reproducible in any engine (the oracle chains
+    k CTE steps). Frontiers are localCheckpointed per hop: iterative
+    joins otherwise stack k plans deep (the clusters.py lineage rule).
+
+    Scale notes: the frontier join shuffles (node-key) only frontier ×
+    out-degree rows; the visited set grows monotonically and joins by
+    (seed, node) — at web scale you'd bucket both by node and cap hop
+    width, which changes constants, not this plan's shape."""
+    visited = seeds.select("seed", F.col("seed").alias("node")).distinct()
+    frontier = visited
+    out = None
+    for hop in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        counts = nxt.groupBy("seed").agg(
+            F.count(F.lit(1)).alias("n_new")
+        ).withColumn("hop", F.lit(hop))
+        out = counts if out is None else out.unionByName(counts)
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return out.select("seed", "hop", "n_new")

@@ -6958,6 +6958,80 @@ SELECT doc_id, source, n_chars FROM rk WHERE r <= 10
 """
 
 
+def q_user_reach_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — BFS blast radius on the co-activity graph: from the 5
+    lowest-id users, how many NEW users become reachable at hops 1-3
+    (operators/graph.k_hop_counts; set-algebra-only iterations, memoized
+    edge list shared with pagerank/triangles)."""
+    from floatchat_datapipeline_spark.operators.graph import (
+        coactivity_edges,
+        k_hop_counts,
+    )
+
+    edges = coactivity_edges(
+        load_table(spark, sf_dir, "events"), cache_key=sf_dir
+    )
+    seeds = (
+        edges.select(F.col("src").alias("seed"))
+        .distinct()
+        .orderBy("seed")
+        .limit(5)
+    )
+    return k_hop_counts(edges, seeds, k=3)
+
+
+_USER_REACH_HORIZON_ORACLE = """
+WITH members AS (
+  SELECT DISTINCT event_type,
+         epoch_us(ts) // 600000000 AS h, user_id
+  FROM events
+), capped AS (
+  SELECT event_type, h, user_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type, h ORDER BY user_id) AS rn
+    FROM members)
+  WHERE rn <= 64
+), edges0 AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM capped a JOIN capped b
+    ON a.event_type = b.event_type AND a.h = b.h
+   AND a.user_id <> b.user_id
+), seeds AS (
+  SELECT src AS seed FROM (
+    SELECT DISTINCT src FROM edges0 ORDER BY src LIMIT 5)
+), v0 AS (
+  SELECT seed, seed AS node FROM seeds
+), f1 AS (
+  SELECT DISTINCT f.seed, e.dst AS node
+  FROM v0 f JOIN edges0 e ON e.src = f.node
+  WHERE NOT EXISTS (
+    SELECT 1 FROM v0 v WHERE v.seed = f.seed AND v.node = e.dst)
+), v1 AS (
+  SELECT * FROM v0 UNION ALL SELECT * FROM f1
+), f2 AS (
+  SELECT DISTINCT f.seed, e.dst AS node
+  FROM f1 f JOIN edges0 e ON e.src = f.node
+  WHERE NOT EXISTS (
+    SELECT 1 FROM v1 v WHERE v.seed = f.seed AND v.node = e.dst)
+), v2 AS (
+  SELECT * FROM v1 UNION ALL SELECT * FROM f2
+), f3 AS (
+  SELECT DISTINCT f.seed, e.dst AS node
+  FROM f2 f JOIN edges0 e ON e.src = f.node
+  WHERE NOT EXISTS (
+    SELECT 1 FROM v2 v WHERE v.seed = f.seed AND v.node = e.dst)
+)
+SELECT seed, 1 AS hop, CAST(count(*) AS BIGINT) AS n_new
+FROM f1 GROUP BY 1
+UNION ALL
+SELECT seed, 2 AS hop, CAST(count(*) AS BIGINT) AS n_new
+FROM f2 GROUP BY 1
+UNION ALL
+SELECT seed, 3 AS hop, CAST(count(*) AS BIGINT) AS n_new
+FROM f3 GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7077,6 +7151,9 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_lineitem_weighted_median,
             _LINEITEM_WEIGHTED_MEDIAN_ORACLE,
             ("A28",),
+        ),
+        "user_reach_horizon": QuerySpec(
+            q_user_reach_horizon, _USER_REACH_HORIZON_ORACLE, ("G3",)
         ),
         "doc_bottomk_sample": QuerySpec(
             q_doc_bottomk_sample, _DOC_BOTTOMK_SAMPLE_ORACLE, ("L21",)

@@ -454,3 +454,20 @@ def test_abc_plan_has_no_single_partition_window(spark, sf_dir):
         r"windowspecdefinition\((?!_pid#\d+,)[^)]*\)", plan
     )
     assert all("_pid" in sp for sp in global_specs), global_specs
+
+
+def test_k_hop_counts_hand_graph(spark):
+    """Path graph 1-2-3-4 (symmetric), seed {1}: hop1 → {2}, hop2 → {3},
+    hop3 → {4}; already-visited nodes never recount."""
+    from floatchat_datapipeline_spark.operators.graph import k_hop_counts
+
+    und = [(1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src: bigint, dst: bigint"
+    )
+    seeds = spark.createDataFrame([(1,)], "seed: bigint")
+    got = {
+        (r["seed"], r["hop"]): r["n_new"]
+        for r in k_hop_counts(edges, seeds, k=3).collect()
+    }
+    assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 1}

@@ -174,6 +174,8 @@ SURVEY_IDS = [
     "S18",
     # exact-k deterministic stratified sample (bottom-k by salted hash)
     "L21",
+    # BFS reach horizon (frontier expansion, set-algebra iterations)
+    "G3",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
