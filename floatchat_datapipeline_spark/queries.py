@@ -7032,6 +7032,85 @@ FROM f3 GROUP BY 1
 """
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS11 — conversion-latency report: exact R-7 percentiles (p50/p90)
+    of the per-user stage-to-stage gap, in integer seconds, for each
+    funnel transition. Builds on the TS3 funnel (per-user conditional
+    min timestamps); gaps are exact BIGINT second diffs, so the
+    percentile interpolation is the only float — R-7 on exact ints is
+    bit-identical cross-engine (the A9 rule). At 100 TB swap
+    `percentile` for the approx_percentile certificate pattern."""
+    from floatchat_datapipeline_spark.functions.eventtime import epoch_micros
+    from floatchat_datapipeline_spark.operators.timeseries import event_funnel
+
+    f = event_funnel(load_table(spark, sf_dir, "events"))
+    pairs = [("view", "click"), ("click", "purchase")]
+    out = None
+    for a, b in pairs:
+        gap = (
+            (epoch_micros(F.col(f"{b}_ts")) - epoch_micros(F.col(f"{a}_ts")))
+            / F.lit(1_000_000)
+        ).cast("bigint")
+        d = (
+            f.filter(F.col(f"{b}_ts").isNotNull())
+            .select(gap.alias("gap_s"))
+            .agg(
+                F.count(F.lit(1)).alias("n_converted"),
+                F.expr(
+                    "percentile(gap_s, array(0.5e0, 0.9e0))"
+                ).alias("_p"),
+                F.max("gap_s").alias("max_s"),
+            )
+            .select(
+                F.lit(f"{a}->{b}").alias("stage"),
+                "n_converted",
+                F.element_at("_p", 1).alias("p50_s"),
+                F.element_at("_p", 2).alias("p90_s"),
+                "max_s",
+            )
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+_FUNNEL_LATENCY_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS view_ts
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.view_ts
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.click_ts
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), f AS (
+  SELECT s1.user_id, view_ts, click_ts, purchase_ts
+  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+), g1 AS (
+  SELECT (epoch_us(click_ts) - epoch_us(view_ts)) // 1000000 AS gap_s
+  FROM f WHERE click_ts IS NOT NULL
+), g2 AS (
+  SELECT (epoch_us(purchase_ts) - epoch_us(click_ts)) // 1000000 AS gap_s
+  FROM f WHERE purchase_ts IS NOT NULL
+)
+SELECT 'view->click' AS stage,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       quantile_cont(gap_s, 0.5e0) AS p50_s,
+       quantile_cont(gap_s, 0.9e0) AS p90_s,
+       CAST(max(gap_s) AS BIGINT) AS max_s
+FROM g1
+UNION ALL
+SELECT 'click->purchase' AS stage,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       quantile_cont(gap_s, 0.5e0) AS p50_s,
+       quantile_cont(gap_s, 0.9e0) AS p90_s,
+       CAST(max(gap_s) AS BIGINT) AS max_s
+FROM g2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7151,6 +7230,9 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_lineitem_weighted_median,
             _LINEITEM_WEIGHTED_MEDIAN_ORACLE,
             ("A28",),
+        ),
+        "funnel_latency": QuerySpec(
+            q_funnel_latency, _FUNNEL_LATENCY_ORACLE, ("TS11",)
         ),
         "user_reach_horizon": QuerySpec(
             q_user_reach_horizon, _USER_REACH_HORIZON_ORACLE, ("G3",)

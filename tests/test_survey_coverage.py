@@ -176,6 +176,8 @@ SURVEY_IDS = [
     "L21",
     # BFS reach horizon (frontier expansion, set-algebra iterations)
     "G3",
+    # conversion-latency percentiles (funnel gap R-7 quantiles)
+    "TS11",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
