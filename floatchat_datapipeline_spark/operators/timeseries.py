@@ -713,3 +713,105 @@ def seasonal_baseline_spikes(df: DataFrame, factor: int = 2) -> DataFrame:
             > F.lit(factor) * F.col("base_cents")
         ).alias("is_spike"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """TS12 — two-sided CUSUM changepoint detection (Page 1954) over the
+    per-key HOURLY cents series, entirely in BIGINT: target = the key's
+    integer-mean hourly cents, slack = target div 20 (the 5 % allowance
+    k), alarm threshold h = target. State
+    S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − target − slack)) accumulates sustained
+    upward drift (S⁻ mirrors downward); crossing h emits an alarm row
+    and RESETS both sides (restart-after-detection, the standard field
+    form). Integer state means both engines replay the recurrence
+    bit-identically — the oracle is a recursive CTE stepping rn→rn+1
+    with the same greatest() arithmetic, no rounding rules at all
+    (stronger than the EWMA chart, whose floats needed the alpha=0.5
+    exactness argument).
+
+    Like the other true recurrences (D7 rate limit, TS8 EWMA), no window
+    function expresses the reset; applyInPandas grouped by 64-way hash
+    bucket (one Arrow batch per bucket, per-key loop in-worker). The
+    hourly pre-aggregation is the only pass over the raw log."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+
+    hourly = df.groupBy(
+        F.col(key),
+        long_div(
+            epoch_micros(F.date_trunc("hour", F.col(ts_col))), 3_600_000_000
+        ).alias("hx"),
+    ).agg(F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("cents"))
+    tgt = hourly.groupBy(key).agg(
+        F.expr("sum(cents) div count(*)").alias("_target")
+    )
+    h = hourly.join(F.broadcast(tgt), key)
+
+    out_schema = StructType(
+        [
+            StructField(key, StringType()),
+            StructField("hx", LongType()),
+            StructField("s_pos", LongType()),
+            StructField("s_neg", LongType()),
+            StructField("direction", StringType()),
+        ]
+    )
+
+    def scan_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hx").reset_index(drop=True)
+        target = int(pdf["_target"].iloc[0])
+        slack = target // 20
+        thresh = target
+        sp = sn = 0
+        rows = []
+        for hx, c in zip(pdf["hx"], pdf["cents"]):
+            c = int(c)
+            sp_at = max(0, sp + (c - target - slack))
+            sn_at = max(0, sn + (target - slack - c))
+            if sp_at > thresh or sn_at > thresh:
+                rows.append(
+                    (
+                        pdf[key].iloc[0],
+                        int(hx),
+                        sp_at,
+                        sn_at,
+                        "up" if sp_at > thresh else "down",
+                    )
+                )
+                sp = sn = 0
+            else:
+                sp, sn = sp_at, sn_at
+        return pd.DataFrame(
+            rows, columns=[key, "hx", "s_pos", "s_neg", "direction"]
+        )
+
+    def scan_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["_b"])
+        parts = [scan_key(g) for _, g in pdf.groupby(key, sort=False)]
+        if not parts:
+            return pd.DataFrame(
+                columns=[key, "hx", "s_pos", "s_neg", "direction"]
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    return (
+        h.withColumn("_b", F.pmod(F.hash(F.col(key)), F.lit(64)))
+        .groupBy("_b")
+        .applyInPandas(scan_bucket, schema=out_schema)
+    )

@@ -7111,6 +7111,74 @@ FROM g2
 """
 
 
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS12 — two-sided integer CUSUM changepoints over hourly cents per
+    event_type (operators/timeseries.cusum_changepoints; BIGINT state,
+    alarm-reset recurrence, recursive-CTE value oracle)."""
+    from floatchat_datapipeline_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    return cusum_changepoints(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_CUSUM_ORACLE = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hx,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), numbered AS (
+  SELECT event_type, hx, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn
+  FROM hourly
+), tgt AS (
+  SELECT event_type,
+         CAST(sum(cents) // count(*) AS BIGINT) AS target
+  FROM hourly GROUP BY 1
+), rec AS (
+  SELECT event_type, 0 AS rn,
+         CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
+         CAST(0 AS BIGINT) AS sp_at, CAST(0 AS BIGINT) AS sn_at,
+         FALSE AS alarm, CAST(0 AS BIGINT) AS hx
+  FROM tgt
+  UNION ALL
+  SELECT r.event_type, n.rn,
+         CAST(CASE WHEN
+                greatest(0, r.sp + (n.cents - t.target - t.target // 20))
+                  > t.target
+                OR greatest(0, r.sn + (t.target - t.target // 20 - n.cents))
+                  > t.target
+              THEN 0
+              ELSE greatest(0, r.sp + (n.cents - t.target - t.target // 20))
+              END AS BIGINT),
+         CAST(CASE WHEN
+                greatest(0, r.sp + (n.cents - t.target - t.target // 20))
+                  > t.target
+                OR greatest(0, r.sn + (t.target - t.target // 20 - n.cents))
+                  > t.target
+              THEN 0
+              ELSE greatest(0, r.sn + (t.target - t.target // 20 - n.cents))
+              END AS BIGINT),
+         CAST(greatest(0, r.sp + (n.cents - t.target - t.target // 20))
+              AS BIGINT),
+         CAST(greatest(0, r.sn + (t.target - t.target // 20 - n.cents))
+              AS BIGINT),
+         (greatest(0, r.sp + (n.cents - t.target - t.target // 20))
+            > t.target
+          OR greatest(0, r.sn + (t.target - t.target // 20 - n.cents))
+            > t.target),
+         n.hx
+  FROM rec r
+  JOIN numbered n ON n.event_type = r.event_type AND n.rn = r.rn + 1
+  JOIN tgt t ON t.event_type = r.event_type
+)
+SELECT r.event_type, r.hx, r.sp_at AS s_pos, r.sn_at AS s_neg,
+       CASE WHEN r.sp_at > t.target THEN 'up' ELSE 'down' END AS direction
+FROM rec r JOIN tgt t USING (event_type)
+WHERE r.alarm
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7230,6 +7298,9 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_lineitem_weighted_median,
             _LINEITEM_WEIGHTED_MEDIAN_ORACLE,
             ("A28",),
+        ),
+        "events_cusum": QuerySpec(
+            q_events_cusum, _EVENTS_CUSUM_ORACLE, ("TS12",)
         ),
         "funnel_latency": QuerySpec(
             q_funnel_latency, _FUNNEL_LATENCY_ORACLE, ("TS11",)

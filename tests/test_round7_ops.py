@@ -471,3 +471,50 @@ def test_k_hop_counts_hand_graph(spark):
         for r in k_hop_counts(edges, seeds, k=3).collect()
     }
     assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 1}
+
+
+def test_cusum_flags_sustained_shift_and_resets(spark):
+    """Flat 100-cent hours, then a sustained jump to 250: target ≈ mean,
+    S⁺ accumulates past h within a few shifted hours, alarms, resets,
+    and alarms again while the shift persists; no 'down' alarms."""
+    from floatchat_datapipeline_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((f"2024-01-01 {i:02d}:00:01", "x", 1.00))
+    for i in range(4):
+        rows.append((f"2024-01-02 {i:02d}:00:01", "x", 2.50))
+    df = spark.createDataFrame(
+        rows, "ts: string, event_type: string, value: double"
+    ).select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    got = sorted(
+        (r["hx"], r["s_pos"], r["s_neg"], r["direction"])
+        for r in cusum_changepoints(df).collect()
+    )
+    # pure-python replay of the documented recurrence (target = global
+    # integer mean → the flat phase sits BELOW target and alarms 'down',
+    # the shifted phase alarms 'up')
+    cents = [100] * 20 + [250] * 4
+    hxs = list(range(473352, 473352 + 20)) + list(
+        range(473376, 473376 + 4)
+    )
+    target = sum(cents) // len(cents)
+    slack, h = target // 20, target
+    sp = sn = 0
+    want = []
+    for hx, c in zip(hxs, cents):
+        sp_at = max(0, sp + (c - target - slack))
+        sn_at = max(0, sn + (target - slack - c))
+        if sp_at > h or sn_at > h:
+            want.append(
+                (hx, sp_at, sn_at, "up" if sp_at > h else "down")
+            )
+            sp = sn = 0
+        else:
+            sp, sn = sp_at, sn_at
+    assert got == sorted(want)
+    assert {d for _, _, _, d in got} == {"down", "up"}

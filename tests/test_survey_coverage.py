@@ -178,6 +178,8 @@ SURVEY_IDS = [
     "G3",
     # conversion-latency percentiles (funnel gap R-7 quantiles)
     "TS11",
+    # integer CUSUM changepoint detection (alarm-reset recurrence)
+    "TS12",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
