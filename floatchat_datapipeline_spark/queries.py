@@ -7179,6 +7179,42 @@ WHERE r.alarm
 """
 
 
+def q_doc_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L22 — exact high-threshold near-dup pairs (Jaccard >= 1/2) via
+    PREFIX FILTERING (AllPairs/PPJoin): only each doc's rarest
+    n - ceil(n/2) + 1 shingles enter the candidate join, yet the output
+    is IDENTICAL to the full O(n²) exact join — which is exactly what
+    the oracle computes, so the driver hash certifies losslessness
+    (operators/dedup.ppjoin_pairs)."""
+    from floatchat_datapipeline_spark.operators.dedup import ppjoin_pairs
+
+    return ppjoin_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# The oracle is the UNFILTERED exact join at the same threshold — prefix
+# filtering is lossless, so both sides must return the very same pairs.
+_DOC_PPJOIN_PAIRS_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform({_SHINGLES_3_SQL},
+                               s -> {_MD5_LONG_SQL.format(x='s')})) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE n_inter * 2 >= 1 * (sa.n + sb.n - n_inter)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7310,6 +7346,9 @@ def _base_registry() -> dict[str, QuerySpec]:
         ),
         "doc_bottomk_sample": QuerySpec(
             q_doc_bottomk_sample, _DOC_BOTTOMK_SAMPLE_ORACLE, ("L21",)
+        ),
+        "doc_ppjoin_pairs": QuerySpec(
+            q_doc_ppjoin_pairs, _DOC_PPJOIN_PAIRS_ORACLE, ("L22",)
         ),
         "events_ab_lift": QuerySpec(
             q_events_ab_lift, _EVENTS_AB_LIFT_ORACLE, ("A31",)

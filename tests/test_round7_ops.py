@@ -518,3 +518,57 @@ def test_cusum_flags_sustained_shift_and_resets(spark):
             sp, sn = sp_at, sn_at
     assert got == sorted(want)
     assert {d for _, _, _, d in got} == {"down", "up"}
+
+
+def test_ppjoin_lossless_vs_bruteforce(spark, sf_dir):
+    """L22 — prefix filtering must return EXACTLY the pairs the full
+    inverted-index exact join finds at the same threshold (Jaccard >=
+    1/2). ngram_jaccard_pairs at threshold 0.5 is the brute-force twin
+    (its df cap never binds at test scale)."""
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ppjoin_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pp = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ppjoin_pairs(docs).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pp == brute and pp
+
+
+def test_ppjoin_hand_case_prefix_math(spark):
+    """4-token sets with an exact boundary pair: A={a,b,c,d},
+    B={a,b,c,e} → jaccard 3/5 >= 1/2 (kept); C={a,x,y,z} vs A →
+    1/7 (dropped). Tokens are single words so shingle_n=1."""
+    from floatchat_datapipeline_spark.operators.dedup import ppjoin_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "a x y z")],
+        "doc_id: bigint, text: string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ppjoin_pairs(docs, shingle_n=1).collect()
+    }
+    assert set(out) == {(1, 2)}
+    assert abs(out[(1, 2)] - 0.6) < 1e-9
+
+
+def test_ppjoin_no_cartesian_and_prunes(spark, sf_dir):
+    """The candidate stage must be a key-equi join (no cartesian /
+    nested-loop anywhere in the plan), and the threshold filters must
+    ride integer comparisons (visible as '* 2' predicates), not float
+    rounds."""
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.operators.dedup import ppjoin_pairs
+
+    plan = plan_string(ppjoin_pairs(load_table(spark, sf_dir, "documents")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -180,6 +180,8 @@ SURVEY_IDS = [
     "TS11",
     # integer CUSUM changepoint detection (alarm-reset recurrence)
     "TS12",
+    # prefix-filtered exact set-similarity join (PPJoin)
+    "L22",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
