@@ -7215,6 +7215,99 @@ WHERE n_inter * 2 >= 1 * (sa.n + sb.n - n_inter)
 """
 
 
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS13 — first-touch vs last-touch revenue attribution: every
+    purchase with at least one preceding click/view credits its exact
+    cents to (a) the user's earliest touch channel and (b) the latest
+    touch at-or-before the purchase. Last-touch is ONE as-of join
+    (operators/timeseries.asof_join — union-merge, single shuffle on
+    user_id, deterministic (ts, event_id) tie-break); first-touch is a
+    struct-min per user joined back. Channel derives from the JSON
+    props (`'ch' || k % 4`), so the whole report is a composition of
+    already-pinned parity rules: JSON path extraction, exact cents,
+    CAST(sum AS BIGINT)."""
+    from floatchat_datapipeline_spark.operators.timeseries import asof_join
+    from floatchat_datapipeline_spark.operators.windows import parse_props
+
+    ev = parse_props(load_table(spark, sf_dir, "events"))
+    channel = F.concat(F.lit("ch"), (F.col("prop_k") % 4).cast("string"))
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_id", channel.alias("channel")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    lt = asof_join(
+        purch,
+        touch,
+        on="user_id",
+        payload_cols=("channel",),
+        right_order_col="event_id",
+        payload_prefix="lt_",
+    ).filter(F.col("lt_channel").isNotNull())
+    ft = (
+        touch.groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id", "channel")).alias("_f"))
+        .select("user_id", F.col("_f.channel").alias("ft_channel"))
+    )
+    attributed = lt.join(ft, "user_id")
+    m_first = attributed.groupBy(
+        F.lit("first_touch").alias("model"),
+        F.col("ft_channel").alias("channel"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    m_last = attributed.groupBy(
+        F.lit("last_touch").alias("model"),
+        F.col("lt_channel").alias("channel"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    return m_first.unionByName(m_last)
+
+
+_EVENTS_ATTRIBUTION_ORACLE = """
+WITH touch AS (
+  SELECT user_id, ts, event_id,
+         'ch' || CAST(CAST(json_extract_string(props, '$.k') AS INT) % 4
+                      AS VARCHAR) AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+), purch AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+         event_id AS pid
+  FROM events WHERE event_type = 'purchase'
+), lt AS (
+  SELECT p.pid, p.user_id, p.cents, t.channel AS lt_channel,
+         row_number() OVER (
+           PARTITION BY p.pid ORDER BY t.ts DESC, t.event_id DESC) AS rn
+  FROM purch p JOIN touch t ON t.user_id = p.user_id AND t.ts <= p.ts
+), ft AS (
+  SELECT user_id, channel AS ft_channel FROM (
+    SELECT user_id, channel,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM touch
+  ) WHERE rn = 1
+), attributed AS (
+  SELECT l.pid, l.cents, l.lt_channel, f.ft_channel
+  FROM lt l JOIN ft f USING (user_id) WHERE l.rn = 1
+)
+SELECT 'first_touch' AS model, ft_channel AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM attributed GROUP BY 2
+UNION ALL
+SELECT 'last_touch' AS model, lt_channel AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM attributed GROUP BY 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7305,6 +7398,9 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "events_attribution": QuerySpec(
+            q_events_attribution, _EVENTS_ATTRIBUTION_ORACLE, ("TS13",)
+        ),
         "events_sliding_distinct": QuerySpec(
             q_events_sliding_distinct,
             _EVENTS_SLIDING_DISTINCT_ORACLE,

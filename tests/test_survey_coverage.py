@@ -182,6 +182,8 @@ SURVEY_IDS = [
     "TS12",
     # prefix-filtered exact set-similarity join (PPJoin)
     "L22",
+    # first/last-touch revenue attribution (as-of join + struct-min)
+    "TS13",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
