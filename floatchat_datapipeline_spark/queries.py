@@ -7308,6 +7308,279 @@ FROM attributed GROUP BY 2
 """
 
 
+def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33 — market-basket association over order contents: for every
+    pair of part brands bought together in >= 3 orders, exact support
+    and lift. All counting is BIGINT; support and lift are each ONE
+    IEEE division of exact integers (`n_pair/total`,
+    `(n_pair*total)/(n_a*n_b)`), so both engines produce bit-identical
+    doubles. Scale shape: brand extraction is a key-partitioned join on
+    l_partkey (AQE broadcasts at small SF), pairing is a SELF-join
+    co-partitioned on l_orderkey with fan-out bounded by the basket
+    size (<= 7 lineitems -> <= 21 pairs per order), never all-pairs
+    across orders."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    total = ob.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    return (
+        pairs.join(
+            F.broadcast(brand_n.withColumnRenamed("p_brand", "brand_a")
+                        .withColumnRenamed("n_brand", "n_a")),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(brand_n.withColumnRenamed("p_brand", "brand_b")
+                        .withColumnRenamed("n_brand", "n_b")),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            (F.col("n_pair") / F.col("n_orders")).alias("support"),
+            (
+                (F.col("n_pair") * F.col("n_orders"))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+_MARKET_BASKET_LIFT_ORACLE = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+), brand_n AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_brand FROM ob GROUP BY 1
+), total AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob
+)
+SELECT brand_a, brand_b, n_pair,
+       n_pair / n_orders AS support,
+       (n_pair * n_orders) / (na.n_brand * nb.n_brand) AS lift
+FROM pairs
+JOIN brand_n na ON na.p_brand = brand_a
+JOIN brand_n nb ON nb.p_brand = brand_b
+CROSS JOIN total
+"""
+
+
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A34 — Pareto frontier (skyline) per part type: a part survives
+    iff no same-type part is <= its price AND >= its size with at least
+    one strict inequality. O(n log n) window form — sort each type by
+    exact price cents and compare against the running max size over
+    strictly-cheaper rows (RANGE .. 1 PRECEDING) and over
+    price-ties-inclusive rows (RANGE .. CURRENT ROW) — versus the
+    oracle's O(n^2) NOT EXISTS, so the hash certifies the rewrite.
+    One shuffle on p_type; no self-join."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_type",
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("int").alias("p_size"),
+    )
+    w_lt = (
+        Window.partitionBy("p_type")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_le = (
+        Window.partitionBy("p_type")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        p.withColumn("max_lt", F.max("p_size").over(w_lt))
+        .withColumn("max_le", F.max("p_size").over(w_le))
+        .filter(
+            (F.col("max_lt").isNull() | (F.col("p_size") > F.col("max_lt")))
+            & (F.col("p_size") == F.col("max_le"))
+        )
+        .select("p_type", "p_partkey", "price_cents", "p_size")
+    )
+
+
+_PART_SKYLINE_ORACLE = """
+WITH p AS (
+  SELECT p_type, p_partkey,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS INT) AS p_size
+  FROM part
+)
+SELECT a.p_type, a.p_partkey, a.price_cents, a.p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_type = a.p_type
+    AND b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+)
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A35 — RFM customer segmentation: quartile each customer by
+    recency (latest order date), frequency (order count), and monetary
+    (exact cents), then census the 64 segments. NTILE(4) is
+    deterministic in BOTH engines given a TOTAL order, so every ORDER
+    BY carries o_custkey as the tie-break; quartile 1 = best. One
+    groupBy shuffle + three windows over the same customer-level frame
+    (tiny vs the fact table)."""
+    from pyspark.sql import Window
+
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents"),
+        )
+    )
+    r = Window.orderBy(F.desc("last_order"), "o_custkey")
+    f = Window.orderBy(F.desc("n_orders"), "o_custkey")
+    m = Window.orderBy(F.desc("cents"), "o_custkey")
+    return (
+        cust.select(
+            "o_custkey",
+            "cents",
+            F.ntile(4).over(r).alias("r_q"),
+            F.ntile(4).over(f).alias("f_q"),
+            F.ntile(4).over(m).alias("m_q"),
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+    )
+
+
+_RFM_SEGMENTS_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT o_custkey, cents,
+         CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey)
+              AS INT) AS r_q,
+         CAST(ntile(4) OVER (ORDER BY n_orders DESC, o_custkey)
+              AS INT) AS f_q,
+         CAST(ntile(4) OVER (ORDER BY cents DESC, o_custkey)
+              AS INT) AS m_q
+  FROM cust
+)
+SELECT r_q, f_q, m_q,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS monetary_cents
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+# Benford log10(1 + 1/d) shares as fixed 6-dp literals so neither
+# engine's libm is in the parity path.
+_BENFORD_EXPECTED = {
+    1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A36 — Benford first-digit audit of order totals: the first
+    significant digit of the exact cents value (string head of a
+    positive BIGINT — no float log10 in the digit path), counted and
+    compared to the Benford share. `share` is one division of exact
+    BIGINTs; `expected` is a shared literal table; `excess` subtracts
+    two bit-identical doubles. Map-side digit extraction + one 9-row
+    hash agg — nothing shuffles more than 9 groups."""
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    expected = F.lit(None).cast("double")
+    for d, p in _BENFORD_EXPECTED.items():
+        expected = F.when(F.col("digit") == d, F.lit(p)).otherwise(expected)
+    orders = load_table(spark, sf_dir, "orders")
+    total = orders.select(F.count(F.lit(1)).alias("n_total"))
+    return (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (F.col("n") / F.col("n_total")).alias("share"),
+            expected.alias("expected"),
+            ((F.col("n") / F.col("n_total")) - expected).alias("excess"),
+        )
+    )
+
+
+_BENFORD_DIGITS_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+), counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+), total AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM d
+), expected(digit, expected) AS (
+  VALUES (1, 0.301030e0), (2, 0.176091e0), (3, 0.124939e0),
+         (4, 0.096910e0), (5, 0.079181e0), (6, 0.066947e0),
+         (7, 0.057992e0), (8, 0.051153e0), (9, 0.045757e0)
+)
+SELECT c.digit, c.n,
+       c.n / t.n_total AS share,
+       e.expected,
+       (c.n / t.n_total) - e.expected AS excess
+FROM counts c CROSS JOIN total t LEFT JOIN expected e USING (digit)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7398,6 +7671,18 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "market_basket_lift": QuerySpec(
+            q_market_basket_lift, _MARKET_BASKET_LIFT_ORACLE, ("A33",)
+        ),
+        "part_skyline": QuerySpec(
+            q_part_skyline, _PART_SKYLINE_ORACLE, ("A34",)
+        ),
+        "rfm_segments": QuerySpec(
+            q_rfm_segments, _RFM_SEGMENTS_ORACLE, ("A35",)
+        ),
+        "benford_digits": QuerySpec(
+            q_benford_digits, _BENFORD_DIGITS_ORACLE, ("A36",)
+        ),
         "events_attribution": QuerySpec(
             q_events_attribution, _EVENTS_ATTRIBUTION_ORACLE, ("TS13",)
         ),

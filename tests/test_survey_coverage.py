@@ -184,6 +184,14 @@ SURVEY_IDS = [
     "L22",
     # first/last-touch revenue attribution (as-of join + struct-min)
     "TS13",
+    # market-basket lift (basket-bounded pair self-join)
+    "A33",
+    # Pareto skyline via running-max windows vs NOT EXISTS oracle
+    "A34",
+    # RFM quartile segmentation (totalized ntile)
+    "A35",
+    # Benford first-digit audit (integer digit path)
+    "A36",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
