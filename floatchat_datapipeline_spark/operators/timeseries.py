@@ -815,3 +815,99 @@ def cusum_changepoints(
         .groupBy("_b")
         .applyInPandas(scan_bucket, schema=out_schema)
     )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — Spark `div` and DuckDB
+    `//` semantics. Python's `//` FLOORS, which diverges on negative
+    numerators (-7 // 2 = -4 vs -3), so every in-worker replay of an
+    engine-side recurrence must route division through this."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def holt_linear(
+    df: DataFrame,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """TS14 — Holt double-exponential smoothing (level + trend) over the
+    per-key HOURLY cents series, entirely in BIGINT fixed point with
+    alpha = beta = 1/4 by truncating integer division:
+
+        L_t = (x_t + 3*(L_{t-1} + B_{t-1})) div 4
+        B_t = ((L_t - L_{t-1}) + 3*B_{t-1}) div 4      (L_1 = x_1, B_1 = 0)
+
+    Integer state makes both engines replay the recurrence
+    bit-identically (the TS12 CUSUM argument); the forecast is
+    `level + trend`, no floats anywhere. The trend term CAN go negative,
+    so the in-worker replay divides via _trunc_div to match DuckDB `//`
+    / Spark `div` truncation, not Python floor.
+
+    Same execution shape as the other true recurrences: hourly
+    pre-aggregation is the only pass over the raw log, then
+    applyInPandas grouped by 64-way hash bucket (one Arrow batch per
+    bucket, per-key loop in-worker)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+
+    hourly = df.groupBy(
+        F.col(key),
+        long_div(
+            epoch_micros(F.date_trunc("hour", F.col(ts_col))), 3_600_000_000
+        ).alias("hx"),
+    ).agg(F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("cents"))
+
+    out_schema = StructType(
+        [
+            StructField(key, StringType()),
+            StructField("hx", LongType()),
+            StructField("level", LongType()),
+            StructField("trend", LongType()),
+            StructField("forecast_next", LongType()),
+        ]
+    )
+
+    def scan_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hx").reset_index(drop=True)
+        lvl = trd = None
+        rows = []
+        for hx, c in zip(pdf["hx"], pdf["cents"]):
+            c = int(c)
+            if lvl is None:
+                lvl, trd = c, 0
+            else:
+                new_lvl = _trunc_div(c + 3 * (lvl + trd), 4)
+                trd = _trunc_div((new_lvl - lvl) + 3 * trd, 4)
+                lvl = new_lvl
+            rows.append((pdf[key].iloc[0], int(hx), lvl, trd, lvl + trd))
+        return pd.DataFrame(
+            rows, columns=[key, "hx", "level", "trend", "forecast_next"]
+        )
+
+    def scan_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["_b"])
+        parts = [scan_key(g) for _, g in pdf.groupby(key, sort=False)]
+        if not parts:
+            return pd.DataFrame(
+                columns=[key, "hx", "level", "trend", "forecast_next"]
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    return (
+        hourly.withColumn("_b", F.pmod(F.hash(F.col(key)), F.lit(64)))
+        .groupBy("_b")
+        .applyInPandas(scan_bucket, schema=out_schema)
+    )

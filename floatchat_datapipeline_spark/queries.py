@@ -7581,6 +7581,250 @@ FROM counts c CROSS JOIN total t LEFT JOIN expected e USING (digit)
 """
 
 
+def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L23 — per-document top-3 TF-IDF terms (keyword extraction). The
+    score is the raw-idf form `(tf * N) / df` — tf, N, df all exact
+    BIGINTs, so the score is ONE IEEE division and bit-identical across
+    engines; ranking totalizes ties by term. Shape: map-side explode,
+    one (doc,term) partial-agg shuffle, a vocabulary-sized df agg that
+    AQE broadcasts back onto tf, one window per doc — no self-joins."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            ((F.col("tf") * F.col("n_docs")) / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "rnk", "score")
+    )
+
+
+_DOC_TFIDF_TOPK_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), total AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, (tf * n_docs) / df AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN total
+)
+SELECT doc_id, term, CAST(rnk AS INT) AS rnk, score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+def q_doc_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 — edit-distance near-dup pairs: JVM-side levenshtein (both
+    engines implement classic Wagner-Fischer, exact integer) over
+    48-char prefixes, candidates blocked by (lang, 64-char length band)
+    with the posting-list rule — row_number caps each block at its
+    first 64 docs by ascending doc_id, so one giant band can never go
+    quadratic (the LSH/_cap_key_frequency discipline; the cap is part
+    of the operator contract and the oracle replays it). Threshold 24
+    sits in the measured gap between true dups (0) and the random-text
+    noise floor (>= 26 at sf0.01)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / F.lit(64)).cast("long").alias("band"),
+        F.substring(F.col("text"), 1, 48).alias("pre"),
+    )
+    w = Window.partitionBy("lang", "band").orderBy("doc_id")
+    capped = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .drop("rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.pre"), F.col("b.pre")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 24)
+    )
+
+
+_DOC_EDITDIST_PAIRS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars // 64 AS band, substr(text, 1, 48) AS pre
+  FROM documents
+), capped AS (
+  SELECT doc_id, lang, band, pre FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY lang, band ORDER BY doc_id) AS rn
+    FROM d
+  ) WHERE rn <= 64
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
+FROM capped a JOIN capped b
+  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pre, b.pre) <= 24
+"""
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 — link prediction on the co-activity graph: for every
+    NON-edge (u, v) sharing >= 1 neighbor, the Jaccard score
+    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| as ONE IEEE division of exact BIGINT
+    counts; top 50 by (jaccard DESC, u, v) via TakeOrdered (no global
+    sort materialization). Common neighbors come from one edge-edge
+    join whose fan-out is bounded by the coactivity bucket cap (64);
+    existing edges are removed by a left-anti join. Shares the memoized
+    edge list with pagerank/triangles (operators/graph.coactivity_edges,
+    cache_key per corpus)."""
+    from floatchat_datapipeline_spark.operators.graph import (
+        coactivity_edges,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    e = coactivity_edges(ev, cache_key=sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    cn = (
+        e1.join(
+            e2,
+            (F.col("e1.dst") == F.col("e2.src"))
+            & (F.col("e1.src") < F.col("e2.dst")),
+        )
+        .groupBy(
+            F.col("e1.src").alias("u"), F.col("e2.dst").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    pred = cn.join(
+        e,
+        (cn.u == e.src) & (cn.v == e.dst),
+        "left_anti",
+    )
+    du = deg.withColumnRenamed("src", "u").withColumnRenamed("deg", "du")
+    dv = deg.withColumnRenamed("src", "v").withColumnRenamed("deg", "dv")
+    return (
+        pred.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("user_a"),
+            F.col("v").alias("user_b"),
+            "common_neighbors",
+            (
+                F.col("common_neighbors")
+                / (F.col("du") + F.col("dv") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "user_a", "user_b")
+        .limit(50)
+    )
+
+
+_LINK_PREDICTION_ORACLE = """
+WITH members AS (
+  SELECT DISTINCT event_type,
+         epoch_us(ts) // 600000000 AS h, user_id
+  FROM events
+), capped AS (
+  SELECT event_type, h, user_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type, h ORDER BY user_id) AS rn
+    FROM members)
+  WHERE rn <= 64
+), edges0 AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM capped a JOIN capped b
+    ON a.event_type = b.event_type AND a.h = b.h
+   AND a.user_id <> b.user_id
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges0 GROUP BY src
+), cn AS (
+  SELECT e1.src AS u, e2.dst AS v, CAST(count(*) AS BIGINT) AS cn
+  FROM edges0 e1 JOIN edges0 e2
+    ON e1.dst = e2.src AND e1.src < e2.dst
+  GROUP BY 1, 2
+), pred AS (
+  SELECT u, v, cn FROM cn
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges0 e WHERE e.src = cn.u AND e.dst = cn.v)
+)
+SELECT u AS user_a, v AS user_b, cn AS common_neighbors,
+       cn / (da.deg + db.deg - cn) AS jaccard
+FROM pred
+JOIN deg da ON da.src = u
+JOIN deg db ON db.src = v
+ORDER BY jaccard DESC, user_a, user_b
+LIMIT 50
+"""
+
+
+def q_events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS14 — Holt level+trend smoothing over hourly cents per
+    event_type (operators/timeseries.holt_linear; BIGINT fixed point,
+    truncating division, recursive-CTE value oracle)."""
+    from floatchat_datapipeline_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    return holt_linear(load_table(spark, sf_dir, "events"))
+
+
+_EVENTS_HOLT_TREND_ORACLE = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hx,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), numbered AS (
+  SELECT event_type, hx, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn
+  FROM hourly
+), rec AS (
+  SELECT event_type, rn, hx,
+         cents AS level, CAST(0 AS BIGINT) AS trend
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.event_type, n.rn, n.hx,
+         CAST((n.cents + 3 * (r.level + r.trend)) // 4 AS BIGINT),
+         CAST((((n.cents + 3 * (r.level + r.trend)) // 4) - r.level
+               + 3 * r.trend) // 4 AS BIGINT)
+  FROM rec r
+  JOIN numbered n ON n.event_type = r.event_type AND n.rn = r.rn + 1
+)
+SELECT event_type, hx, level, trend,
+       CAST(level + trend AS BIGINT) AS forecast_next
+FROM rec
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7671,6 +7915,18 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "doc_tfidf_topk": QuerySpec(
+            q_doc_tfidf_topk, _DOC_TFIDF_TOPK_ORACLE, ("L23",)
+        ),
+        "doc_editdist_pairs": QuerySpec(
+            q_doc_editdist_pairs, _DOC_EDITDIST_PAIRS_ORACLE, ("D8",)
+        ),
+        "link_prediction": QuerySpec(
+            q_link_prediction, _LINK_PREDICTION_ORACLE, ("G4",)
+        ),
+        "events_holt_trend": QuerySpec(
+            q_events_holt_trend, _EVENTS_HOLT_TREND_ORACLE, ("TS14",)
+        ),
         "market_basket_lift": QuerySpec(
             q_market_basket_lift, _MARKET_BASKET_LIFT_ORACLE, ("A33",)
         ),

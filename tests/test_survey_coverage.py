@@ -192,6 +192,14 @@ SURVEY_IDS = [
     "A35",
     # Benford first-digit audit (integer digit path)
     "A36",
+    # TF-IDF keyword extraction (exact-integer score)
+    "L23",
+    # edit-distance near-dup pairs (levenshtein, capped blocks)
+    "D8",
+    # graph link prediction (Jaccard common neighbors)
+    "G4",
+    # Holt level+trend fixed-point smoothing
+    "TS14",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
