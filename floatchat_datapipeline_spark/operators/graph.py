@@ -324,3 +324,45 @@ def k_hop_counts(
         visited = visited.unionByName(nxt)
         frontier = nxt
     return out.select("seed", "hop", "n_new")
+
+
+def link_prediction_scores(edges: DataFrame, top_k: int = 50) -> DataFrame:
+    """G4 — Jaccard link prediction over a symmetric (src, dst) edge
+    list: for every NON-edge pair (u, v) with >= 1 common neighbor,
+    score = |N(u) ∩ N(v)| / (deg(u) + deg(v) - |N(u) ∩ N(v)|) — one
+    IEEE division of exact BIGINT counts. Candidates come from one
+    edge-edge join on the shared middle node (fan-out bounded by the
+    coactivity bucket cap upstream), existing edges drop via a
+    left-anti join, and the top_k is TakeOrdered on the total order
+    (jaccard DESC, user_a, user_b) — no global sort materialization."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    cn = (
+        e1.join(
+            e2,
+            (F.col("e1.dst") == F.col("e2.src"))
+            & (F.col("e1.src") < F.col("e2.dst")),
+        )
+        .groupBy(F.col("e1.src").alias("u"), F.col("e2.dst").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    pred = cn.join(
+        edges, (cn.u == edges.src) & (cn.v == edges.dst), "left_anti"
+    )
+    du = deg.withColumnRenamed("src", "u").withColumnRenamed("deg", "du")
+    dv = deg.withColumnRenamed("src", "v").withColumnRenamed("deg", "dv")
+    return (
+        pred.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("user_a"),
+            F.col("v").alias("user_b"),
+            "common_neighbors",
+            (
+                F.col("common_neighbors")
+                / (F.col("du") + F.col("dv") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "user_a", "user_b")
+        .limit(top_k)
+    )

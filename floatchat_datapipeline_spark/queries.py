@@ -7708,44 +7708,12 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache_key per corpus)."""
     from floatchat_datapipeline_spark.operators.graph import (
         coactivity_edges,
+        link_prediction_scores,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    e = coactivity_edges(ev, cache_key=sf_dir)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e1, e2 = e.alias("e1"), e.alias("e2")
-    cn = (
-        e1.join(
-            e2,
-            (F.col("e1.dst") == F.col("e2.src"))
-            & (F.col("e1.src") < F.col("e2.dst")),
-        )
-        .groupBy(
-            F.col("e1.src").alias("u"), F.col("e2.dst").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("common_neighbors"))
-    )
-    pred = cn.join(
-        e,
-        (cn.u == e.src) & (cn.v == e.dst),
-        "left_anti",
-    )
-    du = deg.withColumnRenamed("src", "u").withColumnRenamed("deg", "du")
-    dv = deg.withColumnRenamed("src", "v").withColumnRenamed("deg", "dv")
-    return (
-        pred.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.col("u").alias("user_a"),
-            F.col("v").alias("user_b"),
-            "common_neighbors",
-            (
-                F.col("common_neighbors")
-                / (F.col("du") + F.col("dv") - F.col("common_neighbors"))
-            ).alias("jaccard"),
-        )
-        .orderBy(F.desc("jaccard"), "user_a", "user_b")
-        .limit(50)
+    return link_prediction_scores(
+        coactivity_edges(ev, cache_key=sf_dir), top_k=50
     )
 
 
@@ -7822,6 +7790,148 @@ WITH RECURSIVE hourly AS (
 SELECT event_type, hx, level, trend,
        CAST(level + trend AS BIGINT) AS forecast_next
 FROM rec
+"""
+
+
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A37 — Gini coefficient of customer spend concentration:
+    G = (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i)) with x ascending
+    exact cents and i the 1-based global rank. Everything stays BIGINT
+    until ONE final IEEE division, so the coefficient is bit-identical
+    cross-engine. The global rank is NOT a single-partition window: it
+    is plans/scale.ranged_cumsum of a ones column over the total order
+    (cents, custkey) — range-partitioned, spill-safe, the 100 TB form.
+    (2^63 bound: sum(i*x_i) <= n^2 * max_cents — safe to ~10^9
+    customers at 10^5-cent means; beyond that switch the two sums to
+    DECIMAL(38,0).)"""
+    from floatchat_datapipeline_spark.plans.scale import ranged_cumsum
+
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    ranked = ranged_cumsum(
+        cust, order_cols=["cents", "o_custkey"], value_col="one",
+        out_col="rnk",
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        (
+            (
+                2 * F.sum(F.col("rnk") * F.col("cents"))
+                - (F.count(F.lit(1)) + 1) * F.sum("cents")
+            )
+            / (F.count(F.lit(1)) * F.sum("cents"))
+        ).alias("gini"),
+    )
+
+
+_GINI_SPEND_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, o_custkey)
+              AS BIGINT) AS rnk
+  FROM cust
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       (2 * CAST(sum(rnk * cents) AS BIGINT)
+        - (CAST(count(*) AS BIGINT) + 1) * CAST(sum(cents) AS BIGINT))
+       / (CAST(count(*) AS BIGINT) * CAST(sum(cents) AS BIGINT)) AS gini
+FROM ranked
+"""
+
+
+def q_source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L24 — distribution drift between corpus sources as EXACT total
+    variation distance of their unigram distributions:
+    TVD(a, b) = sum_t |n_at*N_b - n_bt*N_a| / (2*N_a*N_b). The
+    numerator is a sum of BIGINT cross-products (exact — no float
+    accumulation order in the parity path), the divisor is applied
+    ONCE. Terms are densified over the term×source grid so absences
+    count as zeros on both engines. Shape: one token agg, a
+    vocabulary×sources densify join, then a term-co-partitioned pair
+    join — sources are few, the vocabulary carries the parallelism.
+    (2^63 bound: per-term product <= N_a*N_b — exact to ~3*10^9 tokens
+    per source.)"""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    counts = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("source").agg(F.sum("n").alias("total"))
+    grid = (
+        counts.select("term")
+        .distinct()
+        .crossJoin(F.broadcast(totals))
+    )
+    dense = grid.join(counts, ["source", "term"], "left").select(
+        "source", "term", "total", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("a.n") * F.col("b.total")
+                    - F.col("b.n") * F.col("a.total")
+                )
+            ).alias("num"),
+            F.max(F.col("a.total")).alias("ta"),
+            F.max(F.col("b.total")).alias("tb"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            (F.col("num") / (2 * F.col("ta") * F.col("tb"))).alias("tvd"),
+        )
+    )
+
+
+_SOURCE_UNIGRAM_DRIFT_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), counts AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS n
+  FROM tok GROUP BY 1, 2
+), totals AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS total FROM counts GROUP BY 1
+), grid AS (
+  SELECT t.term, s.source, s.total
+  FROM (SELECT DISTINCT term FROM counts) t CROSS JOIN totals s
+), dense AS (
+  SELECT g.source, g.term, g.total, COALESCE(c.n, 0) AS n
+  FROM grid g LEFT JOIN counts c
+    ON c.source = g.source AND c.term = g.term
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(sum(abs(a.n * b.total - b.n * a.total)) AS BIGINT)
+         / (2 * max(a.total) * max(b.total)) AS tvd
+FROM dense a JOIN dense b
+  ON a.term = b.term AND a.source < b.source
+GROUP BY 1, 2
 """
 
 
@@ -7915,6 +8025,12 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "gini_spend": QuerySpec(
+            q_gini_spend, _GINI_SPEND_ORACLE, ("A37",)
+        ),
+        "source_unigram_drift": QuerySpec(
+            q_source_unigram_drift, _SOURCE_UNIGRAM_DRIFT_ORACLE, ("L24",)
+        ),
         "doc_tfidf_topk": QuerySpec(
             q_doc_tfidf_topk, _DOC_TFIDF_TOPK_ORACLE, ("L23",)
         ),

@@ -200,6 +200,10 @@ SURVEY_IDS = [
     "G4",
     # Holt level+trend fixed-point smoothing
     "TS14",
+    # Gini spend concentration (ranged global rank)
+    "A37",
+    # inter-source unigram TVD drift (exact cross-products)
+    "L24",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
