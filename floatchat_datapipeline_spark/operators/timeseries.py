@@ -911,3 +911,97 @@ def holt_linear(
         .groupBy("_b")
         .applyInPandas(scan_bucket, schema=out_schema)
     )
+
+
+def capped_sessions(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    max_seconds: int = 1800,
+) -> DataFrame:
+    """TS15 — sessionization with BOTH an inactivity gap AND a maximum
+    session duration: a new session starts when the gap from the
+    previous event exceeds `gap_seconds` OR the span since the CURRENT
+    session's first event would exceed `max_seconds` (default 30 min —
+    chosen to actually BIND on this generator's traffic, whose longest
+    gap-only session is ~57 min; an unbinding cap would make the
+    operator vacuously equal to the windowed form). The duration cap
+    makes this a true recurrence — the split decision depends on the
+    session start chosen by earlier decisions — so no window-function
+    rewrite exists (the gap-only form, operators/windows.sessionize, is
+    the windowed special case max_seconds = infinity).
+
+    All state is BIGINT epoch seconds; ordering totalizes ties by
+    (ts, event_id). Execution is the recurrence shape shared with
+    TS8/TS12/TS14: applyInPandas over 64 hash buckets, per-key loop
+    in-worker; the oracle is a recursive CTE stepping rn -> rn+1."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_seconds,
+    )
+
+    ev = df.select(
+        F.col(key),
+        epoch_seconds(F.col(ts_col)).alias("ts_s"),
+        F.col("event_id"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key, LongType()),
+            StructField("session_seq", LongType()),
+            StructField("start_s", LongType()),
+            StructField("end_s", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+    def scan_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_s", "event_id"]).reset_index(drop=True)
+        uid = pdf[key].iloc[0]
+        rows = []
+        seq = 0
+        start = prev = None
+        n = 0
+        for t in pdf["ts_s"]:
+            t = int(t)
+            if (
+                seq == 0
+                or t - prev > gap_seconds
+                or t - start > max_seconds
+            ):
+                if seq:
+                    rows.append((uid, seq, start, prev, n))
+                seq += 1
+                start = t
+                n = 0
+            n += 1
+            prev = t
+        rows.append((uid, seq, start, prev, n))
+        return pd.DataFrame(
+            rows,
+            columns=[key, "session_seq", "start_s", "end_s", "n_events"],
+        )
+
+    def scan_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["_b"])
+        parts = [scan_key(g) for _, g in pdf.groupby(key, sort=False)]
+        if not parts:
+            return pd.DataFrame(
+                columns=[key, "session_seq", "start_s", "end_s", "n_events"]
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    return (
+        ev.withColumn("_b", F.pmod(F.hash(F.col(key)), F.lit(64)))
+        .groupBy("_b")
+        .applyInPandas(scan_bucket, schema=out_schema)
+    )

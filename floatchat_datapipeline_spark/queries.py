@@ -7935,6 +7935,162 @@ GROUP BY 1, 2
 """
 
 
+def q_events_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS15 — gap + max-duration sessionization
+    (operators/timeseries.capped_sessions; the duration cap makes the
+    split a true recurrence — BIGINT epoch-second state, recursive-CTE
+    value oracle)."""
+    from floatchat_datapipeline_spark.operators.timeseries import (
+        capped_sessions,
+    )
+
+    return capped_sessions(load_table(spark, sf_dir, "events"))
+
+
+# epoch_us // 1000000 floors; epoch(ts)::BIGINT would ROUND the 10 % of
+# events carrying sub-second micros and shift gap comparisons.
+_EVENTS_CAPPED_SESSIONS_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS ts_s, event_id
+  FROM events
+), numbered AS (
+  SELECT user_id, ts_s,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts_s, event_id) AS rn
+  FROM ev
+), rec AS (
+  SELECT user_id, rn, ts_s,
+         CAST(1 AS BIGINT) AS seq, ts_s AS start_s
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.rn, n.ts_s,
+         CAST(CASE WHEN n.ts_s - r.ts_s > 1800
+                     OR n.ts_s - r.start_s > 1800
+                   THEN r.seq + 1 ELSE r.seq END AS BIGINT),
+         CAST(CASE WHEN n.ts_s - r.ts_s > 1800
+                     OR n.ts_s - r.start_s > 1800
+                   THEN n.ts_s ELSE r.start_s END AS BIGINT)
+  FROM rec r
+  JOIN numbered n ON n.user_id = r.user_id AND n.rn = r.rn + 1
+)
+SELECT user_id, seq AS session_seq,
+       CAST(min(start_s) AS BIGINT) AS start_s,
+       CAST(max(ts_s) AS BIGINT) AS end_s,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM rec GROUP BY 1, 2
+"""
+
+
+def q_events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A38 — product-adoption curve: per day, the count of FIRST-SEEN
+    users and the running cumulative user total. Cumulative-distinct
+    rewritten exactly: distinct-per-prefix = cumsum of first-occurrence
+    rows (one min-day agg per user, one daily count), and the running
+    total is plans/scale.ranged_cumsum over the day order — exact
+    BIGINTs, no approximate distinct, no single-partition window."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+    from floatchat_datapipeline_spark.plans.scale import ranged_cumsum
+
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(
+            long_div(
+                epoch_micros(F.date_trunc("day", F.col("ts"))),
+                86_400_000_000,
+            )
+        ).alias("dx")
+    )
+    daily = first_day.groupBy("dx").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    return ranged_cumsum(
+        daily, order_cols=["dx"], value_col="new_users", out_col="cum_users"
+    ).select("dx", "new_users", "cum_users")
+
+
+_EVENTS_CUMULATIVE_USERS_ORACLE = """
+WITH first_day AS (
+  SELECT user_id,
+         min(epoch_us(date_trunc('day', ts)) // 86400000000) AS dx
+  FROM events GROUP BY 1
+), daily AS (
+  SELECT dx, CAST(count(*) AS BIGINT) AS new_users
+  FROM first_day GROUP BY 1
+)
+SELECT dx, new_users,
+       CAST(sum(new_users) OVER (ORDER BY dx) AS BIGINT) AS cum_users
+FROM daily
+"""
+
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 — degree distribution of the co-activity graph with the
+    complementary CDF: per distinct degree d, how many nodes have
+    degree d and what fraction has degree >= d. The reverse running
+    sum is exact BIGINT over the tiny distinct-degree domain (bounded
+    by the coactivity bucket cap x active slots, NOT by node count);
+    ccdf is one division per row. Shares the memoized edge list with
+    pagerank/triangles/link prediction."""
+    from pyspark.sql import Window
+
+    from floatchat_datapipeline_spark.operators.graph import (
+        coactivity_edges,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    e = coactivity_edges(ev, cache_key=sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    total = deg.select(F.count(F.lit(1)).alias("n_total"))
+    w = Window.orderBy(F.desc("degree")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .withColumn("n_ge", F.sum("n_nodes").over(w))
+        .select(
+            "degree",
+            "n_nodes",
+            (F.col("n_ge") / F.col("n_total")).alias("ccdf"),
+        )
+    )
+
+
+_DEGREE_DISTRIBUTION_ORACLE = """
+WITH members AS (
+  SELECT DISTINCT event_type,
+         epoch_us(ts) // 600000000 AS h, user_id
+  FROM events
+), capped AS (
+  SELECT event_type, h, user_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type, h ORDER BY user_id) AS rn
+    FROM members)
+  WHERE rn <= 64
+), edges0 AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM capped a JOIN capped b
+    ON a.event_type = b.event_type AND a.h = b.h
+   AND a.user_id <> b.user_id
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS degree FROM edges0 GROUP BY src
+), hist AS (
+  SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1
+), total AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM deg
+)
+SELECT degree, n_nodes,
+       CAST(sum(n_nodes) OVER (
+         ORDER BY degree DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       / n_total AS ccdf
+FROM hist CROSS JOIN total
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8025,6 +8181,19 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "events_capped_sessions": QuerySpec(
+            q_events_capped_sessions,
+            _EVENTS_CAPPED_SESSIONS_ORACLE,
+            ("TS15",),
+        ),
+        "events_cumulative_users": QuerySpec(
+            q_events_cumulative_users,
+            _EVENTS_CUMULATIVE_USERS_ORACLE,
+            ("A38",),
+        ),
+        "degree_distribution": QuerySpec(
+            q_degree_distribution, _DEGREE_DISTRIBUTION_ORACLE, ("G5",)
+        ),
         "gini_spend": QuerySpec(
             q_gini_spend, _GINI_SPEND_ORACLE, ("A37",)
         ),

@@ -226,3 +226,45 @@ def test_benford_digit_extraction_is_integer_path(spark, sf_dir):
     rows = q(spark, sf_dir).collect()
     assert {r["digit"] for r in rows} <= set(range(1, 10))
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-12
+
+
+# ------------------------------------------------------------ capped session
+def test_capped_sessions_duration_cap_binds(spark):
+    """Events every 10 min for 100 min: gap never exceeds 30 min, but
+    the 30-min duration cap forces splits the windowed sessionizer
+    cannot express — sessions restart at t=0, t=40min (first event
+    past 0+30), t=80min."""
+    from datetime import datetime, timedelta
+
+    from floatchat_datapipeline_spark.operators.timeseries import (
+        capped_sessions,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (7, t0 + timedelta(minutes=10 * i), i) for i in range(11)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: bigint, ts: timestamp, event_id: bigint"
+    )
+    got = sorted(
+        (r["session_seq"], r["n_events"])
+        for r in capped_sessions(df).collect()
+    )
+    # minutes 0,10,20,30 | 40,...,70 | 80,90,100
+    assert got == [(1, 4), (2, 4), (3, 3)]
+
+
+def test_capped_sessions_gap_still_splits(spark):
+    from datetime import datetime, timedelta
+
+    from floatchat_datapipeline_spark.operators.timeseries import (
+        capped_sessions,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, t0, 1), (1, t0 + timedelta(seconds=1801), 2)]
+    df = spark.createDataFrame(
+        rows, "user_id: bigint, ts: timestamp, event_id: bigint"
+    )
+    assert capped_sessions(df).count() == 2

@@ -204,6 +204,12 @@ SURVEY_IDS = [
     "A37",
     # inter-source unigram TVD drift (exact cross-products)
     "L24",
+    # gap + max-duration sessionization (capped recurrence)
+    "TS15",
+    # product-adoption curve (cumulative first-seen users)
+    "A38",
+    # degree distribution + CCDF of the co-activity graph
+    "G5",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
