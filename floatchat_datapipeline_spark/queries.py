@@ -8091,6 +8091,28 @@ FROM hist CROSS JOIN total
 """
 
 
+def q_stream_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17 — streaming gap + max-duration sessionization (TS15's twin):
+    the open session is four BIGINTs of GroupState per user
+    (streaming/windows.capped_session_stream); identical integer
+    recurrence as the batch operator, so the same recursive-CTE oracle
+    value-checks the stream."""
+    from floatchat_datapipeline_spark.streaming.run import materialize
+    from floatchat_datapipeline_spark.streaming.sources import stream_table
+    from floatchat_datapipeline_spark.streaming.windows import (
+        capped_session_stream,
+    )
+
+    return materialize(
+        capped_session_stream(stream_table(spark, sf_dir, "events")),
+        "q_stream_capped_sessions",
+        output_mode="update",
+    )
+
+
+_STREAM_CAPPED_SESSIONS_ORACLE = _EVENTS_CAPPED_SESSIONS_ORACLE
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8181,6 +8203,11 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "stream_capped_sessions": QuerySpec(
+            q_stream_capped_sessions,
+            _STREAM_CAPPED_SESSIONS_ORACLE,
+            ("S17",),
+        ),
         "events_capped_sessions": QuerySpec(
             q_events_capped_sessions,
             _EVENTS_CAPPED_SESSIONS_ORACLE,

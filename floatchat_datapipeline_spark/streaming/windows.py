@@ -561,3 +561,97 @@ def ewma_anomaly_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CAPPED_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("start_s", LongType()),
+        StructField("prev_s", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+CAPPED_SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_seq", LongType()),
+        StructField("start_s", LongType()),
+        StructField("end_s", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_CAP_GAP_S = 1800
+_CAP_MAX_S = 1800
+
+
+def _update_capped_session(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    """Streaming form of operators/timeseries.capped_sessions: the open
+    session (seq, start, last-event, count) lives in GroupState — four
+    BIGINTs per key, bounded regardless of stream length. Each batch
+    replays the identical integer recurrence in event order and emits
+    every session it CLOSES plus the still-open tail session (so a
+    single-batch AvailableNow replay reproduces the batch operator
+    row-for-row; across multiple batches the tail row would re-emit as
+    it grows — update-mode semantics, same caveat as the other
+    streaming recurrences on this harness's one-batch source)."""
+    gap, cap = _CAP_GAP_S, _CAP_MAX_S
+    if state.exists:
+        seq, start, prev, n = (int(v) for v in state.get)
+    else:
+        seq = 0
+        start = prev = n = 0
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    closed: list[tuple] = []
+    if frames:
+        pdf = (
+            pd.concat(frames, ignore_index=True)
+            .sort_values(["ts_s", "event_id"])
+            .reset_index(drop=True)
+        )
+        for t in pdf["ts_s"]:
+            t = int(t)
+            if seq == 0 or t - prev > gap or t - start > cap:
+                if seq:
+                    closed.append((key[0], seq, start, prev, n))
+                seq += 1
+                start = t
+                n = 0
+            n += 1
+            prev = t
+    state.update((seq, start, prev, n))
+    rows = closed + ([(key[0], seq, start, prev, n)] if seq else [])
+    yield pd.DataFrame(
+        rows,
+        columns=["user_id", "session_seq", "start_s", "end_s", "n_events"],
+    )
+
+
+def capped_session_stream(events: DataFrame) -> DataFrame:
+    """S17 — streaming gap + max-duration sessionization: the duration
+    cap is a true recurrence no session_window expresses, so the open
+    session is custom GroupState (applyInPandasWithState). Arithmetic
+    is all BIGINT epoch seconds — identical to the batch operator, so
+    the SAME recursive-CTE oracle value-checks the stream."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_seconds,
+    )
+
+    return (
+        events.select(
+            "user_id",
+            epoch_seconds(F.col("ts")).alias("ts_s"),
+            "event_id",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_capped_session,
+            outputStructType=CAPPED_SESSION_SCHEMA,
+            stateStructType=CAPPED_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

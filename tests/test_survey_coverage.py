@@ -210,6 +210,8 @@ SURVEY_IDS = [
     "A38",
     # degree distribution + CCDF of the co-activity graph
     "G5",
+    # streaming capped sessionization (GroupState recurrence)
+    "S17",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
