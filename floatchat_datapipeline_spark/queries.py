@@ -8206,7 +8206,7 @@ def _base_registry() -> dict[str, QuerySpec]:
         "stream_capped_sessions": QuerySpec(
             q_stream_capped_sessions,
             _STREAM_CAPPED_SESSIONS_ORACLE,
-            ("S17",),
+            ("S19",),
         ),
         "events_capped_sessions": QuerySpec(
             q_events_capped_sessions,

@@ -211,7 +211,7 @@ SURVEY_IDS = [
     # degree distribution + CCDF of the co-activity graph
     "G5",
     # streaming capped sessionization (GroupState recurrence)
-    "S17",
+    "S19",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
