@@ -8091,6 +8091,55 @@ FROM hist CROSS JOIN total
 """
 
 
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS16 — first-order Markov transition matrix of user behavior:
+    count each (previous event_type -> event_type) step along every
+    user's totalized timeline, then row-normalize into transition
+    probabilities — BIGINT counts, ONE IEEE division per cell (n over
+    its row total), so the matrix is bit-identical cross-engine. One
+    hash exchange on user_id feeds the lag window; the transition
+    census is a 25-cell aggregate; the row totals ride a window over
+    the tiny event-type domain (no second pass over the log)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_row = Window.partitionBy("from_type")
+    return steps.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") / F.sum("n").over(w_row)).alias("prob"),
+    )
+
+
+_EVENTS_MARKOV_TRANSITIONS_ORACLE = """
+WITH steps AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM steps WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       n / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob
+FROM counts
+"""
+
+
 def q_stream_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S17 — streaming gap + max-duration sessionization (TS15's twin):
     the open session is four BIGINTs of GroupState per user
@@ -8203,6 +8252,11 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "events_markov_transitions": QuerySpec(
+            q_events_markov_transitions,
+            _EVENTS_MARKOV_TRANSITIONS_ORACLE,
+            ("TS16",),
+        ),
         "stream_capped_sessions": QuerySpec(
             q_stream_capped_sessions,
             _STREAM_CAPPED_SESSIONS_ORACLE,

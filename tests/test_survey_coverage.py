@@ -212,6 +212,8 @@ SURVEY_IDS = [
     "G5",
     # streaming capped sessionization (GroupState recurrence)
     "S19",
+    # first-order Markov transition matrix (lag census)
+    "TS16",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
