@@ -7458,10 +7458,21 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     recency (latest order date), frequency (order count), and monetary
     (exact cents), then census the 64 segments. NTILE(4) is
     deterministic in BOTH engines given a TOTAL order, so every ORDER
-    BY carries o_custkey as the tie-break; quartile 1 = best. One
-    groupBy shuffle + three windows over the same customer-level frame
-    (tiny vs the fact table)."""
-    from pyspark.sql import Window
+    BY carries o_custkey as the tie-break; quartile 1 = best.
+
+    The quartiles are NOT single-partition NTILE windows (fatal at
+    10^9 customers): each metric's global rank is ranged_cumsum of a
+    ones column over the totalized order (descending metrics enter as
+    negated integers), and NTILE's exact bucket rule — the first
+    n mod k buckets take one extra row — is replayed in closed-form
+    integer arithmetic from (rank, n, k), bit-identical to both
+    engines' ntile (pinned by
+    tests/test_round8_ops.py::test_rfm_ntile_closed_form and the
+    rangepartitioning plan test)."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+    )
+    from floatchat_datapipeline_spark.plans.scale import ranged_cumsum
 
     cust = (
         load_table(spark, sf_dir, "orders")
@@ -7473,17 +7484,59 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("o_totalprice") * 100).cast("long")
             ).alias("cents"),
         )
-    )
-    r = Window.orderBy(F.desc("last_order"), "o_custkey")
-    f = Window.orderBy(F.desc("n_orders"), "o_custkey")
-    m = Window.orderBy(F.desc("cents"), "o_custkey")
-    return (
-        cust.select(
+        .select(
             "o_custkey",
             "cents",
-            F.ntile(4).over(r).alias("r_q"),
-            F.ntile(4).over(f).alias("f_q"),
-            F.ntile(4).over(m).alias("m_q"),
+            (-epoch_micros(F.col("last_order"))).alias("neg_rec"),
+            (-F.col("n_orders")).alias("neg_freq"),
+            (-F.col("cents")).alias("neg_mon"),
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+
+    def _ldiv(a, b):
+        # exact long division (non-negative operands): subtract the
+        # remainder so the double division is an exact integer — the
+        # long_div trick generalized to a Column divisor.
+        return ((a - a % b) / b).cast("long")
+
+    def _ntile4(rank: F.Column, n: F.Column) -> F.Column:
+        # NTILE(k): first r = n % k buckets hold big = n div k + 1
+        # rows, the rest hold small = n div k. Closed form from the
+        # 1-based rank — exact integer replay of the window function.
+        k = F.lit(4).cast("long")
+        r = n % k
+        floor_nk = _ldiv(n, k)
+        big = floor_nk + 1
+        small = F.greatest(floor_nk, F.lit(1).cast("long"))
+        cutoff = r * big
+        return (
+            F.when(rank <= cutoff, _ldiv(rank - 1, big) + 1)
+            .otherwise(r + _ldiv(rank - cutoff - 1, small) + 1)
+            .cast("int")
+        )
+
+    ranked = ranged_cumsum(
+        cust, order_cols=["neg_rec", "o_custkey"], value_col="one",
+        out_col="r_rank",
+    )
+    ranked = ranged_cumsum(
+        ranked, order_cols=["neg_freq", "o_custkey"], value_col="one",
+        out_col="f_rank",
+    )
+    ranked = ranged_cumsum(
+        ranked, order_cols=["neg_mon", "o_custkey"], value_col="one",
+        out_col="m_rank",
+    )
+    total = cust.select(F.count(F.lit(1)).alias("n_cust"))
+    n = F.col("n_cust")
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "cents",
+            _ntile4(F.col("r_rank"), n).alias("r_q"),
+            _ntile4(F.col("f_rank"), n).alias("f_q"),
+            _ntile4(F.col("m_rank"), n).alias("m_q"),
         )
         .groupBy("r_q", "f_q", "m_q")
         .agg(

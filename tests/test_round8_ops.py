@@ -268,3 +268,39 @@ def test_capped_sessions_gap_still_splits(spark):
         rows, "user_id: bigint, ts: timestamp, event_id: bigint"
     )
     assert capped_sessions(df).count() == 2
+
+
+# ----------------------------------------------------------------- RFM ntile
+def test_rfm_ntile_closed_form():
+    """The closed-form bucket rule used by rfm_segments must replay
+    NTILE(4) exactly for every n (first n mod 4 buckets take one extra
+    row) — checked against DuckDB's ntile over a sweep of frame
+    sizes."""
+    import duckdb
+
+    def closed_form(rank: int, n: int, k: int = 4) -> int:
+        r = n % k
+        big = n // k + 1
+        small = max(n // k, 1)
+        cutoff = r * big
+        if rank <= cutoff:
+            return (rank - 1) // big + 1
+        return r + (rank - cutoff - 1) // small + 1
+
+    for n in list(range(1, 41)) + [1001, 1002, 1003, 1004]:
+        want = duckdb.sql(
+            f"SELECT ntile(4) OVER (ORDER BY i) FROM range({n}) t(i)"
+        ).fetchall()
+        for rank, (w,) in enumerate(want, start=1):
+            assert closed_form(rank, n) == w, (rank, n)
+
+
+def test_rfm_plan_has_no_global_ntile(spark, sf_dir):
+    """A35's scale claim: quartiles come from ranged_cumsum ranks +
+    closed-form arithmetic — the plan must carry range partitioning
+    and NO ntile window (which would be a single-partition sort over
+    every customer)."""
+    q = registry()["rfm_segments"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert "rangepartitioning" in plan, plan
+    assert "ntile" not in plan.lower(), plan
