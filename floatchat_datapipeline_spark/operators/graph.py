@@ -326,24 +326,50 @@ def k_hop_counts(
     return out.select("seed", "hop", "n_new")
 
 
-def link_prediction_scores(edges: DataFrame, top_k: int = 50) -> DataFrame:
+def link_prediction_scores(
+    edges: DataFrame, top_k: int = 50, pivot_cap: int = 96
+) -> DataFrame:
     """G4 — Jaccard link prediction over a symmetric (src, dst) edge
     list: for every NON-edge pair (u, v) with >= 1 common neighbor,
-    score = |N(u) ∩ N(v)| / (deg(u) + deg(v) - |N(u) ∩ N(v)|) — one
-    IEEE division of exact BIGINT counts. Candidates come from one
-    edge-edge join on the shared middle node (fan-out bounded by the
-    coactivity bucket cap upstream), existing edges drop via a
-    left-anti join, and the top_k is TakeOrdered on the total order
-    (jaccard DESC, user_a, user_b) — no global sort materialization."""
+    score = cn / (deg(u) + deg(v) - cn) — one IEEE division of exact
+    BIGINT counts.
+
+    Candidate generation is the scale-critical step: the naive
+    edge-edge join on the shared middle node does sum(deg(w)^2) work —
+    118M candidate rows on the sf0.1 graph (max degree 412), measured
+    25 s. Instead each pivot node keeps its first `pivot_cap` neighbors
+    by ascending id (the posting-list rule; capped BEFORE collecting,
+    so per-node state is bounded even for hub nodes) and pairs are
+    generated IN-ARRAY from one sorted adjacency list per pivot (the
+    session_cooccurrence shape) — work is nodes * cap^2 / 2, linear in
+    node count at any scale, and the cap is part of the operator
+    contract (the oracle replays it: cn counts common neighbors
+    WITNESSED through some pivot's capped adjacency). Existing edges
+    drop via a left-anti join; degrees stay exact; top_k is
+    TakeOrdered on the total order (jaccard DESC, user_a, user_b)."""
+    from pyspark.sql import Window
+
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e1, e2 = edges.alias("e1"), edges.alias("e2")
-    cn = (
-        e1.join(
-            e2,
-            (F.col("e1.dst") == F.col("e2.src"))
-            & (F.col("e1.src") < F.col("e2.dst")),
+    w_cap = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        edges.withColumn("_rn", F.row_number().over(w_cap))
+        .filter(F.col("_rn") <= pivot_cap)
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("nbrs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("nbrs"), i + 2, F.size(F.col("nbrs"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
         )
-        .groupBy(F.col("e1.src").alias("u"), F.col("e2.dst").alias("v"))
+    )
+    cn = (
+        adj.select(F.explode(pair_arr).alias("p"))
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("common_neighbors"))
     )
     pred = cn.join(

