@@ -7321,10 +7321,15 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     across orders."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # one (order, brand) frame feeds FOUR consumers (both self-join
+    # sides, per-brand counts, the order total) — materialize once
+    # (two-branch-recompute rule) instead of re-running the
+    # lineitem-part join and distinct per consumer.
     ob = (
         li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     a, b = ob.alias("a"), ob.alias("b")
     pairs = (
@@ -7647,7 +7652,14 @@ def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the df aggregate and the scored join — materialize
+    # once (two-branch-recompute rule) rather than exploding the corpus
+    # twice.
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     total = docs.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
