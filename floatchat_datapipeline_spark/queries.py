@@ -8166,6 +8166,166 @@ FROM hist CROSS JOIN total
 """
 
 
+def q_events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A39 — EXACT two-sample Kolmogorov-Smirnov statistic between the
+    click and view value distributions: D = max_v |F_a(v) - F_b(v)|
+    computed entirely in integers — per distinct cents value the
+    cumulative counts c_a, c_b ride two ranged_cumsum passes (range
+    partitioning, no single-partition window), the supremum is
+    max |c_a*n_b - c_b*n_a| over BIGINTs, and the statistic is ONE
+    IEEE division by n_a*n_b at the end; `at_cents` reports the
+    smallest location achieving the supremum (deterministic argmax).
+    (2^63 bound: c*n <= n_a*n_b — exact to ~3*10^9 rows per sample;
+    past that, DECIMAL(38,0).) Drift detection between cohorts with a
+    p-value-free exact statistic — no float CDFs anywhere."""
+    from floatchat_datapipeline_spark.plans.scale import ranged_cumsum
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    per_v = (
+        ev.groupBy(
+            F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1)
+                .otherwise(0)
+                .cast("long")
+            ).alias("n_a"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1)
+                .otherwise(0)
+                .cast("long")
+            ).alias("n_b"),
+        )
+    )
+    cum = ranged_cumsum(per_v, ["cents"], "n_a", out_col="c_a")
+    cum = ranged_cumsum(cum, ["cents"], "n_b", out_col="c_b")
+    totals = per_v.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "cents",
+            F.abs(
+                F.col("c_a") * F.col("tb") - F.col("c_b") * F.col("ta")
+            ).alias("d_num"),
+            "ta",
+            "tb",
+        )
+        .localCheckpoint(eager=True)  # feeds the max AND the argmax
+    )
+    peak = scored.agg(F.max("d_num").alias("d_max"))
+    return (
+        scored.join(F.broadcast(peak), scored.d_num == peak.d_max)
+        .groupBy()
+        .agg(
+            F.max("ta").alias("n_click"),
+            F.max("tb").alias("n_view"),
+            F.max("d_max").alias("d_num"),
+            (F.max("d_max") / (F.max("ta") * F.max("tb"))).alias("ks_d"),
+            F.min("cents").alias("at_cents"),
+        )
+    )
+
+
+_EVENTS_KS_TEST_ORACLE = """
+WITH per_v AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_b
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY 1
+), cum AS (
+  SELECT cents,
+         CAST(sum(n_a) OVER w AS BIGINT) AS c_a,
+         CAST(sum(n_b) OVER w AS BIGINT) AS c_b
+  FROM per_v WINDOW w AS (ORDER BY cents)
+), totals AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+  FROM per_v
+), scored AS (
+  SELECT cents, abs(c_a * tb - c_b * ta) AS d_num, ta, tb
+  FROM cum CROSS JOIN totals
+)
+SELECT max(ta) AS n_click, max(tb) AS n_view,
+       CAST(max(d_num) AS BIGINT) AS d_num,
+       max(d_num) / (max(ta) * max(tb)) AS ks_d,
+       CAST(min(cents) FILTER (
+         d_num = (SELECT max(d_num) FROM scored)) AS BIGINT) AS at_cents
+FROM scored
+"""
+
+
+def q_spend_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A40 — EXACT Spearman rank correlation between customer order
+    frequency and total spend: rho = 1 - 6*sum(d^2) / (n*(n^2-1)) with
+    d the difference of the two totalized global ranks (ties broken by
+    custkey on BOTH metrics — the deterministic rank convention, same
+    on both engines). Ranks come from ranged_cumsum of a ones column
+    (no single-partition window); sum(d^2) is BIGINT-exact and rho is
+    ONE IEEE division. (2^63 bound: sum(d^2) <= n^3 — exact to ~2*10^6
+    customers; past that, DECIMAL(38,0) for the d^2 sum.)"""
+    from floatchat_datapipeline_spark.plans.scale import ranged_cumsum
+
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents"),
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    ranked = ranged_cumsum(
+        cust, ["n_orders", "o_custkey"], "one", out_col="freq_rank"
+    )
+    ranked = ranged_cumsum(
+        ranked, ["cents", "o_custkey"], "one", out_col="spend_rank"
+    )
+    d = F.col("freq_rank") - F.col("spend_rank")
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_customers"),
+        F.sum(d * d).alias("sum_d2"),
+        (
+            1
+            - (6 * F.sum(d * d))
+            / (n * (n * n - 1))
+        ).alias("spearman_rho"),
+    )
+
+
+_SPEND_RANK_CORRELATION_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_orders, o_custkey)
+              AS BIGINT) AS freq_rank,
+         CAST(row_number() OVER (ORDER BY cents, o_custkey)
+              AS BIGINT) AS spend_rank
+  FROM cust
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum((freq_rank - spend_rank) * (freq_rank - spend_rank))
+            AS BIGINT) AS sum_d2,
+       1 - (6 * CAST(sum((freq_rank - spend_rank)
+                         * (freq_rank - spend_rank)) AS BIGINT))
+           / (CAST(count(*) AS BIGINT)
+              * (CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT) - 1))
+         AS spearman_rho
+FROM ranked
+"""
+
+
 def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TS16 — first-order Markov transition matrix of user behavior:
     count each (previous event_type -> event_type) step along every
@@ -8327,6 +8487,14 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "events_ks_test": QuerySpec(
+            q_events_ks_test, _EVENTS_KS_TEST_ORACLE, ("A39",)
+        ),
+        "spend_rank_correlation": QuerySpec(
+            q_spend_rank_correlation,
+            _SPEND_RANK_CORRELATION_ORACLE,
+            ("A40",),
+        ),
         "events_markov_transitions": QuerySpec(
             q_events_markov_transitions,
             _EVENTS_MARKOV_TRANSITIONS_ORACLE,

@@ -214,6 +214,10 @@ SURVEY_IDS = [
     "S19",
     # first-order Markov transition matrix (lag census)
     "TS16",
+    # exact two-sample Kolmogorov-Smirnov drift statistic
+    "A39",
+    # exact Spearman rank correlation (ranged ranks)
+    "A40",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
