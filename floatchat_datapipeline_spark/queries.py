@@ -8166,6 +8166,58 @@ FROM hist CROSS JOIN total
 """
 
 
+def q_events_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A41 — burstiness audit: index of dispersion (variance-to-mean
+    ratio) of the hourly event-count series per event_type. Count data
+    is Poisson when D = 1, bursty when D > 1 — and with integer counts
+    the whole statistic is exact: D = (n*sum(x^2) - sum(x)^2) /
+    (n*sum(x)), BIGINT numerator and denominator, ONE IEEE division.
+    One hourly pre-aggregation, one per-type rollup — two shuffles
+    total, no windows."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            long_div(
+                epoch_micros(F.date_trunc("hour", F.col("ts"))),
+                3_600_000_000,
+            ).alias("hx"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    n = F.count(F.lit(1))
+    return hourly.groupBy("event_type").agg(
+        n.alias("n_hours"),
+        F.sum("x").alias("n_events"),
+        (
+            (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+            / (n * F.sum("x"))
+        ).alias("dispersion"),
+    )
+
+
+_EVENTS_DISPERSION_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS hx,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(x) AS BIGINT) AS n_events,
+       (CAST(count(*) AS BIGINT) * CAST(sum(x * x) AS BIGINT)
+        - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT))
+       / (CAST(count(*) AS BIGINT) * CAST(sum(x) AS BIGINT)) AS dispersion
+FROM hourly GROUP BY 1
+"""
+
+
 def q_events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A39 — EXACT two-sample Kolmogorov-Smirnov statistic between the
     click and view value distributions: D = max_v |F_a(v) - F_b(v)|
@@ -8487,6 +8539,9 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "events_dispersion": QuerySpec(
+            q_events_dispersion, _EVENTS_DISPERSION_ORACLE, ("A41",)
+        ),
         "events_ks_test": QuerySpec(
             q_events_ks_test, _EVENTS_KS_TEST_ORACLE, ("A39",)
         ),

@@ -218,6 +218,8 @@ SURVEY_IDS = [
     "A39",
     # exact Spearman rank correlation (ranged ranks)
     "A40",
+    # index of dispersion (burstiness of hourly counts)
+    "A41",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
