@@ -392,3 +392,49 @@ def link_prediction_scores(
         .orderBy(F.desc("jaccard"), "user_a", "user_b")
         .limit(top_k)
     )
+
+
+def k_core(
+    edges: DataFrame, k: int = 3, rounds: int = 16
+) -> DataFrame:
+    """G6 — k-core decomposition by iterative peeling: repeatedly drop
+    nodes whose degree within the surviving subgraph is < k; the fixed
+    point is the maximal subgraph where every node keeps >= k
+    neighbors. Runs a FIXED `rounds` peels (so the DuckDB oracle can
+    chain the identical rounds as CTEs — the pagerank fixed-iteration
+    pattern) and emits a `converged` certificate column (round R
+    population == round R-1) that both engines compute; peeling
+    removes at least one node per non-converged round, so rounds=16
+    certifies convergence on any graph whose peel sequence is shorter,
+    and a false certificate is itself parity-checked. Each round is
+    one semi-join + one degree agg on the shrinking edge set,
+    localCheckpointed every 4 rounds to cut lineage (the iterative-
+    loop rule; ~0.5 s/round scheduling floor in local mode is
+    amortized at scale)."""
+    surv = edges
+    prev_n = None
+    last_n = None
+    for r in range(rounds):
+        deg = surv.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        surv = (
+            surv.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+        )
+        if (r + 1) % 4 == 0 or r == rounds - 1:
+            surv = surv.localCheckpoint(eager=True)
+        if r == rounds - 2:
+            prev_n = surv.select("src").distinct().count()
+        if r == rounds - 1:
+            last_n = surv.select("src").distinct().count()
+    converged = bool(prev_n == last_n)
+    return (
+        surv.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(
+            F.col("src").alias("user_id"),
+            "core_degree",
+            F.lit(converged).alias("converged"),
+        )
+    )

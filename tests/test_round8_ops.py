@@ -304,3 +304,32 @@ def test_rfm_plan_has_no_global_ntile(spark, sf_dir):
     plan = plan_string(q(spark, sf_dir))
     assert "rangepartitioning" in plan, plan
     assert "ntile" not in plan.lower(), plan
+
+
+# ------------------------------------------------------------------- k-core
+def test_k_core_peels_tendrils_keeps_clique(spark):
+    """K4 clique (everyone degree 3) + a pendant chain hanging off it:
+    the 3-core keeps exactly the clique — the chain peels away over
+    successive rounds (node 5 starts with degree 1, node 6 gains
+    nothing from losing 5, ...), and the certificate confirms the
+    fixed point."""
+    from floatchat_datapipeline_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a != b]
+    chain = [(4, 5), (5, 4), (5, 6), (6, 5), (6, 7), (7, 6)]
+    edges = spark.createDataFrame(
+        clique + chain, "src: bigint, dst: bigint"
+    )
+    rows = {r["user_id"]: r for r in k_core(edges, k=3, rounds=8).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert all(r["core_degree"] == 3 for r in rows.values())
+    assert all(r["converged"] for r in rows.values())
+
+
+def test_k_core_empty_when_overdemanding(spark):
+    from floatchat_datapipeline_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1)], "src: bigint, dst: bigint"
+    )
+    assert k_core(edges, k=2, rounds=4).count() == 0

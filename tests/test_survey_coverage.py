@@ -42,6 +42,12 @@ MODULE_COVERED: dict[str, str] = {
     # interchange formats (ORC/CSV/JSON micro-exact roundtrip) + dynamic
     # partition overwrite, tests/test_formats.py
     "S18": "sources/formats.py (tests/test_formats.py)",
+    # k-core decomposition: fixed-round peeling + convergence
+    # certificate; module-covered because this generator's co-activity
+    # graphs are degree-homogeneous (every k rule yields the all-nodes
+    # or the empty core at the driver's sf0.01 — a registry query
+    # would be vacuous), so semantics pin on hand graphs instead
+    "G6": "operators/graph.k_core (tests/test_round8_ops.py)",
 }
 
 SURVEY_IDS = [
@@ -220,6 +226,8 @@ SURVEY_IDS = [
     "A40",
     # index of dispersion (burstiness of hourly counts)
     "A41",
+    # k-core decomposition (module-covered; see MODULE_COVERED)
+    "G6",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
