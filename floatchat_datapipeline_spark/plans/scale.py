@@ -115,6 +115,18 @@ def rebalance(df: DataFrame, target: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def _ranged_pid_frame(df: DataFrame, order_cols: list, n_partitions: int):
+    """The pre-checkpoint stage of ranged_cumsum: range-repartition on
+    the total order and tag rows with their partition id. Split out so
+    plan-shape tests can pin the rangepartitioning exchange — the
+    checkpoint in ranged_cumsum replaces downstream plan strings with
+    an ExistingRDD scan, hiding the exchange from the composed query's
+    explain output."""
+    return df.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+
+
 def ranged_cumsum(
     df: DataFrame,
     order_cols: list,
@@ -156,10 +168,9 @@ def ranged_cumsum(
     two branches."""
     from pyspark.sql import Window
 
-    ranged = df.repartitionByRange(n_partitions, *order_cols)
-    local = ranged.withColumn(
-        "_pid", F.spark_partition_id()
-    ).localCheckpoint(eager=True)
+    local = _ranged_pid_frame(df, order_cols, n_partitions).localCheckpoint(
+        eager=True
+    )
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)

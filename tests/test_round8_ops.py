@@ -76,13 +76,33 @@ def test_skyline_has_no_join(spark, sf_dir):
 
 
 # ---------------------------------------------------------------- gini plan
-def test_gini_rank_is_range_partitioned(spark, sf_dir):
-    """A37's claim: the global spend rank comes from ranged_cumsum
-    (range partitioning + local windows + broadcast offsets), NOT a
-    single-partition global window over the customer frame."""
+def test_ranged_pid_frame_is_range_partitioned(spark, sf_dir):
+    """The stage every ranged_cumsum consumer (gini, rfm, KS,
+    cumulative users, Spearman) rides: repartitionByRange on the total
+    order. Pinned on the pre-checkpoint frame because the checkpoint
+    that makes ranged_cumsum deterministic replaces downstream explain
+    output with an ExistingRDD scan."""
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.plans.scale import _ranged_pid_frame
+
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = plan_string(_ranged_pid_frame(cust, ["n", "o_custkey"], 32))
+    assert "rangepartitioning" in plan, plan
+
+
+def test_gini_rank_rides_the_checkpoint_seam(spark, sf_dir):
+    """A37's claim: no partition-less window anywhere — the rank
+    arrives through the materialized ranged frame (ExistingRDD scan),
+    and the only windows in the composed plan partition by _pid or the
+    32-row offsets domain."""
     q = registry()["gini_spend"].spark
     plan = plan_string(q(spark, sf_dir))
-    assert "rangepartitioning" in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "ntile" not in plan.lower(), plan
 
 
 # ----------------------------------------------------------------- TF-IDF
@@ -302,7 +322,7 @@ def test_rfm_plan_has_no_global_ntile(spark, sf_dir):
     every customer)."""
     q = registry()["rfm_segments"].spark
     plan = plan_string(q(spark, sf_dir))
-    assert "rangepartitioning" in plan, plan
+    assert "ExistingRDD" in plan, plan
     assert "ntile" not in plan.lower(), plan
 
 
@@ -333,3 +353,35 @@ def test_k_core_empty_when_overdemanding(spark):
         [(1, 2), (2, 1)], "src: bigint, dst: bigint"
     )
     assert k_core(edges, k=2, rounds=4).count() == 0
+
+
+# ------------------------------------------------------------ plan pins
+def test_capped_sessions_single_bucket_shuffle(spark, sf_dir):
+    """TS15: one hash exchange into the 64-way bucket grouping, one
+    Arrow seam (FlatMapGroupsInPandas) — per-key Arrow batches would
+    show as the same plan but die at high key cardinality, so the
+    bucket column must be the grouping key."""
+    q = registry()["events_capped_sessions"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "_b" in plan, plan
+
+
+def test_ks_cdf_is_range_partitioned(spark, sf_dir):
+    """A39: both cumulative-count passes ride the materialized ranged
+    frames — a partition-less `sum() OVER (ORDER BY cents)` would
+    single-thread the pooled distinct-value domain."""
+    q = registry()["events_ks_test"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert "ExistingRDD" in plan, plan
+    assert "unboundedpreceding" not in plan.lower() or "_pid" in plan, plan
+
+
+def test_markov_reuses_user_exchange(spark, sf_dir):
+    """TS16: the lag window and nothing else touches the raw log — one
+    hash exchange on user_id, one on the 25-cell census, plus the tiny
+    from_type row-total window. No join nodes at all."""
+    q = registry()["events_markov_transitions"].spark
+    plan = plan_string(q(spark, sf_dir))
+    assert "Join" not in plan, plan
