@@ -8166,6 +8166,110 @@ FROM hist CROSS JOIN total
 """
 
 
+def q_doc_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 — diversified top-k: the 10 longest documents with AT MOST 2
+    per source (search-results diversity constraint). Two-phase
+    ranking: a per-source row_number (hash exchange on source) caps
+    each source's contribution, then TakeOrdered picks the global 10 —
+    no global sort materialization, ties totalized by doc_id at both
+    phases."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    return (
+        d.withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= 2)
+        .select("doc_id", "source", "n_chars", "src_rank")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(10)
+    )
+
+
+_DOC_DIVERSE_TOPK_ORACLE = """
+SELECT doc_id, source, n_chars, CAST(src_rank AS INT) AS src_rank
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id) AS src_rank
+  FROM documents
+) WHERE src_rank <= 2
+ORDER BY n_chars DESC, doc_id
+LIMIT 10
+"""
+
+
+def q_customer_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 — sorted-neighborhood entity-resolution blocking (Hernandez &
+    Stolfo): sort customers on the match key (exact balance cents,
+    custkey tie-break), slide a window of 3 over the SORTED order, and
+    emit candidate pairs that verify (same market segment, balance gap
+    <= 500 cents — non-vacuous at every test SF). The global sort rank is ranged_cumsum (range
+    partitioning, no single-partition window); neighbors materialize
+    as TWO rank-offset equi-joins (rnk+1, rnk+2) co-partitioned on the
+    rank — SNM's candidate count is O(n*w), immune to the skew that
+    breaks value-based blocking when one block goes giant."""
+    from floatchat_datapipeline_spark.plans.scale import ranged_cumsum
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    ranked = ranged_cumsum(
+        cust, ["cents", "c_custkey"], "one", out_col="rnk"
+    ).drop("one")
+    b = (
+        ranked.select(
+            F.col("c_custkey").alias("id_b"),
+            F.col("c_mktsegment").alias("seg_b"),
+            F.col("cents").alias("cents_b"),
+            "rnk",
+        )
+        .withColumn("d", F.explode(F.array(F.lit(1), F.lit(2))))
+        .withColumn("rnk", F.col("rnk") - F.col("d"))
+        .drop("d")
+    )
+    return (
+        ranked.join(b, "rnk")
+        .filter(
+            (F.col("c_mktsegment") == F.col("seg_b"))
+            & (F.col("cents_b") - F.col("cents") <= 500)
+        )
+        .select(
+            F.col("c_custkey").alias("id_a"),
+            "id_b",
+            F.col("c_mktsegment").alias("segment"),
+            (F.col("cents_b") - F.col("cents")).alias("gap_cents"),
+        )
+    )
+
+
+_CUSTOMER_SNM_PAIRS_ORACLE = """
+WITH ranked AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+         CAST(row_number() OVER (ORDER BY
+              CAST(round(c_acctbal * 100) AS BIGINT), c_custkey)
+              AS BIGINT) AS rnk
+  FROM customer
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_mktsegment AS segment,
+       CAST(b.cents - a.cents AS BIGINT) AS gap_cents
+FROM ranked a JOIN ranked b
+  ON b.rnk - a.rnk IN (1, 2)
+WHERE a.c_mktsegment = b.c_mktsegment
+  AND b.cents - a.cents <= 500
+"""
+
+
 def q_events_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A41 — burstiness audit: index of dispersion (variance-to-mean
     ratio) of the hourly event-count series per event_type. Count data
@@ -8539,6 +8643,12 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "doc_diverse_topk": QuerySpec(
+            q_doc_diverse_topk, _DOC_DIVERSE_TOPK_ORACLE, ("O9",)
+        ),
+        "customer_snm_pairs": QuerySpec(
+            q_customer_snm_pairs, _CUSTOMER_SNM_PAIRS_ORACLE, ("D9",)
+        ),
         "events_dispersion": QuerySpec(
             q_events_dispersion, _EVENTS_DISPERSION_ORACLE, ("A41",)
         ),

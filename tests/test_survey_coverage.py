@@ -228,6 +228,10 @@ SURVEY_IDS = [
     "A41",
     # k-core decomposition (module-covered; see MODULE_COVERED)
     "G6",
+    # diversified top-k (per-source cap + global TakeOrdered)
+    "O9",
+    # sorted-neighborhood ER blocking (rank-offset neighbor joins)
+    "D9",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
