@@ -8166,6 +8166,69 @@ FROM hist CROSS JOIN total
 """
 
 
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS17 — time-weighted average value (the TimescaleDB
+    `time_weight('locf')` analog) per event_type per day: each
+    observation's cents are weighted by the integer seconds until the
+    next observation in the same (type, day), so sparse bursts don't
+    dominate the mean the way a row-average lets them. The last
+    observation of a day carries no duration and drops (deterministic
+    cutoff). sum(cents*gap) and sum(gap) are exact BIGINTs; TWAP is
+    ONE IEEE division. One hash exchange feeds both the lead window
+    and the rollup (same (type, day) keys)."""
+    from pyspark.sql import Window
+
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        epoch_seconds,
+        long_div,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        long_div(
+            epoch_micros(F.date_trunc("day", F.col("ts"))), 86_400_000_000
+        ).alias("dx"),
+        epoch_seconds(F.col("ts")).alias("ts_s"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "dx").orderBy("ts_s", "event_id")
+    gapped = ev.withColumn(
+        "gap", F.lead("ts_s").over(w) - F.col("ts_s")
+    ).filter(F.col("gap").isNotNull())
+    return gapped.groupBy("event_type", "dx").agg(
+        F.sum("gap").alias("span_s"),
+        (
+            F.sum(F.col("cents") * F.col("gap")) / F.sum("gap")
+        ).alias("twap_cents"),
+    )
+
+
+_EVENTS_TWAP_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         epoch_us(date_trunc('day', ts)) // 86400000000 AS dx,
+         epoch_us(ts) // 1000000 AS ts_s,
+         event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), gapped AS (
+  SELECT event_type, dx, cents,
+         lead(ts_s) OVER (
+           PARTITION BY event_type, dx ORDER BY ts_s, event_id)
+           - ts_s AS gap
+  FROM ev
+)
+SELECT event_type, dx,
+       CAST(sum(gap) AS BIGINT) AS span_s,
+       CAST(sum(cents * gap) AS BIGINT)
+         / CAST(sum(gap) AS BIGINT) AS twap_cents
+FROM gapped WHERE gap IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_doc_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9 — diversified top-k: the 10 longest documents with AT MOST 2
     per source (search-results diversity constraint). Two-phase
@@ -8643,6 +8706,9 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "events_twap": QuerySpec(
+            q_events_twap, _EVENTS_TWAP_ORACLE, ("TS17",)
+        ),
         "doc_diverse_topk": QuerySpec(
             q_doc_diverse_topk, _DOC_DIVERSE_TOPK_ORACLE, ("O9",)
         ),

@@ -232,6 +232,8 @@ SURVEY_IDS = [
     "O9",
     # sorted-neighborhood ER blocking (rank-offset neighbor joins)
     "D9",
+    # time-weighted average (LOCF duration weighting)
+    "TS17",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
