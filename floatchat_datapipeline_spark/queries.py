@@ -8166,6 +8166,188 @@ FROM hist CROSS JOIN total
 """
 
 
+def q_events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A42 — chi-square test of independence between event_type and
+    hour-of-day. Counts, margins, and N are exact BIGINTs; each cell's
+    contribution ((O*N - r*c)^2 / (N*r*c)) is the same three IEEE ops
+    on both engines; and the chi2 TOTAL uses the sorted-array float
+    fold: contributions are collected in (type, hour) order and folded
+    LEFT (Spark F.aggregate == DuckDB list_reduce), so the float sum
+    has ONE associativity order instead of a shuffle-dependent one —
+    the parity pattern that makes a sum of 120 doubles deterministic.
+    The cell domain (types x 24 hours) is densified so O=0 cells still
+    contribute their expectation; domain is bounded, so the final
+    single-row collect is constant-size."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (long_div(epoch_micros(F.col("ts")), 3_600_000_000) % 24).alias(
+            "hod"
+        ),
+    )
+    cells = ev.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rows_m = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("hod").agg(F.sum("o").alias("c"))
+    total = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        rows_m.crossJoin(F.broadcast(cols_m))
+        .join(cells, ["event_type", "hod"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "hod",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            "r",
+            "c",
+            "n",
+        )
+    )
+    diff = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("r") * F.col("c")).cast("double")
+    contrib = grid.select(
+        "event_type",
+        "hod",
+        "o",
+        ((diff * diff) / den).alias("contrib"),
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("event_type", "hod", "contrib"))
+    )
+    return contrib.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("o").alias("n_events"),
+        F.aggregate(
+            arr,
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("hod") - 1)
+        ).alias("dof"),
+    )
+
+
+_EVENTS_CHI2_INDEPENDENCE_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) % 24 AS hod
+  FROM events
+), cells AS (
+  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS o
+  FROM ev GROUP BY 1, 2
+), rows_m AS (
+  SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1
+), cols_m AS (
+  SELECT hod, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1
+), total AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+), grid AS (
+  SELECT rm.event_type, cm.hod, COALESCE(ce.o, 0) AS o, rm.r, cm.c, t.n
+  FROM rows_m rm CROSS JOIN cols_m cm
+  LEFT JOIN cells ce ON ce.event_type = rm.event_type AND ce.hod = cm.hod
+  CROSS JOIN total t
+), contrib AS (
+  SELECT event_type, hod, o,
+         (CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE))
+           / CAST(n * r * c AS DOUBLE) AS contrib
+  FROM grid
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(o) AS BIGINT) AS n_events,
+       list_reduce(
+         list_prepend(CAST(0 AS DOUBLE),
+                      list(contrib ORDER BY event_type, hod)),
+         (x, y) -> x + y) AS chi2,
+       CAST((count(DISTINCT event_type) - 1)
+            * (count(DISTINCT hod) - 1) AS BIGINT) AS dof
+FROM contrib
+"""
+
+
+def q_corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L26 — corpus redundancy growth curve: reading each source's
+    documents in doc_id order, how many NEVER-SEEN-BEFORE 3-word
+    shingles does each document contribute, and how many cumulatively?
+    First-occurrence attribution is one min-aggregation per
+    (source, shingle) — no iterative scan — and the running total is a
+    per-source window (partitioned, bounded by the source's doc
+    count). The curve's flattening rate is the dataset-curation signal
+    for when additional documents stop adding new content. All counts
+    exact BIGINTs."""
+    from pyspark.sql import Window
+
+    from floatchat_datapipeline_spark.functions.textstats import (
+        word_shingles,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), 3))
+        ).alias("shingle"),
+    )
+    first = sh.groupBy("source", "shingle").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    new_per_doc = first.groupBy(
+        "source", F.col("first_doc").alias("doc_id")
+    ).agg(F.count(F.lit(1)).alias("new_shingles"))
+    docs = d.select("source", "doc_id").join(
+        new_per_doc, ["source", "doc_id"], "left"
+    ).select(
+        "source",
+        "doc_id",
+        F.coalesce(F.col("new_shingles"), F.lit(0)).alias("new_shingles"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return docs.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("doc_seq"),
+        "new_shingles",
+        F.sum("new_shingles")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_new"),
+    )
+
+
+_CORPUS_NOVELTY_CURVE_ORACLE = f"""
+WITH sh AS (
+  SELECT source, doc_id, unnest({_SHINGLES_3_SQL}) AS shingle
+  FROM (SELECT source, doc_id, string_split(text, ' ') AS t
+        FROM documents)
+), first AS (
+  SELECT source, shingle, min(doc_id) AS first_doc
+  FROM sh GROUP BY 1, 2
+), new_per_doc AS (
+  SELECT source, first_doc AS doc_id,
+         CAST(count(*) AS BIGINT) AS new_shingles
+  FROM first GROUP BY 1, 2
+)
+SELECT d.source, d.doc_id,
+       CAST(row_number() OVER w AS BIGINT) AS doc_seq,
+       COALESCE(n.new_shingles, 0) AS new_shingles,
+       CAST(sum(COALESCE(n.new_shingles, 0)) OVER (
+         PARTITION BY d.source ORDER BY d.doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_new
+FROM documents d
+LEFT JOIN new_per_doc n ON n.source = d.source AND n.doc_id = d.doc_id
+WINDOW w AS (PARTITION BY d.source ORDER BY d.doc_id)
+"""
+
+
 def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TS17 — time-weighted average value (the TimescaleDB
     `time_weight('locf')` analog) per event_type per day: each
@@ -8706,6 +8888,16 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "events_chi2_independence": QuerySpec(
+            q_events_chi2_independence,
+            _EVENTS_CHI2_INDEPENDENCE_ORACLE,
+            ("A42",),
+        ),
+        "corpus_novelty_curve": QuerySpec(
+            q_corpus_novelty_curve,
+            _CORPUS_NOVELTY_CURVE_ORACLE,
+            ("L26",),
+        ),
         "events_twap": QuerySpec(
             q_events_twap, _EVENTS_TWAP_ORACLE, ("TS17",)
         ),

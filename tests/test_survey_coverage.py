@@ -234,6 +234,10 @@ SURVEY_IDS = [
     "D9",
     # time-weighted average (LOCF duration weighting)
     "TS17",
+    # chi-square independence (sorted-array float fold)
+    "A42",
+    # corpus novelty curve (first-occurrence shingle attribution)
+    "L26",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
