@@ -8166,6 +8166,88 @@ FROM hist CROSS JOIN total
 """
 
 
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A43 — ratio-to-parent hierarchy rollup (the OLAP RATIO_TO_REPORT
+    pattern over region > nation): per nation, exact revenue cents,
+    the nation's share of its region, and the region's share of the
+    grand total — each share ONE IEEE division of exact BIGINTs. One
+    fact aggregation by custkey-joined nation (dims broadcast), parent
+    totals derive from the nation-level aggregate (no second fact
+    pass), the grand total is a 1-row broadcast."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    per_nation = (
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+        .localCheckpoint(eager=True)  # feeds region totals + the rows
+    )
+    per_region = per_nation.groupBy("r_name").agg(
+        F.sum("cents").alias("region_cents")
+    )
+    total = per_nation.agg(F.sum("cents").alias("total_cents"))
+    return (
+        per_nation.join(F.broadcast(per_region), "r_name")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "r_name",
+            "n_name",
+            "cents",
+            (F.col("cents") / F.col("region_cents")).alias(
+                "share_of_region"
+            ),
+            (F.col("region_cents") / F.col("total_cents")).alias(
+                "region_share_of_total"
+            ),
+        )
+    )
+
+
+_NATION_REVENUE_SHARE_ORACLE = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), per_region AS (
+  SELECT r_name, CAST(sum(cents) AS BIGINT) AS region_cents
+  FROM per_nation GROUP BY 1
+), total AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM per_nation
+)
+SELECT pn.r_name, pn.n_name, pn.cents,
+       pn.cents / pr.region_cents AS share_of_region,
+       pr.region_cents / t.total_cents AS region_share_of_total
+FROM per_nation pn
+JOIN per_region pr USING (r_name)
+CROSS JOIN total t
+"""
+
+
 def q_events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A42 — chi-square test of independence between event_type and
     hour-of-day. Counts, margins, and N are exact BIGINTs; each cell's
@@ -8888,6 +8970,11 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "nation_revenue_share": QuerySpec(
+            q_nation_revenue_share,
+            _NATION_REVENUE_SHARE_ORACLE,
+            ("A43",),
+        ),
         "events_chi2_independence": QuerySpec(
             q_events_chi2_independence,
             _EVENTS_CHI2_INDEPENDENCE_ORACLE,

@@ -238,6 +238,8 @@ SURVEY_IDS = [
     "A42",
     # corpus novelty curve (first-occurrence shingle attribution)
     "L26",
+    # ratio-to-parent hierarchy rollup (region > nation shares)
+    "A43",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
