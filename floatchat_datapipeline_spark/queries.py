@@ -8166,6 +8166,91 @@ FROM hist CROSS JOIN total
 """
 
 
+def q_events_disorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS18 — out-of-order arrival audit (the input that SIZES a
+    streaming watermark): treating event_id as ingestion order, an
+    event is LATE if its timestamp precedes the running max of what
+    its user already delivered. Per event_type: late fraction (one
+    exact division) and the max/p99-defining lateness in integer
+    seconds (max over BIGINTs). One hash exchange on user_id for the
+    running-max window (growing frame, O(n)), then a 5-group rollup.
+    Reading this table's answer directly against the repo's streaming
+    queries: a watermark of max_lateness_s retains every event this
+    audit sees."""
+    from pyspark.sql import Window
+
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_seconds,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        epoch_seconds(F.col("ts")).alias("ts_s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn("prev_max", F.max("ts_s").over(w)).select(
+        "event_type",
+        F.when(
+            F.col("prev_max").isNotNull()
+            & (F.col("ts_s") < F.col("prev_max")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("late"),
+        F.when(
+            F.col("prev_max").isNotNull()
+            & (F.col("ts_s") < F.col("prev_max")),
+            F.col("prev_max") - F.col("ts_s"),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("lateness_s"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("late").alias("n_late"),
+        (F.sum("late") / F.count(F.lit(1))).alias("disorder_rate"),
+        F.max("lateness_s").alias("max_lateness_s"),
+    )
+
+
+_EVENTS_DISORDER_RATE_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) // 1000000 AS ts_s
+  FROM events
+), flagged AS (
+  SELECT event_type,
+         CASE WHEN prev_max IS NOT NULL AND ts_s < prev_max
+              THEN 1 ELSE 0 END AS late,
+         CASE WHEN prev_max IS NOT NULL AND ts_s < prev_max
+              THEN prev_max - ts_s ELSE 0 END AS lateness_s
+  FROM (
+    SELECT event_type, ts_s,
+           max(ts_s) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_max
+    FROM ev
+  )
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(late) AS BIGINT) AS n_late,
+       CAST(sum(late) AS BIGINT) / CAST(count(*) AS BIGINT)
+         AS disorder_rate,
+       CAST(max(lateness_s) AS BIGINT) AS max_lateness_s
+FROM flagged GROUP BY 1
+"""
+
+
 def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A43 — ratio-to-parent hierarchy rollup (the OLAP RATIO_TO_REPORT
     pattern over region > nation): per nation, exact revenue cents,
@@ -8970,6 +9055,11 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "events_disorder_rate": QuerySpec(
+            q_events_disorder_rate,
+            _EVENTS_DISORDER_RATE_ORACLE,
+            ("TS18",),
+        ),
         "nation_revenue_share": QuerySpec(
             q_nation_revenue_share,
             _NATION_REVENUE_SHARE_ORACLE,

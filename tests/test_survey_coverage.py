@@ -240,6 +240,8 @@ SURVEY_IDS = [
     "L26",
     # ratio-to-parent hierarchy rollup (region > nation shares)
     "A43",
+    # out-of-order arrival audit (watermark sizing)
+    "TS18",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
