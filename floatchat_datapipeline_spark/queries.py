@@ -8166,6 +8166,88 @@ FROM hist CROSS JOIN total
 """
 
 
+def _sign_bits_horner(emb: F.Column, start: int, n: int) -> F.Column:
+    """Pack `n` sign bits of a float array (1-based slice from `start`)
+    into one BIGINT by a Horner fold over the REVERSED bit list
+    (acc*2 + bit) — no shiftleft-by-column (PySpark's wrapper takes
+    only a literal bit count) and bit-identical to DuckDB's
+    list_reduce over the same reversed list. n <= 32 keeps the packed
+    value far from the sign bit."""
+    bits = F.transform(
+        F.slice(emb, start, n),
+        lambda x: F.when(x > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(
+        F.reverse(bits),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 2 + x,
+    )
+
+
+def q_emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V13 — binary-signature ANN: sign-binarize each 64-dim embedding
+    into TWO 32-bit BIGINT words (16 bytes/row instead of 256 — the
+    SimHash trick applied to dense vectors), then brute-force Hamming
+    top-20 against query vec_id=7 as a map-only scan over the packed
+    words + TakeOrdered: `bit_count(lo XOR q_lo) + bit_count(hi XOR
+    q_hi)`, all integers, totalized ties by vec_id. At 100 TB the
+    signature table is the thing you scan — 16× less IO than the float
+    vectors, with cosine re-ranking of the shortlist available via the
+    existing exact top-k operators."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _sign_bits_horner(F.col("embedding"), 1, 32).alias("lo"),
+        _sign_bits_horner(F.col("embedding"), 33, 32).alias("hi"),
+    )
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("lo").alias("q_lo"), F.col("hi").alias("q_hi")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 7)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("q_lo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("q_hi")))
+            )
+            .cast("long")
+            .alias("hamming_d"),
+        )
+        .orderBy("hamming_d", "vec_id")
+        .limit(20)
+    )
+
+
+_EMB_HAMMING_TOPK_ORACLE = """
+WITH packed AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(
+           [CASE WHEN embedding[i] > 0 THEN CAST(1 AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END
+            for i in generate_series(1, 32)])),
+           (x, y) -> x * 2 + y) AS lo,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(
+           [CASE WHEN embedding[i] > 0 THEN CAST(1 AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END
+            for i in generate_series(33, 64)])),
+           (x, y) -> x * 2 + y) AS hi
+  FROM embeddings
+), q AS (
+  SELECT lo AS q_lo, hi AS q_hi FROM packed WHERE vec_id = 7
+)
+SELECT p.vec_id,
+       CAST(bit_count(xor(p.lo, q.q_lo))
+            + bit_count(xor(p.hi, q.q_hi)) AS BIGINT) AS hamming_d
+FROM packed p CROSS JOIN q
+WHERE p.vec_id <> 7
+ORDER BY hamming_d, vec_id
+LIMIT 20
+"""
+
+
 def q_events_disorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TS18 — out-of-order arrival audit (the input that SIZES a
     streaming watermark): treating event_id as ingestion order, an
@@ -9055,6 +9137,9 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "emb_hamming_topk": QuerySpec(
+            q_emb_hamming_topk, _EMB_HAMMING_TOPK_ORACLE, ("V13",)
+        ),
         "events_disorder_rate": QuerySpec(
             q_events_disorder_rate,
             _EVENTS_DISORDER_RATE_ORACLE,

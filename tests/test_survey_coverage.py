@@ -242,6 +242,8 @@ SURVEY_IDS = [
     "A43",
     # out-of-order arrival audit (watermark sizing)
     "TS18",
+    # binary-signature Hamming ANN (packed sign bits)
+    "V13",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
