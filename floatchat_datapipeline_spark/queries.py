@@ -8166,6 +8166,112 @@ FROM hist CROSS JOIN total
 """
 
 
+def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS19 — NEAREST-direction as-of join (pandas
+    merge_asof(direction='nearest')): every purchase gets the closest
+    click in time, before OR after. Composed from the existing
+    union-merge as-of operator run twice — once forward in real time,
+    once over NEGATED epoch seconds (at-or-before in negated time ==
+    at-or-after in real time, with the same highest-event_id tie-break
+    at equal timestamps) — then a per-purchase arbitration: smaller
+    absolute gap wins, exact ties prefer the BACKWARD candidate
+    (deterministic, the LOCF convention). Both passes shuffle once on
+    user_id; purchases with no click on either side drop (inner
+    semantics). Integer second gaps — no float time math."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_seconds,
+    )
+    from floatchat_datapipeline_spark.operators.timeseries import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        epoch_seconds(F.col("ts")).alias("ts"),
+        "event_id",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        epoch_seconds(F.col("ts")).alias("ts"),
+        "event_id",
+        F.col("event_id").alias("click_id"),
+    )
+    back = asof_join(
+        purch,
+        clicks.drop("event_id"),
+        on="user_id",
+        payload_cols=("click_id",),
+        right_order_col="click_id",
+        payload_prefix="b_",
+    )
+    neg = lambda df: df.withColumn("ts", -F.col("ts"))  # noqa: E731
+    fwd = asof_join(
+        neg(purch),
+        neg(clicks.drop("event_id")),
+        on="user_id",
+        payload_cols=("click_id",),
+        right_order_col="click_id",
+        payload_prefix="f_",
+    ).select(
+        "event_id",
+        (-F.col("f_ts")).alias("f_ts_real"),
+        "f_click_id",
+    )
+    gap_b = F.col("ts") - F.col("b_ts")  # >= 0
+    gap_f = F.col("f_ts_real") - F.col("ts")  # >= 0
+    pick_back = F.col("b_ts").isNotNull() & (
+        F.col("f_ts_real").isNull() | (gap_b <= gap_f)
+    )
+    return (
+        back.join(fwd, "event_id")
+        .filter(F.col("b_ts").isNotNull() | F.col("f_ts_real").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.when(pick_back, F.col("b_click_id"))
+            .otherwise(F.col("f_click_id"))
+            .alias("nearest_click_id"),
+            F.when(pick_back, -gap_b).otherwise(gap_f).alias("gap_s"),
+        )
+    )
+
+
+_EVENTS_ASOF_NEAREST_ORACLE = """
+WITH purch AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS ts_s, event_id
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS ts_s, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+), back AS (
+  SELECT p.event_id, c.ts_s AS b_ts, c.click_id AS b_click_id,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts_s DESC, c.click_id DESC) AS rn
+  FROM purch p JOIN clicks c
+    ON c.user_id = p.user_id AND c.ts_s <= p.ts_s
+), fwd AS (
+  SELECT p.event_id, c.ts_s AS f_ts, c.click_id AS f_click_id,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts_s ASC, c.click_id DESC) AS rn
+  FROM purch p JOIN clicks c
+    ON c.user_id = p.user_id AND c.ts_s >= p.ts_s
+)
+SELECT p.user_id, p.event_id,
+       CASE WHEN b.b_ts IS NOT NULL
+                 AND (f.f_ts IS NULL
+                      OR p.ts_s - b.b_ts <= f.f_ts - p.ts_s)
+            THEN b.b_click_id ELSE f.f_click_id END AS nearest_click_id,
+       CAST(CASE WHEN b.b_ts IS NOT NULL
+                      AND (f.f_ts IS NULL
+                           OR p.ts_s - b.b_ts <= f.f_ts - p.ts_s)
+                 THEN -(p.ts_s - b.b_ts)
+                 ELSE f.f_ts - p.ts_s END AS BIGINT) AS gap_s
+FROM purch p
+LEFT JOIN back b ON b.event_id = p.event_id AND b.rn = 1
+LEFT JOIN fwd f ON f.event_id = p.event_id AND f.rn = 1
+WHERE b.b_ts IS NOT NULL OR f.f_ts IS NOT NULL
+"""
+
+
 def _sign_bits_horner(emb: F.Column, start: int, n: int) -> F.Column:
     """Pack `n` sign bits of a float array (1-based slice from `start`)
     into one BIGINT by a Horner fold over the REVERSED bit list
@@ -9137,6 +9243,11 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "events_asof_nearest": QuerySpec(
+            q_events_asof_nearest,
+            _EVENTS_ASOF_NEAREST_ORACLE,
+            ("TS19",),
+        ),
         "emb_hamming_topk": QuerySpec(
             q_emb_hamming_topk, _EMB_HAMMING_TOPK_ORACLE, ("V13",)
         ),

@@ -244,6 +244,8 @@ SURVEY_IDS = [
     "TS18",
     # binary-signature Hamming ANN (packed sign bits)
     "V13",
+    # nearest-direction as-of join (two-pass arbitration)
+    "TS19",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
