@@ -8166,6 +8166,95 @@ FROM hist CROSS JOIN total
 """
 
 
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A44 — cohort lifetime-value curve: users cohorted by first-seen
+    week (any event), purchase cents accumulated by week offset since
+    signup, cumulative within each cohort, and per-user LTV as ONE
+    exact division by the cohort's size. The retention triangle's
+    revenue twin: first-seen is one min-agg, revenue one (user, week)
+    rollup, the running sum a per-cohort window over the bounded
+    offset domain — no global window, two fact-sized shuffles."""
+    from pyspark.sql import Window
+
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    wx = long_div(epoch_micros(F.col("ts")), 604_800_000_000)
+    first = ev.groupBy("user_id").agg(F.min(wx).alias("cohort_wx"))
+    sizes = first.groupBy("cohort_wx").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", wx.alias("wx"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    cell = (
+        rev.join(first, "user_id")
+        .groupBy("cohort_wx", (F.col("wx") - F.col("cohort_wx")).alias(
+            "week_offset"
+        ))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_wx")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cell.withColumn("cum_cents", F.sum("cents").over(w))
+        .join(F.broadcast(sizes), "cohort_wx")
+        .select(
+            "cohort_wx",
+            "week_offset",
+            "cents",
+            "cum_cents",
+            (F.col("cum_cents") / F.col("cohort_users")).alias(
+                "ltv_cents_per_user"
+            ),
+        )
+    )
+
+
+_COHORT_LTV_CURVE_ORACLE = """
+WITH first AS (
+  SELECT user_id,
+         min(epoch_us(ts) // 604800000000) AS cohort_wx
+  FROM events GROUP BY 1
+), sizes AS (
+  SELECT cohort_wx, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM first GROUP BY 1
+), rev AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wx,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+), cell AS (
+  SELECT f.cohort_wx, r.wx - f.cohort_wx AS week_offset,
+         CAST(sum(r.cents) AS BIGINT) AS cents
+  FROM rev r JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT c.cohort_wx, c.week_offset, c.cents,
+       CAST(sum(c.cents) OVER (
+         PARTITION BY c.cohort_wx ORDER BY c.week_offset
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_cents,
+       CAST(sum(c.cents) OVER (
+         PARTITION BY c.cohort_wx ORDER BY c.week_offset
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) / s.cohort_users AS ltv_cents_per_user
+FROM cell c JOIN sizes s USING (cohort_wx)
+"""
+
+
 def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TS19 — NEAREST-direction as-of join (pandas
     merge_asof(direction='nearest')): every purchase gets the closest
@@ -9243,6 +9332,9 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "cohort_ltv_curve": QuerySpec(
+            q_cohort_ltv_curve, _COHORT_LTV_CURVE_ORACLE, ("A44",)
+        ),
         "events_asof_nearest": QuerySpec(
             q_events_asof_nearest,
             _EVENTS_ASOF_NEAREST_ORACLE,

@@ -246,6 +246,8 @@ SURVEY_IDS = [
     "V13",
     # nearest-direction as-of join (two-pass arbitration)
     "TS19",
+    # cohort LTV curve (revenue retention triangle)
+    "A44",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
