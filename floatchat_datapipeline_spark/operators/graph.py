@@ -87,8 +87,15 @@ def coactivity_edges(
     # PageRank and the triangle census share the same edge list in one
     # session — build it once, localCheckpoint, reuse. cache_key opts in
     # (the corpus must be stable for the key); reset_edge_cache() clears.
+    # The memo key includes the SparkSession's applicationId: a cached
+    # DataFrame is bound to its session, so after a session restart in the
+    # same process a key that ignored the session would hand back a handle
+    # on dead RDD state.
+    spark = events.sparkSession
     memo = (
-        (cache_key, bucket_cap, slot_seconds) if cache_key else None
+        (cache_key, bucket_cap, slot_seconds, spark.sparkContext.applicationId)
+        if cache_key
+        else None
     )
     if memo is not None and memo in _EDGE_CACHE:
         return _EDGE_CACHE[memo]
@@ -422,8 +429,13 @@ def k_core(
             .join(keep.withColumnRenamed("src", "dst"), "dst")
             .select("src", "dst")
         )
-        if (r + 1) % 4 == 0 or r == rounds - 1:
-            surv = surv.localCheckpoint(eager=True)
+        # Checkpoint EVERY round: each round references the surviving
+        # edge set three times (degree agg + both semi-joins), so an
+        # un-checkpointed chain re-executes a 3^rounds-wide DAG
+        # (measured: every-4-rounds cadence cost 8-9 s at sf0.1 vs ~3 s
+        # per-round — the eager materialization is cheaper than one
+        # re-evaluation, same as the ranged_cumsum two-branch rule).
+        surv = surv.localCheckpoint(eager=True)
         if r == rounds - 2:
             prev_n = surv.select("src").distinct().count()
         if r == rounds - 1:

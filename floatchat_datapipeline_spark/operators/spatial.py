@@ -78,13 +78,23 @@ def grid_close_pairs(
     sum_dist_m). `cell_deg` must satisfy cell_deg · 111.3 · cos(max_lat)
     ≥ radius_km (5° covers 250 km up to ±60° latitude) so the 3×3
     neighborhood is exhaustive — a pair outside it would be a
-    correctness bug, not an approximation."""
+    correctness bug, not an approximation. The lon cell index wraps
+    modulo 360/cell_deg, so pairs straddling the antimeridian (lon near
+    -180 vs +180) land in adjacent cells like any others; haversine
+    itself is wrap-safe (sin²(Δλ/2) is 360°-periodic), so no distance
+    correction is needed."""
+    n_x = int(round(360.0 / cell_deg))
+    half_x = n_x // 2
+
+    def wrap_cx(c):
+        return (F.pmod(c + half_x, F.lit(n_x)) - half_x).cast("int")
+
     home = points.select(
         F.col(id_col).alias("id_b"),
         F.col("lat").alias("lat_b"),
         F.col("lon").alias("lon_b"),
         F.floor(F.col("lat") / cell_deg).cast("int").alias("cy"),
-        F.floor(F.col("lon") / cell_deg).cast("int").alias("cx"),
+        wrap_cx(F.floor(F.col("lon") / cell_deg)).alias("cx"),
     )
     off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
     probe = (
@@ -102,7 +112,7 @@ def grid_close_pairs(
             "lat_a",
             "lon_a",
             (F.col("py") + F.col("dy")).alias("cy"),
-            (F.col("px") + F.col("dx")).alias("cx"),
+            wrap_cx(F.col("px") + F.col("dx")).alias("cx"),
         )
     )
     cand = probe.join(home, ["cy", "cx"]).filter(F.col("id_a") < F.col("id_b"))
@@ -137,10 +147,18 @@ def grid_hotspots(
     (partial-aggregable); everything after runs on the CELL domain
     (≤ 72×36 cells at 5°), where the 9× neighbor explode and equi-join
     are negligible. Missing neighbor cells contribute zero (cells with
-    no points never join), matching the 'empty ocean' intuition."""
+    no points never join), matching the 'empty ocean' intuition. The
+    lon cell index wraps modulo 360/cell_deg so cells bordering the
+    antimeridian smooth against their true neighbors across it."""
+    n_x = int(round(360.0 / cell_deg))
+    half_x = n_x // 2
+
+    def wrap_cx(c):
+        return (F.pmod(c + half_x, F.lit(n_x)) - half_x).cast("int")
+
     cells = points.groupBy(
         F.floor(F.col("lat") / cell_deg).cast("int").alias("cy"),
-        F.floor(F.col("lon") / cell_deg).cast("int").alias("cx"),
+        wrap_cx(F.floor(F.col("lon") / cell_deg)).alias("cx"),
     ).agg(F.count(F.lit(1)).alias("n"))
     off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
     probe = (
@@ -148,7 +166,7 @@ def grid_hotspots(
         .withColumn("dx", off)
         .select(
             (F.col("cy") + F.col("dy")).alias("cy"),
-            (F.col("cx") + F.col("dx")).alias("cx"),
+            wrap_cx(F.col("cx") + F.col("dx")).alias("cx"),
             F.col("n").alias("_nn"),
         )
     )

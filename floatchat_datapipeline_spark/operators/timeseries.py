@@ -776,7 +776,10 @@ def cusum_changepoints(
     def scan_key(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("hx").reset_index(drop=True)
         target = int(pdf["_target"].iloc[0])
-        slack = target // 20
+        # target comes from Spark `div` (truncates toward zero); the
+        # slack division must truncate too — Python // floors, which
+        # diverges from the DuckDB oracle's // when target < 0.
+        slack = _trunc_div(target, 20)
         thresh = target
         sp = sn = 0
         rows = []

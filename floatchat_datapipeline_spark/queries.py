@@ -6448,12 +6448,15 @@ WITH pts AS (
                AS BIGINT) % 3600000) / 10000.0 - 180.0 AS lon
   FROM customer
 ), home AS (
+  -- lon cell wraps mod 72 so antimeridian-straddling pairs are adjacent
   SELECT id, lat, lon,
          CAST(floor(lat / 5.0) AS INT) AS cy,
-         CAST(floor(lon / 5.0) AS INT) AS cx
+         CAST(((CAST(floor(lon / 5.0) AS INT) + 36) % 72 + 72) % 72 - 36
+              AS INT) AS cx
   FROM pts
 ), probe AS (
-  SELECT h.id, h.lat, h.lon, h.cy + dy.k AS cy, h.cx + dx.k AS cx
+  SELECT h.id, h.lat, h.lon, h.cy + dy.k AS cy,
+         CAST(((h.cx + dx.k + 36) % 72 + 72) % 72 - 36 AS INT) AS cx
   FROM home h,
        (SELECT unnest(range(-1, 2)) AS k) dy,
        (SELECT unnest(range(-1, 2)) AS k) dx
@@ -6752,12 +6755,16 @@ WITH pts AS (
                AS BIGINT) % 3600000) / 10000.0 - 180.0 AS lon
   FROM customer
 ), cells AS (
+  -- lon cell wraps mod 72: antimeridian cells smooth across the seam
   SELECT CAST(floor(lat / 5.0) AS INT) AS cy,
-         CAST(floor(lon / 5.0) AS INT) AS cx,
+         CAST(((CAST(floor(lon / 5.0) AS INT) + 36) % 72 + 72) % 72 - 36
+              AS INT) AS cx,
          CAST(count(*) AS BIGINT) AS n
   FROM pts GROUP BY 1, 2
 ), probe AS (
-  SELECT c.cy + dy.k AS cy, c.cx + dx.k AS cx, c.n AS nn
+  SELECT c.cy + dy.k AS cy,
+         CAST(((c.cx + dx.k + 36) % 72 + 72) % 72 - 36 AS INT) AS cx,
+         c.n AS nn
   FROM cells c,
        (SELECT unnest(range(-1, 2)) AS k) dy,
        (SELECT unnest(range(-1, 2)) AS k) dx
@@ -9221,7 +9228,7 @@ FROM counts
 
 
 def q_stream_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S17 — streaming gap + max-duration sessionization (TS15's twin):
+    """S19 — streaming gap + max-duration sessionization (TS15's twin):
     the open session is four BIGINTs of GroupState per user
     (streaming/windows.capped_session_stream); identical integer
     recurrence as the batch operator, so the same recursive-CTE oracle
@@ -9242,14 +9249,181 @@ def q_stream_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_CAPPED_SESSIONS_ORACLE = _EVENTS_CAPPED_SESSIONS_ORACLE
 
 
+def q_trade_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 — k-core decomposition of the bipartite customer↔supplier
+    trade graph (node 2·custkey / 2·suppkey+1, an edge per distinct
+    trading pair from lineitem⋈orders): the maximal subgraph where
+    every surviving node keeps ≥ k trading partners — the "dense
+    trading core" a marketplace-health dashboard watches. The
+    co-activity graph is degree-homogeneous (every fixed k is vacuous
+    at sf0.01 — SURVEY §2 G6 note), but this graph is heavy-tailed by
+    construction (customers ≈ 33 partners, suppliers ≈ 480 at sf0.01),
+    so k derived from the data splits the population at every SF:
+    k = (n_edges div n_customers) + 1 — one BIGINT division, identical
+    in both engines, just above the mean customer degree.
+
+    Scale: 4 fixed peel rounds (measured peel depth ≤ 2 at sf0.001/
+    0.01/0.1; the `converged` certificate is itself parity-checked, so
+    a graph needing more rounds fails loudly, not silently). Each round
+    is one partial-agg degree count + two semi-joins on the shrinking
+    edge set (operators/graph.k_core); the edge list is
+    localCheckpointed once — the k-scalar branch and the peel rounds
+    must not re-execute the join+distinct (two-branch rule)."""
+    from floatchat_datapipeline_spark.operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    edges = (
+        pairs.select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .unionAll(
+            pairs.select(
+                (F.col("l_suppkey") * 2 + 1).alias("src"),
+                (F.col("o_custkey") * 2).alias("dst"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    row = (
+        edges.filter(F.col("src") % 2 == 0)
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.countDistinct("src").alias("n"),
+        )
+        .first()
+    )
+    k = int(row["m"]) // int(row["n"]) + 1  # positive ints: // == div
+    return k_core(edges, k=k, rounds=4).withColumnRenamed(
+        "user_id", "node_id"
+    )
+
+
+def _trade_core_oracle(rounds: int = 4) -> str:
+    """Chained-CTE replay of the fixed-round peel (the pagerank
+    fixed-iteration pattern): degree filter + two semi-joins per round,
+    `converged` = round R population equals round R−1. Every round CTE
+    is MATERIALIZED: each e{r} references e{r-1} three times (degree
+    filter + both semi-joins), so default CTE inlining re-expands the
+    chain ~3^rounds-fold — the un-materialized form never finishes."""
+    head = """
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), e0 AS MATERIALIZED (
+  SELECT 2 * c AS src, 2 * s + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT 2 * s + 1 AS src, 2 * c AS dst FROM pairs
+), const AS MATERIALIZED (
+  SELECT CAST(count(*) // count(DISTINCT src) + 1 AS BIGINT) AS k
+  FROM e0 WHERE src % 2 = 0
+)"""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f""", k{r} AS MATERIALIZED (
+  SELECT src FROM e{r - 1}
+  GROUP BY src HAVING count(*) >= (SELECT k FROM const)
+), e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM e{r - 1} e
+  JOIN k{r} a ON e.src = a.src
+  JOIN k{r} b ON e.dst = b.src
+)"""
+        )
+    tail = f"""
+SELECT src AS node_id,
+       CAST(count(*) AS BIGINT) AS core_degree,
+       ((SELECT count(DISTINCT src) FROM e{rounds - 1})
+        = (SELECT count(DISTINCT src) FROM e{rounds})) AS converged
+FROM e{rounds}
+GROUP BY src
+"""
+    return head + "".join(steps) + tail
+
+
+_TRADE_CORE_ORACLE = _trade_core_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 
-def _driver_check_history() -> tuple[
-    dict[str, int], dict[str, bool], dict[str, bool]
-]:
+# Manual evidence invalidations for rounds that predate FINGERPRINTS.json
+# snapshots: query name -> first round whose driver check reflects the
+# CURRENT semantics. Checks from earlier rounds hashed an older form of
+# the query and are discarded from the rotation history (the query
+# re-enters the driver window as never-checked). Rounds with a committed
+# fingerprint snapshot don't need entries here — the snapshot diff
+# invalidates automatically.
+_EDIT_INVALIDATIONS: dict[str, int] = {
+    # De-vacuated in round 6 (commit 76fe5a3): the r5 green certified the
+    # old always-0-rows form.
+    "supplier_part_diversity": 6,
+    # Antimeridian wrap added in round 8: the r7 greens certified the
+    # seam-blind grid (pairs straddling lon ±180 were missed).
+    "geo_close_pairs": 8,
+    "geo_hotspots": 8,
+}
+
+
+def query_fingerprint(spec: "QuerySpec") -> str:
+    """Stable fingerprint of a query's SOURCE: md5 of the query
+    function's text plus its oracle SQL. Edits to either change the
+    fingerprint, which is how the rotation detects that a committed
+    driver check certified an older form. (Edits confined to a shared
+    operator module are not captured — use _EDIT_INVALIDATIONS for
+    those; in practice semantic changes touch the oracle SQL too, since
+    parity requires mirroring them.)"""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(spec.spark)
+    except (OSError, TypeError):
+        src = getattr(spec.spark, "__qualname__", repr(spec.spark))
+    return hashlib.md5(
+        (src + "\x00" + (spec.oracle or "")).encode()
+    ).hexdigest()
+
+
+def _load_fingerprint_rounds(root: str) -> dict[int, dict[str, str]]:
+    """Committed per-round fingerprint snapshots
+    (tools/gen_fingerprints.py): {"rounds": {"8": {query: md5}}}. A
+    snapshot for round N records the source the driver hashed when it
+    wrote CORRECTNESS_r0N.json. Missing file / missing round → no
+    filtering for that round (legacy rounds 1-7 predate the scheme)."""
+    import json
+
+    path = os.path.join(root, "FINGERPRINTS.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    out: dict[int, dict[str, str]] = {}
+    for k, v in (data.get("rounds") or {}).items():
+        try:
+            out[int(k)] = dict(v)
+        except (TypeError, ValueError):
+            continue
+    return out
+
+
+def _driver_check_history(
+    current_fps: dict[str, str] | None = None,
+    root: str | None = None,
+) -> tuple[dict[str, int], dict[str, bool], dict[str, bool]]:
     """Per query, from the committed ``CORRECTNESS_r*.json`` rounds:
     (times checked, was-red-at-latest-check, latest-was-rows-only). The
     driver hash-checks only the FIRST 50 entries of ``queries()``, so
@@ -9263,21 +9437,43 @@ def _driver_check_history() -> tuple[
     now — the registry decides that (a permanently oracle-less query
     must cycle like a green, or it would park at the head of the window
     forever; one that has since grown an oracle has never had its hash
-    checked and must re-enter)."""
+    checked and must re-enter).
+
+    Edit-awareness: a round's check for a query is DISCARDED when (a)
+    the round predates the query's _EDIT_INVALIDATIONS entry, or (b)
+    the committed FINGERPRINTS.json snapshot for that round records a
+    different source fingerprint than `current_fps` — either way the
+    driver never hashed the query as it exists now, so it must re-enter
+    the window as never-checked rather than cycle as a stale green."""
     import glob
     import json
+    import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fp_rounds = _load_fingerprint_rounds(root) if current_fps else {}
     counts: dict[str, int] = {}
     latest_red: dict[str, bool] = {}
     latest_rows_only: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 results = json.load(f)
         except (OSError, ValueError):
             continue
+        snapshot = fp_rounds.get(rnd, {})
         for k, v in results.items():
+            if rnd < _EDIT_INVALIDATIONS.get(k, 0):
+                continue
+            if (
+                current_fps is not None
+                and k in snapshot
+                and k in current_fps
+                and snapshot[k] != current_fps[k]
+            ):
+                continue
             counts[k] = counts.get(k, 0) + 1
             if isinstance(v, dict):
                 rows_only_pass = (
@@ -9311,9 +9507,15 @@ def registry() -> dict[str, QuerySpec]:
     was a rows-only pass counts as needing the gate iff it HAS an oracle
     now (the hash has never seen it); a permanently oracle-less query
     cycles like a green. Local tests (tests/test_driver_parity.py)
-    always gate the full set regardless of order."""
+    always gate the full set regardless of order.
+
+    Edit-aware (round 8): checks whose committed fingerprint snapshot
+    differs from the query's current source are discarded by
+    _driver_check_history, so an EDITED query re-enters the window as
+    never-checked instead of cycling as a stale green."""
     base = _base_registry()
-    counts, latest_red, latest_rows_only = _driver_check_history()
+    current_fps = {n: query_fingerprint(s) for n, s in base.items()}
+    counts, latest_red, latest_rows_only = _driver_check_history(current_fps)
 
     def needs_gate(n: str) -> bool:
         if latest_red.get(n, False):
@@ -9332,6 +9534,9 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "trade_core": QuerySpec(
+            q_trade_core, _TRADE_CORE_ORACLE, ("G6",)
+        ),
         "cohort_ltv_curve": QuerySpec(
             q_cohort_ltv_curve, _COHORT_LTV_CURVE_ORACLE, ("A44",)
         ),

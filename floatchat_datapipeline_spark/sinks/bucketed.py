@@ -85,17 +85,23 @@ def _layout_tag(sf_dir: str) -> str:
 
 def _looks_like_parquet_table(loc: str) -> bool:
     """True iff every file under `loc` is Spark table-output shaped
-    (part-* data files, _SUCCESS, checksum/_committed sidecars). Guards
-    the stale-layout rmtree in ensure_bucketed_order_tables against
-    deleting an unrelated directory parked at the expected path."""
+    (part-* data files, _SUCCESS, checksum/_committed sidecars) AND at
+    least one part-* data file or _SUCCESS marker actually exists.
+    Guards the stale-layout rmtree in ensure_bucketed_order_tables
+    against deleting an unrelated directory parked at the expected path
+    — an empty directory or one holding only dotfiles/.crc sidecars is
+    NOT treated as a table (it could be anything)."""
     import os
 
     ok = ("part-", "_SUCCESS", "_committed", "_started", ".")
+    saw_table_file = False
     for root, _dirs, files in os.walk(loc):
         for f in files:
             if not (f.startswith(ok) or f.endswith(".crc")):
                 return False
-    return True
+            if f.startswith(("part-", "_SUCCESS")):
+                saw_table_file = True
+    return saw_table_file
 
 
 def ensure_bucketed_order_tables(

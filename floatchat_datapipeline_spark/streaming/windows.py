@@ -631,7 +631,7 @@ def _update_capped_session(
 
 
 def capped_session_stream(events: DataFrame) -> DataFrame:
-    """S17 — streaming gap + max-duration sessionization: the duration
+    """S19 — streaming gap + max-duration sessionization: the duration
     cap is a true recurrence no session_window expresses, so the open
     session is custom GroupState (applyInPandasWithState). Arithmetic
     is all BIGINT epoch seconds — identical to the batch operator, so

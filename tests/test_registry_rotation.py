@@ -12,15 +12,25 @@ query within bounded rounds."""
 from floatchat_datapipeline_spark.queries import (
     _base_registry,
     _driver_check_history,
+    query_fingerprint,
     registry,
 )
 
 WINDOW = 50
 
 
+def _current_fps():
+    return {n: query_fingerprint(s) for n, s in _base_registry().items()}
+
+
+def _history():
+    """The same fingerprint-filtered view registry() sorts on."""
+    return _driver_check_history(_current_fps())
+
+
 def _needs_gate_set():
     base = _base_registry()
-    counts, latest_red, latest_rows_only = _driver_check_history()
+    counts, latest_red, latest_rows_only = _history()
     return {
         n
         for n in base
@@ -50,7 +60,7 @@ def test_gate_needing_queries_lead_the_window():
 
 
 def test_never_checked_queries_precede_green_rechecks():
-    counts, latest_red, _ = _driver_check_history()
+    counts, latest_red, _ = _history()
     ordered = list(registry())
     need = _needs_gate_set()
     never = [n for n in ordered if counts.get(n, 0) == 0]
@@ -73,7 +83,7 @@ def test_oracle_less_queries_do_not_red_pin():
     it would park it at the head of the window forever, displacing real
     hash checks round after round."""
     base = _base_registry()
-    _, latest_red, latest_rows_only = _driver_check_history()
+    _, latest_red, latest_rows_only = _history()
     need = _needs_gate_set()
     for n in base:
         if base[n].oracle is None and latest_rows_only.get(n, False):
@@ -88,7 +98,7 @@ def test_rows_only_history_with_new_oracle_reenters_window():
     err=no_oracle) must be treated as gate-needing — the hash check has
     never seen it."""
     base = _base_registry()
-    _, _, latest_rows_only = _driver_check_history()
+    _, _, latest_rows_only = _history()
     stale = [
         n
         for n in base
@@ -107,7 +117,7 @@ def test_window_covers_all_queries_within_bounded_rounds():
     base = _base_registry()
     names = list(base)
     n = len(names)
-    counts, latest_red, latest_rows_only = _driver_check_history()
+    counts, latest_red, latest_rows_only = _history()
     counts = dict(counts)
     need = _needs_gate_set()
     seen = {q for q in names if counts.get(q, 0) > 0}
@@ -128,9 +138,109 @@ def test_window_covers_all_queries_within_bounded_rounds():
 
 
 def test_counts_reflect_committed_rounds():
-    counts, _, _ = _driver_check_history()
+    counts, _, _ = _driver_check_history()  # unfiltered: raw committed rows
     assert counts, "no CORRECTNESS files found"
     assert max(counts.values()) >= 1
     base = _base_registry()
     stale = [name for name in counts if name not in base]
     assert not stale, f"CORRECTNESS keys missing from registry: {stale}"
+
+
+def test_edited_query_reenters_as_never_checked(tmp_path):
+    """Edit-awareness: a green driver check whose committed fingerprint
+    snapshot differs from the query's CURRENT source must be discarded —
+    the edited query re-enters the rotation as never-checked instead of
+    cycling as a stale green (the round-7 supplier_part_diversity trap)."""
+    import json
+
+    base = _base_registry()
+    fps = _current_fps()
+    edited, untouched = sorted(base)[0], sorted(base)[1]
+    green_row = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "err": None,
+        "spark_rows": 7,
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({edited: green_row, untouched: green_row})
+    )
+    (tmp_path / "FINGERPRINTS.json").write_text(
+        json.dumps(
+            {
+                "rounds": {
+                    "1": {
+                        edited: "0" * 32,  # snapshot != current source
+                        untouched: fps[untouched],
+                    }
+                }
+            }
+        )
+    )
+    counts, latest_red, _ = _driver_check_history(fps, root=str(tmp_path))
+    assert counts.get(edited, 0) == 0, (
+        "edited query's stale check must not count"
+    )
+    assert edited not in latest_red, "edited query must not carry stale color"
+    assert counts.get(untouched) == 1, (
+        "matching-fingerprint check must still count"
+    )
+    assert latest_red.get(untouched) is False
+
+
+def test_round_without_snapshot_counts_as_valid(tmp_path):
+    """Legacy rounds (no fingerprint snapshot committed) keep their
+    checks — mass-invalidating seven rounds of history would churn the
+    whole rotation."""
+    import json
+
+    base = _base_registry()
+    fps = _current_fps()
+    q = sorted(base)[0]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                q: {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "err": None,
+                    "spark_rows": 3,
+                }
+            }
+        )
+    )
+    counts, _, _ = _driver_check_history(fps, root=str(tmp_path))
+    assert counts.get(q) == 1
+
+
+def test_upcoming_round_snapshot_is_current():
+    """FINGERPRINTS.json must hold a snapshot for the UPCOMING driver
+    round that matches every query's current source — otherwise the next
+    round's checks could not be validated later. Regenerate with
+    `python tools/gen_fingerprints.py` after editing any query."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import gen_fingerprints
+
+    root = Path(__file__).resolve().parents[1]
+    rnd = gen_fingerprints.next_round(str(root))
+    import json
+
+    data = json.loads((root / "FINGERPRINTS.json").read_text())
+    snap = data.get("rounds", {}).get(str(rnd))
+    assert snap is not None, (
+        f"no fingerprint snapshot for upcoming round {rnd}; "
+        "run python tools/gen_fingerprints.py"
+    )
+    current = _current_fps()
+    stale = sorted(
+        n for n in current if snap.get(n) != current[n]
+    ) + sorted(n for n in snap if n not in current)
+    assert not stale, (
+        f"fingerprint snapshot for round {rnd} is stale for {stale[:5]}...; "
+        "run python tools/gen_fingerprints.py"
+    )

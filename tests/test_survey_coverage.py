@@ -42,12 +42,6 @@ MODULE_COVERED: dict[str, str] = {
     # interchange formats (ORC/CSV/JSON micro-exact roundtrip) + dynamic
     # partition overwrite, tests/test_formats.py
     "S18": "sources/formats.py (tests/test_formats.py)",
-    # k-core decomposition: fixed-round peeling + convergence
-    # certificate; module-covered because this generator's co-activity
-    # graphs are degree-homogeneous (every k rule yields the all-nodes
-    # or the empty core at the driver's sf0.01 — a registry query
-    # would be vacuous), so semantics pin on hand graphs instead
-    "G6": "operators/graph.k_core (tests/test_round8_ops.py)",
 }
 
 SURVEY_IDS = [
