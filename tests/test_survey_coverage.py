@@ -278,3 +278,20 @@ def test_oracle_coverage_ratio():
     specs = registry().values()
     with_oracle = sum(1 for s in specs if s.oracle is not None)
     assert with_oracle / len(list(specs)) >= 0.95
+
+
+def test_readme_query_count_is_generated_and_current():
+    """README.md's query count is emitted by tools/gen_coverage.py into a
+    marker span — it drifted to 162 while the registry was 191 when it
+    was hand-written. Regenerate with `python tools/gen_coverage.py`."""
+    import re
+    from pathlib import Path
+
+    from floatchat_datapipeline_spark.queries import _base_registry
+
+    readme = (Path(__file__).resolve().parents[1] / "README.md").read_text()
+    m = re.search(r"<!--QUERY_COUNT-->(\d+)<!--/QUERY_COUNT-->", readme)
+    assert m, "README.md lost its QUERY_COUNT marker"
+    assert int(m.group(1)) == len(_base_registry()), (
+        "README query count stale; run python tools/gen_coverage.py"
+    )

@@ -1,0 +1,113 @@
+"""Committed-bench hygiene: min-of-3 uncontended snapshot.
+
+Round-7 postmortem: the driver bench ran at load_avg 5.46 and drifted
++15 % on UNCHANGED plans, making round-over-round totals noisy. The
+committed BENCH_RESULT.json is the comparable series, so it must be
+taken uncontended and de-noised:
+
+- runs `python bench.py` N times (default 3) in fresh processes,
+- refuses to write when contended: 1-minute load average > 2.0 at any
+  run's start, or the fixed-work CPU probe > 0.5 s (this host's
+  hypervisor-steal signal — load average alone reads phantom 2-3 with
+  zero processes; the probe is the honest gauge),
+- merges per-query MIN across runs into BENCH_RESULT.json and records
+  the per-run probes/loads under "snapshot" so a reader can judge the
+  conditions.
+
+Usage: python tools/bench_snapshot.py [runs]
+Env: BENCH_SNAPSHOT_FORCE=1 skips the contention gate (records it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULT = os.path.join(ROOT, "BENCH_RESULT.json")
+
+MAX_LOAD = 2.0
+MAX_PROBE = 0.5
+
+
+def main() -> None:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    force = os.environ.get("BENCH_SNAPSHOT_FORCE") == "1"
+    merged: dict | None = None
+    probes: list[float] = []
+    loads: list[float] = []
+    totals: list[float] = []
+    for i in range(runs):
+        load0 = round(os.getloadavg()[0], 2)
+        if load0 > MAX_LOAD and not force:
+            print(
+                f"refusing: load_avg {load0} > {MAX_LOAD} before run {i + 1} "
+                "(BENCH_SNAPSHOT_FORCE=1 to override)"
+            )
+            sys.exit(1)
+        rc = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "bench.py")],
+            cwd=ROOT,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        ).returncode
+        if rc != 0:
+            print(f"bench run {i + 1} failed rc={rc}")
+            sys.exit(rc)
+        with open(RESULT) as f:
+            res = json.load(f)
+        probe = res.get("cpu_probe_seconds", 0.0)
+        probes.append(probe)
+        loads.append(res.get("load_avg_start_1m", load0))
+        totals.append(res.get("value", 0.0))
+        print(
+            f"run {i + 1}/{runs}: total {res.get('value')} s, "
+            f"probe {probe} s, load_start {loads[-1]}"
+        )
+        if probe > MAX_PROBE and not force:
+            print(
+                f"refusing: cpu probe {probe} s > {MAX_PROBE} s (slow host "
+                "window; BENCH_SNAPSHOT_FORCE=1 to override)"
+            )
+            sys.exit(1)
+        if merged is None:
+            merged = res
+        else:
+            q = merged["queries"]
+            for name, sec in res.get("queries", {}).items():
+                q[name] = min(q.get(name, sec), sec)
+            merged["errors"] = {
+                **res.get("errors", {}),
+                **merged.get("errors", {}),
+            } or None
+            if not merged["errors"]:
+                merged.pop("errors", None)
+    assert merged is not None
+    merged["value"] = round(
+        sum(v for n, v in merged["queries"].items() if not n.endswith("_train")),
+        3,
+    )
+    merged["one_time_train_seconds"] = round(
+        sum(v for n, v in merged["queries"].items() if n.endswith("_train")), 3
+    )
+    merged["snapshot"] = {
+        "runs": runs,
+        "aggregation": "per-query min",
+        "cpu_probes": probes,
+        "load_starts": loads,
+        "run_totals": totals,
+        "forced": force,
+    }
+    with open(RESULT, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(
+        f"wrote BENCH_RESULT.json: min-of-{runs} total {merged['value']} s "
+        f"({len(merged['queries'])} rows)"
+    )
+
+
+if __name__ == "__main__":
+    main()
