@@ -9354,6 +9354,461 @@ GROUP BY src
 _TRADE_CORE_ORACLE = _trade_core_oracle()
 
 
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS20 — autocorrelation function of the hourly event-count series
+    per event_type, lags 1..12 (the seasonality detector feeding
+    forecast-model selection: a 24-lag echo means daily cycle). The
+    series is densified onto the full hour spine (missing hours are
+    true zeros for count data) so lags never skip gaps; all five sums
+    (Σx Σy Σxy Σxx Σyy) are exact BIGINTs over integer counts and the
+    Pearson r per lag is assembled as num/(sqrt(d1)·sqrt(d2)) — the
+    same IEEE call sequence in both engines (the haversine rule), so
+    the doubles are bit-identical.
+
+    Scale: one partial-aggregable hourly rollup is the only fact
+    shuffle; the spine join and the 12-lead window run on the
+    types×hours domain (~3.6 k rows at sf0.1 — and still only
+    types×hours at 100 TB, since hours grow with wall-clock, not data
+    volume). All 12 lags come from ONE window pass (12 lead() calls
+    reuse one sort), then stack() unpivots in-memory."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+    from pyspark.sql import Window
+
+    max_lag = 12
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            long_div(
+                epoch_micros(F.date_trunc("hour", F.col("ts"))),
+                3_600_000_000,
+            ).alias("hx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hx").alias("lo"), F.max("hx").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("hx")
+    )
+    dense = spine.join(hourly, ["event_type", "hx"], "left").select(
+        "event_type", "hx", F.coalesce("n", F.lit(0)).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("hx")
+    leads = dense.select(
+        "event_type",
+        "x",
+        *[F.lead("x", k).over(w).alias(f"y{k}") for k in range(1, max_lag + 1)],
+    )
+    stack_args = ", ".join(f"{k}, y{k}" for k in range(1, max_lag + 1))
+    long_form = leads.select(
+        "event_type",
+        "x",
+        F.expr(f"stack({max_lag}, {stack_args}) AS (lag, y)"),
+    ).filter(F.col("y").isNotNull())
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    agg = long_form.groupBy("event_type", "lag").agg(
+        n.alias("n_pairs"),
+        (n * sxy - sx * sy).alias("num"),
+        (n * sxx - sx * sx).alias("d1"),
+        (n * syy - sy * sy).alias("d2"),
+    )
+    return agg.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.when(
+            (F.col("d1") > 0) & (F.col("d2") > 0),
+            F.col("num").cast("double")
+            / (
+                F.sqrt(F.col("d1").cast("double"))
+                * F.sqrt(F.col("d2").cast("double"))
+            ),
+        ).alias("acf"),
+    )
+
+
+_EVENTS_ACF_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS hx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(hx) AS lo, max(hx) AS hi FROM hourly GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS hx FROM bounds
+), dense AS (
+  SELECT s.event_type, s.hx, COALESCE(h.n, 0) AS x
+  FROM spine s LEFT JOIN hourly h USING (event_type, hx)
+), leads AS (
+  SELECT event_type, x,
+         lead(x, 1) OVER w AS y1, lead(x, 2) OVER w AS y2,
+         lead(x, 3) OVER w AS y3, lead(x, 4) OVER w AS y4,
+         lead(x, 5) OVER w AS y5, lead(x, 6) OVER w AS y6,
+         lead(x, 7) OVER w AS y7, lead(x, 8) OVER w AS y8,
+         lead(x, 9) OVER w AS y9, lead(x, 10) OVER w AS y10,
+         lead(x, 11) OVER w AS y11, lead(x, 12) OVER w AS y12
+  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY hx)
+), long_form AS (
+  SELECT event_type, u.lag, x, u.y
+  FROM leads, LATERAL (
+    SELECT unnest(range(1, 13)) AS lag,
+           unnest([y1, y2, y3, y4, y5, y6, y7, y8, y9, y10, y11, y12]) AS y
+  ) u
+  WHERE u.y IS NOT NULL
+), agg AS (
+  SELECT event_type, CAST(lag AS INT) AS lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS num,
+         CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS d1,
+         CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS d2
+  FROM long_form GROUP BY 1, 2
+)
+SELECT event_type, lag, n_pairs,
+       CASE WHEN d1 > 0 AND d2 > 0 THEN
+         CAST(num AS DOUBLE)
+         / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE)))
+       END AS acf
+FROM agg
+"""
+
+
+def q_doc_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A45 — Cohen's kappa inter-rater agreement between two cheap
+    deterministic document raters, per language (the labeling-pipeline
+    health check: kappa near 0 means the heuristics disagree beyond
+    chance and human review rules are inconsistent). Rater A flags
+    length (n_chars ≥ 300, the corpus median); rater B flags topical
+    density (≥ 3 occurrences of the token 'table', counted exactly via
+    length-difference arithmetic). Kappa from the 2×2 contingency in
+    its integer-only form: κ = 2·(n11·n00 − n10·n01) /
+    ((n11+n10)·(n10+n00) + (n11+n01)·(n01+n00)) — BIGINT numerator and
+    denominator, ONE IEEE division, so the double is engine-exact.
+    Products stay ≪ 2^63 at test scales; at extreme corpus sizes
+    pre-scale the four cells by a common divisor (only ratios matter).
+
+    Scale: one partial-aggregable rollup over documents; everything
+    after is per-language (5 rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        (F.length("text") - F.length(F.regexp_replace("text", "table", "")))
+        / 5
+    ).cast("long")
+    rated = docs.select(
+        "lang",
+        (F.col("n_chars") >= 300).cast("long").alias("a"),
+        (occ >= 3).cast("long").alias("b"),
+    )
+    cells = rated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+    )
+    num = 2 * (
+        F.col("n11") * F.col("n00") - F.col("n10") * F.col("n01")
+    )
+    den = (F.col("n11") + F.col("n10")) * (F.col("n10") + F.col("n00")) + (
+        F.col("n11") + F.col("n01")
+    ) * (F.col("n01") + F.col("n00"))
+    return cells.select(
+        "lang",
+        "n_docs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "kappa"
+        ),
+    )
+
+
+_DOC_RATER_KAPPA_ORACLE = """
+WITH rated AS (
+  SELECT lang,
+         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+         CASE WHEN (length(text) - length(replace(text, 'table', ''))) // 5
+                   >= 3 THEN 1 ELSE 0 END AS b
+  FROM documents
+), cells AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(a * b) AS BIGINT) AS n11,
+         CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+         CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM rated GROUP BY 1
+)
+SELECT lang, n_docs, n11, n10, n01, n00,
+       CASE WHEN (n11 + n10) * (n10 + n00) + (n11 + n01) * (n01 + n00) <> 0
+            THEN CAST(2 * (n11 * n00 - n10 * n01) AS DOUBLE)
+                 / CAST((n11 + n10) * (n10 + n00)
+                        + (n11 + n01) * (n01 + n00) AS DOUBLE)
+       END AS kappa
+FROM cells
+"""
+
+
+def q_doc_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 — Fellegi–Sunter-style record-linkage scoring over blocked
+    document candidate pairs: within (lang, 50-char length band)
+    blocks, each doc is compared to its ≤ 3 neighbors in doc_id order
+    and scored by integer field-agreement weights (source match +12,
+    |Δn_chars| ≤ 10 +8, same first-16-chars +20, same token-count
+    decade +6); `is_match` gates at score ≥ 20. Weights are log-odds
+    surrogates — integers so the score and gate can never drift between
+    engines.
+
+    Scale: the blocking keys bound candidate generation exactly like
+    the D8 edit-distance pipeline — candidates grow linearly (≤ 3 per
+    doc), never quadratically; the row_number window sorts within
+    (lang, band) blocks whose size is data-bounded (cap with a
+    row_number slice per block if a pathological corpus concentrates
+    one band). One shuffle for the window, one self-join on
+    (block, rank)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.substring("text", 1, 16).alias("head16"),
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", " ", ""))
+                + 1
+            )
+            / 10
+        ).cast("long").alias("tok_decade"),
+        (F.col("n_chars") / 50).cast("long").alias("band"),
+    )
+    w = Window.partitionBy("lang", "band").orderBy("doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    a = ranked.select(
+        F.col("lang"),
+        F.col("band"),
+        F.col("rn"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("src_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.col("head16").alias("h_a"),
+        F.col("tok_decade").alias("td_a"),
+    )
+    b = ranked.select(
+        F.col("lang"),
+        F.col("band"),
+        F.col("rn").alias("rn_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("src_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("head16").alias("h_b"),
+        F.col("tok_decade").alias("td_b"),
+    )
+    pairs = a.join(b, ["lang", "band"]).filter(
+        (F.col("rn_b") > F.col("rn")) & (F.col("rn_b") - F.col("rn") <= 3)
+    )
+    score = (
+        F.when(F.col("src_a") == F.col("src_b"), 12).otherwise(0)
+        + F.when(
+            F.abs(F.col("nc_a") - F.col("nc_b")) <= 10, 8
+        ).otherwise(0)
+        + F.when(F.col("h_a") == F.col("h_b"), 20).otherwise(0)
+        + F.when(F.col("td_a") == F.col("td_b"), 6).otherwise(0)
+    ).cast("long")
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "lang",
+        score.alias("score"),
+        (score >= 20).alias("is_match"),
+    )
+
+
+_DOC_LINKAGE_SCORES_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars,
+         substr(text, 1, 16) AS head16,
+         (length(text) - length(replace(text, ' ', '')) + 1) // 10
+           AS tok_decade,
+         n_chars // 50 AS band
+  FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang, band ORDER BY doc_id) AS rn
+  FROM d
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+         CAST(
+           (CASE WHEN a.source = b.source THEN 12 ELSE 0 END)
+           + (CASE WHEN abs(a.n_chars - b.n_chars) <= 10 THEN 8 ELSE 0 END)
+           + (CASE WHEN a.head16 = b.head16 THEN 20 ELSE 0 END)
+           + (CASE WHEN a.tok_decade = b.tok_decade THEN 6 ELSE 0 END)
+           AS BIGINT) AS score
+  FROM ranked a JOIN ranked b
+    ON a.lang = b.lang AND a.band = b.band
+   AND b.rn > a.rn AND b.rn - a.rn <= 3
+)
+SELECT doc_a, doc_b, lang, score, score >= 20 AS is_match
+FROM pairs
+"""
+
+
+def q_events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A46 — winsorized robust statistics per event_type: clamp the
+    exact-cents value distribution at its P1/P99 (R-7 quantiles, the
+    cross-engine-identical interpolation), then report the clipped-tail
+    counts and the winsorized mean — the outlier-robust KPI that a raw
+    mean overstates under fat tails. Parity: quantiles are rounded to
+    INTEGER cents (round() is half-away in both engines) before
+    clamping, so the clamped column is BIGINT and its sum is exact; the
+    mean is that one exact sum through two fixed divisions
+    (sum/100/n — identical op order both sides).
+
+    Scale: one percentile agg + one broadcast joinback + one final
+    rollup; percentile over raw rows is the heavy step — swap in
+    approx_percentile with an accuracy certificate at 100 TB (the A9
+    sketch-twin pattern)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    q = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(cents, 0.01e0)"), 0)
+        .cast("long")
+        .alias("lo"),
+        F.round(F.expr("percentile(cents, 0.99e0)"), 0)
+        .cast("long")
+        .alias("hi"),
+    )
+    joined = ev.join(F.broadcast(q), "event_type")
+    clamped = F.greatest("lo", F.least("hi", F.col("cents")))
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("lo").alias("p01_cents"),
+        F.max("hi").alias("p99_cents"),
+        F.sum((F.col("cents") < F.col("lo")).cast("long")).alias(
+            "n_clipped_low"
+        ),
+        F.sum((F.col("cents") > F.col("hi")).cast("long")).alias(
+            "n_clipped_high"
+        ),
+        (
+            F.sum(clamped).cast("double") / 100 / F.count(F.lit(1))
+        ).alias("winsorized_mean"),
+    )
+
+
+_EVENTS_WINSORIZED_STATS_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), q AS (
+  SELECT event_type,
+         CAST(round(quantile_cont(cents, 0.01e0), 0) AS BIGINT) AS lo,
+         CAST(round(quantile_cont(cents, 0.99e0), 0) AS BIGINT) AS hi
+  FROM ev GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       max(q.lo) AS p01_cents,
+       max(q.hi) AS p99_cents,
+       CAST(sum(CASE WHEN e.cents < q.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(sum(CASE WHEN e.cents > q.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       CAST(sum(greatest(q.lo, least(q.hi, e.cents))) AS DOUBLE) / 100
+         / count(*) AS winsorized_mean
+FROM ev e JOIN q USING (event_type)
+GROUP BY 1
+"""
+
+
+def q_doc_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L25 — fill-in-the-middle (FIM) training transformation: split
+    each document at hash-derived offsets into prefix/middle/suffix and
+    re-emit in PSM order (<PRE>prefix<SUF>suffix<MID>middle — the
+    infilling objective of Bavarian et al. 2022). The span is
+    deterministic per doc_id via the engine's shared 60-bit md5 hash,
+    so the transform is reproducible and both engines cut identical
+    spans: middle starts at 2 + h1 % (L div 2) and runs
+    1 + h2 % (L div 4) chars, which always leaves a non-empty prefix
+    and suffix for L ≥ 16. substring is 1-based character semantics in
+    both engines.
+
+    Scale: map-only — no shuffle, no UDF; the three substrings and the
+    concat are whole-stage-codegen expressions."""
+    from floatchat_datapipeline_spark.functions.textstats import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 16
+    )
+    L = F.length("text")
+    h1 = md5_long(F.concat(F.lit("fim|"), F.col("doc_id").cast("string")))
+    h2 = md5_long(F.concat(F.lit("fim2|"), F.col("doc_id").cast("string")))
+    m_start = (h1 % F.expr("length(text) div 2") + 2).alias("m_start")
+    m_len = (h2 % F.expr("length(text) div 4") + 1).alias("m_len")
+    cut = docs.select(
+        "doc_id", "lang", "text", L.alias("L"), m_start, m_len
+    )
+    prefix = F.expr("substring(text, 1, m_start - 1)")
+    middle = F.expr("substring(text, m_start, m_len)")
+    suffix = F.expr("substring(text, m_start + m_len)")
+    return cut.select(
+        "doc_id",
+        "lang",
+        F.col("m_start").cast("long").alias("m_start"),
+        F.col("m_len").cast("long").alias("m_len"),
+        F.length(prefix).cast("long").alias("n_prefix"),
+        F.length(suffix).cast("long").alias("n_suffix"),
+        F.concat(
+            F.lit("<PRE>"),
+            prefix,
+            F.lit("<SUF>"),
+            suffix,
+            F.lit("<MID>"),
+            middle,
+        ).alias("fim_text"),
+    )
+
+
+_DOC_FIM_SPLIT_ORACLE = """
+WITH cut AS (
+  SELECT doc_id, lang, text, length(text) AS L,
+         CAST('0x' || substr(md5('fim|' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % (length(text) // 2) + 2 AS m_start,
+         CAST('0x' || substr(md5('fim2|' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % (length(text) // 4) + 1 AS m_len
+  FROM documents WHERE length(text) >= 16
+)
+SELECT doc_id, lang,
+       CAST(m_start AS BIGINT) AS m_start,
+       CAST(m_len AS BIGINT) AS m_len,
+       CAST(length(substr(text, 1, CAST(m_start - 1 AS INT))) AS BIGINT)
+         AS n_prefix,
+       CAST(length(substr(text, CAST(m_start + m_len AS INT))) AS BIGINT)
+         AS n_suffix,
+       '<PRE>' || substr(text, 1, CAST(m_start - 1 AS INT))
+       || '<SUF>' || substr(text, CAST(m_start + m_len AS INT))
+       || '<MID>' || substr(text, CAST(m_start AS INT), CAST(m_len AS INT))
+         AS fim_text
+FROM cut
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9536,6 +9991,23 @@ def _base_registry() -> dict[str, QuerySpec]:
     return {
         "trade_core": QuerySpec(
             q_trade_core, _TRADE_CORE_ORACLE, ("G6",)
+        ),
+        "events_acf": QuerySpec(
+            q_events_acf, _EVENTS_ACF_ORACLE, ("TS20",)
+        ),
+        "doc_rater_kappa": QuerySpec(
+            q_doc_rater_kappa, _DOC_RATER_KAPPA_ORACLE, ("A45",)
+        ),
+        "doc_linkage_scores": QuerySpec(
+            q_doc_linkage_scores, _DOC_LINKAGE_SCORES_ORACLE, ("D10",)
+        ),
+        "events_winsorized_stats": QuerySpec(
+            q_events_winsorized_stats,
+            _EVENTS_WINSORIZED_STATS_ORACLE,
+            ("A46",),
+        ),
+        "doc_fim_split": QuerySpec(
+            q_doc_fim_split, _DOC_FIM_SPLIT_ORACLE, ("L25",)
         ),
         "cohort_ltv_curve": QuerySpec(
             q_cohort_ltv_curve, _COHORT_LTV_CURVE_ORACLE, ("A44",)

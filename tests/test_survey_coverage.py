@@ -242,6 +242,16 @@ SURVEY_IDS = [
     "TS19",
     # cohort LTV curve (revenue retention triangle)
     "A44",
+    # autocorrelation function of hourly counts (exact-sum Pearson lags)
+    "TS20",
+    # Cohen's kappa inter-rater agreement (integer 2x2 contingency)
+    "A45",
+    # Fellegi-Sunter record-linkage scoring over blocked pairs
+    "D10",
+    # winsorized robust stats (integer-cents quantile clamp)
+    "A46",
+    # fill-in-the-middle (FIM) PSM training transformation
+    "L25",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
