@@ -252,6 +252,14 @@ SURVEY_IDS = [
     "A46",
     # fill-in-the-middle (FIM) PSM training transformation
     "L25",
+    # JL +-1 random-projection ANN (integer shortlist + exact rerank)
+    "V14",
+    # interval overlap join (activity spans x merged incident windows)
+    "I3",
+    # U-shaped positional multi-touch attribution (exact cent split)
+    "TS21",
+    # classifier reliability diagram (fixed-bin calibration curve)
+    "A47",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
