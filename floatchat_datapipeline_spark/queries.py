@@ -10227,6 +10227,258 @@ FROM scored GROUP BY 1
 """
 
 
+def q_events_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS22 — M4 downsampling (Jugel et al., VLDB 2014): per event_type
+    and 24-hour pixel bucket, keep exactly the four extreme points of
+    the hourly count series — first, last, min-value, max-value — the
+    provably pixel-perfect reduction for line-chart rendering (unlike
+    LTTB it is PURELY relational: no greedy chain, no Python). The
+    series is densified onto the hour spine (missing hours are true
+    zeros). Tie-breaking is explicit: among equal min/max values the
+    EARLIEST hour wins, via conditional-min aggregation (never min_by /
+    arg_min, whose tie order is engine-undefined).
+
+    Scale: one partial-aggregable hourly rollup, a broadcast joinback
+    of the tiny per-bucket extremes (types × buckets rows), one final
+    rollup — the two fact shuffles are both partial-agg; nothing
+    windows."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            long_div(
+                epoch_micros(F.date_trunc("hour", F.col("ts"))),
+                3_600_000_000,
+            ).alias("hx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hx").alias("lo"), F.max("hx").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.col("lo"),
+        F.explode(F.sequence("lo", "hi")).alias("hx"),
+    )
+    dense = (
+        spine.join(hourly, ["event_type", "hx"], "left")
+        .select(
+            "event_type",
+            F.expr("(hx - lo) div 24").alias("b"),
+            "hx",
+            F.coalesce("n", F.lit(0)).alias("x"),
+        )
+    )
+    ext = dense.groupBy("event_type", "b").agg(
+        F.min("hx").alias("t_first"),
+        F.max("hx").alias("t_last"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+    )
+    joined = dense.join(F.broadcast(ext), ["event_type", "b"])
+    return joined.groupBy("event_type", "b").agg(
+        F.max("t_first").alias("t_first"),
+        F.min(
+            F.when(F.col("hx") == F.col("t_first"), F.col("x"))
+        ).alias("x_first"),
+        F.max("t_last").alias("t_last"),
+        F.min(F.when(F.col("hx") == F.col("t_last"), F.col("x"))).alias(
+            "x_last"
+        ),
+        F.max("x_min").alias("x_min"),
+        F.min(F.when(F.col("x") == F.col("x_min"), F.col("hx"))).alias(
+            "t_at_min"
+        ),
+        F.max("x_max").alias("x_max"),
+        F.min(F.when(F.col("x") == F.col("x_max"), F.col("hx"))).alias(
+            "t_at_max"
+        ),
+    )
+
+
+_EVENTS_M4_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS hx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(hx) AS lo, max(hx) AS hi FROM hourly GROUP BY 1
+), spine AS (
+  SELECT event_type, lo, unnest(range(lo, hi + 1)) AS hx FROM bounds
+), dense AS (
+  SELECT s.event_type, (s.hx - s.lo) // 24 AS b, s.hx,
+         COALESCE(h.n, 0) AS x
+  FROM spine s LEFT JOIN hourly h USING (event_type, hx)
+), ext AS (
+  SELECT event_type, b,
+         min(hx) AS t_first, max(hx) AS t_last,
+         min(x) AS x_min, max(x) AS x_max
+  FROM dense GROUP BY 1, 2
+)
+SELECT d.event_type, d.b,
+       max(e.t_first) AS t_first,
+       min(CASE WHEN d.hx = e.t_first THEN d.x END) AS x_first,
+       max(e.t_last) AS t_last,
+       min(CASE WHEN d.hx = e.t_last THEN d.x END) AS x_last,
+       max(e.x_min) AS x_min,
+       min(CASE WHEN d.x = e.x_min THEN d.hx END) AS t_at_min,
+       max(e.x_max) AS x_max,
+       min(CASE WHEN d.x = e.x_max THEN d.hx END) AS t_at_max
+FROM dense d JOIN ext e USING (event_type, b)
+GROUP BY 1, 2
+"""
+
+
+def q_corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z4 — corpus shard/compaction planner: assign documents to
+    ~25 000-char target shards by greedy sequential packing (a doc goes
+    to the shard where its exclusive running total starts — the
+    write-path planner that turns a ragged corpus into even output
+    files). The global running total is plans/scale.ranged_cumsum —
+    the range-partitioned two-phase cumsum, NOT a single-partition
+    window — over the doc_id total order. Per shard: doc count, char
+    mass, id span, and fill ratio (one division of exact BIGINTs).
+
+    Scale: this is exactly the pattern that sizes 100 TB writes; the
+    cumsum is two partial-agg passes + a broadcast of 32 prefix
+    offsets."""
+    from floatchat_datapipeline_spark.plans.scale import ranged_cumsum
+
+    target = 25_000
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    cum = ranged_cumsum(docs, ["doc_id"], "n_chars", out_col="cum")
+    assigned = cum.select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"(cum - n_chars) div {target}").alias("shard"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        (F.sum("n_chars").cast("double") / target).alias("fill_ratio"),
+    )
+
+
+_CORPUS_SHARD_PLAN_ORACLE = """
+WITH cum AS (
+  SELECT doc_id, n_chars,
+         CAST(COALESCE(sum(n_chars) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS excl
+  FROM documents
+)
+SELECT excl // 25000 AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc,
+       CAST(sum(n_chars) AS BIGINT)::DOUBLE / 25000 AS fill_ratio
+FROM cum GROUP BY 1
+"""
+
+
+def q_events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A48 — sample-ratio-mismatch (SRM) check for the A31 experiment
+    assignment: per event_type, the 1-df chi-square of the observed
+    variant split against the designed 50/50 — THE guardrail an
+    experimentation platform runs before trusting any lift number
+    (Fabijan et al. 2019). χ² = (n0−n1)²/(n0+n1) is one IEEE division
+    of exact BIGINTs; the alarm gate cross-multiplies against the
+    α=0.05 critical value 3.8415 in integers (10000·(n0−n1)² >
+    38415·(n0+n1)), so the boolean can never drift between engines.
+
+    Scale: one partial-aggregable rollup; everything after is
+    types-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+        ).alias("n0"),
+        F.sum(
+            F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)
+        ).alias("n1"),
+    )
+    d = F.col("n0") - F.col("n1")
+    tot = F.col("n0") + F.col("n1")
+    return per.select(
+        "event_type",
+        "n0",
+        "n1",
+        ((d * d).cast("double") / tot.cast("double")).alias("chi2"),
+        (10000 * d * d > 38415 * tot).alias("srm_alarm"),
+    )
+
+
+_EVENTS_SRM_ORACLE = """
+WITH per AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n0,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1
+  FROM events GROUP BY 1
+)
+SELECT event_type, n0, n1,
+       CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+         AS chi2,
+       10000 * (n0 - n1) * (n0 - n1) > 38415 * (n0 + n1) AS srm_alarm
+FROM per
+"""
+
+
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 — dedup audit rollup: the cluster-SIZE histogram of the D5
+    near-dup components (how many pairs, triples, …, giant clusters the
+    LSH closure found) plus the removable-doc count per size — the
+    report that tells a corpus owner what fraction of the corpus
+    deduplication will delete BEFORE running the delete. Reuses the
+    memoized D5 component index (operators/dedup.dup_components); the
+    oracle extends the recursive-CTE connectivity replay with the same
+    two rollups.
+
+    Scale: the histogram is two partial-agg rollups over the component
+    table — free next to the closure itself."""
+    from floatchat_datapipeline_spark.operators.dedup import dup_components
+
+    comp = dup_components(
+        load_table(spark, sf_dir, "documents"), spark, cache_key=sf_dir
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("size") * F.count(F.lit(1))).alias("n_docs"),
+        ((F.col("size") - 1) * F.count(F.lit(1))).alias("removable_docs"),
+    )
+
+
+_DUP_CLUSTER_SIZES_ORACLE = f"""
+WITH RECURSIVE {_DUP_COMPONENTS_SQL},
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS size
+  FROM comp GROUP BY 1
+)
+SELECT size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       size * CAST(count(*) AS BIGINT) AS n_docs,
+       (size - 1) * CAST(count(*) AS BIGINT) AS removable_docs
+FROM sizes GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -10444,6 +10696,18 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_doc_calibration_curve,
             _DOC_CALIBRATION_CURVE_ORACLE,
             ("A47",),
+        ),
+        "events_m4": QuerySpec(
+            q_events_m4, _EVENTS_M4_ORACLE, ("TS22",)
+        ),
+        "corpus_shard_plan": QuerySpec(
+            q_corpus_shard_plan, _CORPUS_SHARD_PLAN_ORACLE, ("Z4",)
+        ),
+        "events_srm": QuerySpec(
+            q_events_srm, _EVENTS_SRM_ORACLE, ("A48",)
+        ),
+        "dup_cluster_sizes": QuerySpec(
+            q_dup_cluster_sizes, _DUP_CLUSTER_SIZES_ORACLE, ("D11",)
         ),
         "cohort_ltv_curve": QuerySpec(
             q_cohort_ltv_curve, _COHORT_LTV_CURVE_ORACLE, ("A44",)

@@ -260,6 +260,14 @@ SURVEY_IDS = [
     "TS21",
     # classifier reliability diagram (fixed-bin calibration curve)
     "A47",
+    # M4 pixel-perfect downsampling (first/last/min/max per bucket)
+    "TS22",
+    # corpus shard/compaction planner (ranged-cumsum greedy packing)
+    "Z4",
+    # sample-ratio-mismatch guardrail (1-df chi-square, integer gate)
+    "A48",
+    # dedup audit rollup (cluster-size histogram + removable counts)
+    "D11",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
