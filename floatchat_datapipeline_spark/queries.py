@@ -10479,6 +10479,266 @@ FROM sizes GROUP BY 1
 """
 
 
+def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27 — Zipf-law fit per language: OLS slope of ln(freq) on
+    ln(rank) over the top-200 tokens (natural corpora fit slope ≈ −1;
+    a synthetic or templated corpus shows up as a flat slope — exactly
+    this generator's ~40-word vocabulary does, making the fit a
+    corpus-provenance detector). Parity: ln(rank)/ln(freq) are
+    quantized to exact 1e-6 BIGINT units BEFORE the five OLS sums, so
+    partial aggregation order cannot move a bit (the A25 integer
+    normal-equation rule, extended to log space — products stay ≤ 2^58
+    at the 1e-6 scale); slope and the fit correlation are one final
+    division / the num/(sqrt·sqrt) call sequence.
+
+    Scale: the token rollup is the only fact shuffle; the rank window
+    partitions per lang over the DISTINCT-TOKEN domain (vocabulary-
+    bounded, not corpus-bounded) and row_number caps it at 200."""
+    from pyspark.sql import Window
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.explode(F.split(F.col("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    freq = toks.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("freq"), F.col("token")
+    )
+    ranked = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 200)
+        .select(
+            "lang",
+            F.round(F.log(F.col("rank").cast("double")) * 1_000_000)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("freq").cast("double")) * 1_000_000)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    agg = ranked.groupBy("lang").agg(
+        n.alias("n_points"),
+        (n * sxy - sx * sy).alias("num"),
+        (n * sxx - sx * sx).alias("d1"),
+        (n * syy - sy * sy).alias("d2"),
+    )
+    return agg.select(
+        "lang",
+        "n_points",
+        F.when(
+            F.col("d1") > 0,
+            F.col("num").cast("double") / F.col("d1").cast("double"),
+        ).alias("zipf_slope"),
+        F.when(
+            (F.col("d1") > 0) & (F.col("d2") > 0),
+            F.col("num").cast("double")
+            / (
+                F.sqrt(F.col("d1").cast("double"))
+                * F.sqrt(F.col("d2").cast("double"))
+            ),
+        ).alias("fit_corr"),
+    )
+
+
+_VOCAB_ZIPF_FIT_ORACLE = """
+WITH toks AS (
+  SELECT lang, t.token
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+  WHERE t.token <> ''
+), freq AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS freq
+  FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT lang,
+         CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM (
+    SELECT lang, freq, row_number() OVER (
+      PARTITION BY lang ORDER BY freq DESC, token) AS rank
+    FROM freq)
+  WHERE rank <= 200
+), agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_points,
+         CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS num,
+         CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS d1,
+         CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS d2
+  FROM ranked GROUP BY 1
+)
+SELECT lang, n_points,
+       CASE WHEN d1 > 0 THEN CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE) END
+         AS zipf_slope,
+       CASE WHEN d1 > 0 AND d2 > 0 THEN
+         CAST(num AS DOUBLE)
+         / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE)))
+       END AS fit_corr
+FROM agg
+"""
+
+
+def q_user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A50 — Kaplan–Meier survival curve for signup→first-purchase
+    conversion: per user, duration in whole days from first signup to
+    first subsequent purchase (event) or to the corpus horizon
+    (right-censored); at each event day t the K-M estimator multiplies
+    (1 − d_t/n_t) over the at-risk population. Parity: each factor's
+    log ln(n−d) − ln(n) is quantized to an exact 1e-9 BIGINT nano-nat
+    BEFORE the running sum, so the cumulative product is an exact
+    integer both engines agree on bit-for-bit; the reported survival
+    re-exponentiates that one integer and rounds at 1e-6 (the L20
+    round-after-transcendental rule). A day where every at-risk user
+    converts (n=d) pins survival to exactly 0 thereafter.
+
+    Scale: two per-user rollups (partial-agg), then EVERYTHING runs on
+    the distinct-duration-day domain (data-bounded: ≤ observation
+    window in days), where the reverse at-risk cumsum and the running
+    log-sum are tiny windows."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_seconds,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        epoch_seconds(F.col("ts")).alias("es"),
+    )
+    horizon = ev.agg(F.max("es").alias("hz"))
+    signup = ev.filter(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("es").alias("t0"))
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("es") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("te"), F.max("t0").alias("t0"))
+    )
+    durations = (
+        signup.join(
+            first_purchase.select("user_id", "te"), "user_id", "left"
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("te").isNotNull(),
+                F.expr("(te - t0) div 86400"),
+            )
+            .otherwise(F.expr("(hz - t0) div 86400"))
+            .alias("day"),
+            F.col("te").isNotNull().cast("long").alias("observed"),
+        )
+    )
+    daily = durations.groupBy("day").agg(
+        F.sum("observed").alias("d"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    w_rev = Window.orderBy(F.desc("day")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = daily.select(
+        "day", "d", F.sum("m").over(w_rev).alias("n_risk")
+    ).filter(F.col("d") > 0)
+    term = F.when(
+        F.col("n_risk") > F.col("d"),
+        F.round(
+            (
+                F.log(F.col("n_risk") - F.col("d"))
+                - F.log(F.col("n_risk"))
+            )
+            * 1_000_000_000
+        ).cast("long"),
+    )
+    w_fwd = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    stepped = at_risk.select(
+        "day",
+        "d",
+        "n_risk",
+        F.sum(term.isNull().cast("long")).over(w_fwd).alias("_zeroed"),
+        F.sum(F.coalesce(term, F.lit(0))).over(w_fwd).alias("_lognano"),
+    )
+    return stepped.select(
+        "day",
+        "d",
+        "n_risk",
+        F.when(F.col("_zeroed") > 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.col("_lognano").cast("double") / 1e9), 6)
+        )
+        .alias("survival"),
+    )
+
+
+_USER_SURVIVAL_CURVE_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS es FROM events
+), horizon AS (
+  SELECT max(es) AS hz FROM ev
+), signup AS (
+  SELECT user_id, min(es) AS t0 FROM ev
+  WHERE event_type = 'signup' GROUP BY 1
+), first_purchase AS (
+  SELECT e.user_id, min(e.es) AS te
+  FROM ev e JOIN signup s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.es >= s.t0
+  GROUP BY 1
+), durations AS (
+  SELECT CASE WHEN p.te IS NOT NULL
+              THEN (p.te - s.t0) // 86400
+              ELSE ((SELECT hz FROM horizon) - s.t0) // 86400 END AS day,
+         CASE WHEN p.te IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM signup s LEFT JOIN first_purchase p USING (user_id)
+), daily AS (
+  SELECT day, CAST(sum(observed) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS m
+  FROM durations GROUP BY 1
+), at_risk AS (
+  SELECT day, d,
+         CAST(sum(m) OVER (ORDER BY day DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_risk
+  FROM daily
+), steps AS (
+  SELECT day, d, n_risk,
+         CASE WHEN n_risk > d THEN
+           CAST(round((ln(CAST(n_risk - d AS DOUBLE))
+                       - ln(CAST(n_risk AS DOUBLE))) * 1000000000)
+                AS BIGINT)
+         END AS term
+  FROM at_risk WHERE d > 0
+), cum AS (
+  SELECT day, d, n_risk,
+         CAST(sum(CASE WHEN term IS NULL THEN 1 ELSE 0 END) OVER (
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS zeroed,
+         CAST(sum(COALESCE(term, 0)) OVER (
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS lognano
+  FROM steps
+)
+SELECT day, d, n_risk,
+       CASE WHEN zeroed > 0 THEN 0.0
+            ELSE round(exp(CAST(lognano AS DOUBLE) / 1e9), 6) END
+         AS survival
+FROM cum
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -10708,6 +10968,12 @@ def _base_registry() -> dict[str, QuerySpec]:
         ),
         "dup_cluster_sizes": QuerySpec(
             q_dup_cluster_sizes, _DUP_CLUSTER_SIZES_ORACLE, ("D11",)
+        ),
+        "vocab_zipf_fit": QuerySpec(
+            q_vocab_zipf_fit, _VOCAB_ZIPF_FIT_ORACLE, ("L27",)
+        ),
+        "user_survival_curve": QuerySpec(
+            q_user_survival_curve, _USER_SURVIVAL_CURVE_ORACLE, ("A50",)
         ),
         "cohort_ltv_curve": QuerySpec(
             q_cohort_ltv_curve, _COHORT_LTV_CURVE_ORACLE, ("A44",)

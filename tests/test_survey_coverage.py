@@ -268,6 +268,10 @@ SURVEY_IDS = [
     "A48",
     # dedup audit rollup (cluster-size histogram + removable counts)
     "D11",
+    # Zipf-law fit per language (integer log-space normal equations)
+    "L27",
+    # Kaplan-Meier survival curve (exact nano-nat log products)
+    "A50",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
