@@ -10739,6 +10739,420 @@ FROM cum
 """
 
 
+_LTTB_BUCKETS = 28
+
+
+def q_events_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS23 — LTTB downsampling (Steinarsson 2013, the TimescaleDB
+    toolkit's `lttb`): reduce each event_type's densified hourly count
+    series to 30 points — first, last, and per interior bucket the
+    point forming the LARGEST TRIANGLE with the previously selected
+    point and the next bucket's centroid. Complements M4 (TS22): M4 is
+    the relational/parallel reduction, LTTB is the sequential greedy
+    one — so it runs as a per-type applyInPandas integer replay (5
+    groups; the series, not the fact table, crosses the Arrow seam).
+    All geometry is exact BIGINT: the centroid division is cleared by
+    scaling the cross-product through the bucket count (|2·area·cnt|),
+    ties break to the earliest hour, so the greedy chain is
+    deterministic and the DuckDB oracle replays it as a recursive CTE
+    with a LATERAL argmax per step (the MMR-oracle pattern).
+
+    Scale: the hourly rollup is the only fact shuffle; the greedy runs
+    per type on a types×hours frame (bounded by wall-clock)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            long_div(
+                epoch_micros(F.date_trunc("hour", F.col("ts"))),
+                3_600_000_000,
+            ).alias("hx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hx").alias("lo"), F.max("hx").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.col("lo"),
+        F.explode(F.sequence("lo", "hi")).alias("hx"),
+    )
+    dense = spine.join(hourly, ["event_type", "hx"], "left").select(
+        "event_type",
+        (F.col("hx") - F.col("lo")).alias("t"),
+        F.col("hx"),
+        F.coalesce("n", F.lit(0)).alias("x"),
+    )
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("t", LongType()),
+            StructField("hx", LongType()),
+            StructField("x", LongType()),
+        ]
+    )
+    nb = _LTTB_BUCKETS
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        n = len(pdf)
+        ts = [int(v) for v in pdf["t"]]
+        xs = [int(v) for v in pdf["x"]]
+        if n <= nb + 2:
+            return pdf[["event_type", "t", "hx", "x"]]
+        # interior points 1..n-2 into nb equal-count buckets
+        buckets: list[list[int]] = [[] for _ in range(nb)]
+        for i in range(1, n - 1):
+            buckets[((i - 1) * nb) // (n - 2)].append(i)
+        picks = [0]
+        prev = 0
+        for k in range(nb):
+            if k + 1 < nb:
+                nxt = buckets[k + 1]
+                c = len(nxt)
+                sx = sum(ts[i] for i in nxt)
+                sy = sum(xs[i] for i in nxt)
+            else:
+                c, sx, sy = 1, ts[n - 1], xs[n - 1]
+            ax, ay = ts[prev], xs[prev]
+            best, best_area = None, -1
+            for i in buckets[k]:
+                area = abs(
+                    (ax * c - sx) * (xs[i] - ay)
+                    - (ax - ts[i]) * (sy - ay * c)
+                )
+                if area > best_area:
+                    best, best_area = i, area
+            picks.append(best)
+            prev = best
+        picks.append(n - 1)
+        sel = pdf.iloc[picks]
+        return sel[["event_type", "t", "hx", "x"]]
+
+    return dense.groupBy("event_type").applyInPandas(lttb, out_schema)
+
+
+def _events_lttb_oracle(nb: int = _LTTB_BUCKETS) -> str:
+    return f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS hx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(hx) AS lo, max(hx) AS hi FROM hourly GROUP BY 1
+), spine AS (
+  SELECT event_type, lo, unnest(range(lo, hi + 1)) AS hx FROM bounds
+), dense AS MATERIALIZED (
+  SELECT s.event_type, s.hx - s.lo AS t, s.hx, COALESCE(h.n, 0) AS x
+  FROM spine s LEFT JOIN hourly h USING (event_type, hx)
+), meta AS MATERIALIZED (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS npts FROM dense GROUP BY 1
+), pts AS MATERIALIZED (
+  -- interior points with their equal-count bucket index
+  SELECT d.event_type, d.t, d.hx, d.x,
+         ((d.t - 1) * {nb}) // (m.npts - 2) AS b
+  FROM dense d JOIN meta m USING (event_type)
+  WHERE d.t >= 1 AND d.t <= m.npts - 2
+), bsum AS MATERIALIZED (
+  SELECT event_type, b, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(t) AS BIGINT) AS sx, CAST(sum(x) AS BIGINT) AS sy
+  FROM pts GROUP BY 1, 2
+), lastpt AS MATERIALIZED (
+  SELECT d.event_type, d.t, d.hx, d.x
+  FROM dense d JOIN meta m USING (event_type)
+  WHERE d.t = m.npts - 1
+), target AS MATERIALIZED (
+  -- bucket k's triangle anchor: bucket k+1's sums, or the final point
+  -- for the last bucket (scaled cross-product clears the centroid
+  -- division: c=1, sx=t, sy=x makes the two cases one formula)
+  SELECT event_type, b - 1 AS k, c, sx, sy FROM bsum WHERE b >= 1
+  UNION ALL
+  SELECT event_type, CAST({nb} - 1 AS BIGINT), CAST(1 AS BIGINT),
+         t, x
+  FROM lastpt
+), sel AS (
+  SELECT event_type, CAST(-1 AS BIGINT) AS k, t, hx, x
+  FROM dense WHERE t = 0
+  UNION ALL
+  SELECT s.event_type, s.k + 1, c.t, c.hx, c.x
+  FROM sel s JOIN LATERAL (
+    SELECT p.t, p.hx, p.x
+    FROM pts p JOIN target g
+      ON g.event_type = p.event_type AND g.k = p.b
+    WHERE p.event_type = s.event_type AND p.b = s.k + 1
+    ORDER BY abs(
+        (s.t * g.c - g.sx) * (p.x - s.x)
+        - (s.t - p.t) * (g.sy - s.x * g.c)
+      ) DESC, p.t
+    LIMIT 1
+  ) c ON true
+  WHERE s.k + 1 < {nb}
+)
+SELECT event_type, t, hx, x FROM sel
+UNION ALL
+SELECT event_type, t, hx, x FROM lastpt
+"""
+
+
+_EVENTS_LTTB_ORACLE = _events_lttb_oracle()
+
+
+def q_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A51 — mutual information between the lang and source columns,
+    decomposed per language (the redundancy audit that tells a corpus
+    owner whether two metadata facets carry independent signal before
+    stratifying on both). Each cell's pointwise term
+    n_ij·(ln(N·n_ij) − ln(r_i·c_j)) is quantized to an exact 1e-6
+    BIGINT unit BEFORE summation (the L27 rule: round after the
+    transcendental, sum integers), so partial-agg order is irrelevant;
+    the per-language contribution divides once by 1e6 and once by N.
+
+    Scale: one partial-agg cell rollup over the fact table; margins
+    come from the CELL table (langs×sources rows), broadcast back."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("nij")
+    )
+    rmarg = cells.groupBy("lang").agg(F.sum("nij").alias("ri"))
+    cmarg = cells.groupBy("source").agg(F.sum("nij").alias("cj"))
+    total = cells.agg(F.sum("nij").alias("N"))
+    j = (
+        cells.join(F.broadcast(rmarg), "lang")
+        .join(F.broadcast(cmarg), "source")
+        .crossJoin(F.broadcast(total))
+    )
+    term = F.round(
+        F.col("nij")
+        * (
+            F.log((F.col("N") * F.col("nij")).cast("double"))
+            - F.log((F.col("ri") * F.col("cj")).cast("double"))
+        )
+        * 1_000_000
+    ).cast("long")
+    return j.groupBy("lang").agg(
+        F.max("ri").alias("n_docs"),
+        (
+            F.sum(term).cast("double") / 1_000_000 / F.max("N")
+        ).alias("mi_contribution"),
+    )
+
+
+_LANG_SOURCE_MI_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS nij
+  FROM documents GROUP BY 1, 2
+), rmarg AS (
+  SELECT lang, CAST(sum(nij) AS BIGINT) AS ri FROM cells GROUP BY 1
+), cmarg AS (
+  SELECT source, CAST(sum(nij) AS BIGINT) AS cj FROM cells GROUP BY 1
+), total AS (
+  SELECT CAST(sum(nij) AS BIGINT) AS N FROM cells
+), terms AS (
+  SELECT c.lang, r.ri, t.N,
+         CAST(round(c.nij * (ln(CAST(t.N * c.nij AS DOUBLE))
+                             - ln(CAST(r.ri * m.cj AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS term
+  FROM cells c
+  JOIN rmarg r USING (lang)
+  JOIN cmarg m USING (source)
+  CROSS JOIN total t
+)
+SELECT lang, max(ri) AS n_docs,
+       CAST(sum(term) AS BIGINT)::DOUBLE / 1000000 / max(N)
+         AS mi_contribution
+FROM terms GROUP BY 1
+"""
+
+
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 / multimodal-phash — perceptual-hash near-dup detection over
+    BINARY media columns, reported as a Hamming-distance histogram: a
+    64-bit SimHash-style signature from each blob's byte-bucket
+    histogram (bit b set iff bucket b holds more than 1/64 of the
+    mass — exact cross-multiply), packed into two 32-bit BIGINT words
+    (the V13 layout), candidate pairs from 4×16-bit LSH bands with the
+    `_cap_key_frequency` skew cap (≤ 64 per band bucket), exact
+    bit_count(XOR) Hamming on candidates. On a real image corpus the
+    byte histogram is replaced by decoded perceptual features
+    (operators/multimodal.decode_image, env-gated PIL — reference
+    embeddings/embed.py:22-44's media path); the SPARK PLUMBING —
+    binary column, JVM-side hex explode (no UDF), banded self-join,
+    packed-word Hamming — is exactly what ships.
+
+    Scale: signature build is one partial-agg histogram + one packing
+    agg; the banded join is bucketed, never all-pairs, and the cap
+    bounds any degenerate band."""
+    from floatchat_datapipeline_spark.operators.multimodal import (
+        synth_media,
+    )
+    from pyspark.sql import Window
+
+    media = synth_media(load_table(spark, sf_dir, "documents"))
+    hexed = media.select(
+        "doc_id",
+        F.hex("content").alias("hx"),
+        F.length("content").alias("nb"),
+    )
+    bytes_ = hexed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("nb"))).alias("i"),
+        "hx",
+    ).select(
+        "doc_id",
+        F.conv(
+            F.expr("substring(hx, cast(2 * i - 1 as int), 2)"), 16, 10
+        )
+        .cast("long")
+        .alias("byte"),
+    )
+    hist = bytes_.groupBy(
+        "doc_id", F.expr("byte div 4").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("mass"))
+    # Per-doc total via a window over the hist rollup — one pass, no
+    # self-join (a hist↔tot join would re-execute the byte explode on
+    # both branches).
+    bits = hist.withColumn(
+        "total",
+        F.sum("mass").over(Window.partitionBy("doc_id")),
+    ).select(
+        "doc_id",
+        "bucket",
+        (64 * F.col("mass") > F.col("total")).cast("long").alias("bit"),
+    )
+    # The signature table is N rows × 3 BIGINTs; localCheckpoint it so
+    # the band explode and BOTH sides of the candidate self-join reuse
+    # the materialized sigs instead of re-running the hex explode
+    # (two-branch rule; measured 12.9 s → ~2 s at sf0.1).
+    sig = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(
+                "case when bucket < 32 then "
+                "bit * shiftleft(1L, cast(bucket as int)) else 0 end"
+            )
+        ).alias("w0"),
+        F.sum(
+            F.expr(
+                "case when bucket >= 32 then "
+                "bit * shiftleft(1L, cast(bucket - 32 as int)) else 0 end"
+            )
+        ).alias("w1"),
+    ).localCheckpoint(eager=True)
+    bands = sig.select(
+        "doc_id",
+        "w0",
+        "w1",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+    ).withColumn(
+        "bv",
+        F.expr(
+            "case k when 0 then w0 & 65535 "
+            "when 1 then shiftright(w0, 16) & 65535 "
+            "when 2 then w1 & 65535 "
+            "else shiftright(w1, 16) & 65535 end"
+        ),
+    )
+    w = Window.partitionBy("k", "bv").orderBy("doc_id")
+    capped = bands.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 64
+    )
+    a = capped.select(
+        F.col("k"),
+        F.col("bv"),
+        F.col("doc_id").alias("da"),
+        F.col("w0").alias("a0"),
+        F.col("w1").alias("a1"),
+    )
+    b = capped.select(
+        F.col("k"),
+        F.col("bv"),
+        F.col("doc_id").alias("db"),
+        F.col("w0").alias("b0"),
+        F.col("w1").alias("b1"),
+    )
+    pairs = (
+        a.join(b, ["k", "bv"])
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "da",
+            "db",
+            (
+                F.bit_count(F.expr("a0 ^ b0"))
+                + F.bit_count(F.expr("a1 ^ b1"))
+            ).alias("ham"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.filter(F.col("ham") <= 6)
+        .groupBy("ham")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+_MEDIA_PHASH_PAIRS_ORACLE = f"""
+WITH {_SYNTH_MEDIA_SQL.strip()}, bytes AS (
+  SELECT doc_id,
+         CAST('0x' || substr(hex(content), CAST(2 * i - 1 AS INT), 2)
+              AS BIGINT) AS byte
+  FROM media,
+       LATERAL (SELECT unnest(range(1, octet_length(content) + 1)) AS i)
+), hist AS (
+  SELECT doc_id, byte // 4 AS bucket, CAST(count(*) AS BIGINT) AS mass
+  FROM bytes GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, CAST(sum(mass) AS BIGINT) AS total FROM hist GROUP BY 1
+), bits AS (
+  SELECT h.doc_id, h.bucket,
+         CASE WHEN 64 * h.mass > t.total THEN 1 ELSE 0 END AS bit
+  FROM hist h JOIN tot t USING (doc_id)
+), sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bucket < 32
+                  THEN bit * (1::BIGINT << CAST(bucket AS INT))
+                  ELSE 0 END) AS BIGINT) AS w0,
+         CAST(sum(CASE WHEN bucket >= 32
+                  THEN bit * (1::BIGINT << CAST(bucket - 32 AS INT))
+                  ELSE 0 END) AS BIGINT) AS w1
+  FROM bits GROUP BY 1
+), bands AS (
+  SELECT doc_id, w0, w1, k,
+         CASE k WHEN 0 THEN w0 & 65535
+                WHEN 1 THEN (w0 >> 16) & 65535
+                WHEN 2 THEN w1 & 65535
+                ELSE (w1 >> 16) & 65535 END AS bv
+  FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS k)
+), capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY k, bv ORDER BY doc_id) AS rn
+    FROM bands)
+  WHERE rn <= 64
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS ham
+  FROM capped a JOIN capped b
+    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT CAST(ham AS INT) AS ham, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs WHERE ham <= 6 GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -10974,6 +11388,17 @@ def _base_registry() -> dict[str, QuerySpec]:
         ),
         "user_survival_curve": QuerySpec(
             q_user_survival_curve, _USER_SURVIVAL_CURVE_ORACLE, ("A50",)
+        ),
+        "events_lttb": QuerySpec(
+            q_events_lttb, _EVENTS_LTTB_ORACLE, ("TS23",)
+        ),
+        "lang_source_mi": QuerySpec(
+            q_lang_source_mi, _LANG_SOURCE_MI_ORACLE, ("A51",)
+        ),
+        "media_phash_pairs": QuerySpec(
+            q_media_phash_pairs,
+            _MEDIA_PHASH_PAIRS_ORACLE,
+            ("D12", "multimodal-phash"),
         ),
         "cohort_ltv_curve": QuerySpec(
             q_cohort_ltv_curve, _COHORT_LTV_CURVE_ORACLE, ("A44",)

@@ -272,6 +272,12 @@ SURVEY_IDS = [
     "L27",
     # Kaplan-Meier survival curve (exact nano-nat log products)
     "A50",
+    # LTTB greedy downsampling (integer triangle areas, recursive oracle)
+    "TS23",
+    # lang x source mutual information (integer micro-nat terms)
+    "A51",
+    # perceptual-hash banded near-dup over binary media columns
+    "D12",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
