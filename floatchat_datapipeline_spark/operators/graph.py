@@ -197,6 +197,76 @@ def pagerank_fixed_point(
     return ranks.select("node", "rank")
 
 
+def personalized_pagerank_fixed_point(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """G7 — personalized PageRank: identical BIGINT fixed-point
+    machinery to pagerank_fixed_point, but ALL teleport mass returns to
+    the seed set (the recommendation primitive: rank = proximity to the
+    seeds, not global importance).
+
+    rank₀(v)   = MASS div |S|           if v ∈ S else 0
+    rankᵢ₊₁(v) = [v ∈ S]·(15·(MASS div |S|)) div 100
+                 + (85 · Σ_{u→v} rankᵢ(u) div outdeg(u)) div 100
+
+    `seeds` is a 1-column (node) frame; it broadcasts into the node
+    vector once. Same determinism argument as the global variant:
+    integer associativity makes any shuffle order bit-identical, so the
+    oracle chains the same iterations as CTEs."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = ed.select(F.col("src").alias("node")).distinct()
+    flagged = nodes.join(
+        F.broadcast(seeds.select(F.col(seeds.columns[0]).alias("node"))
+                    .distinct()
+                    .withColumn("_s", F.lit(1))),
+        "node",
+        "left",
+    ).select("node", F.coalesce("_s", F.lit(0)).alias("is_seed"))
+    ns = flagged.agg(F.sum("is_seed").alias("ns"))
+    ranks = flagged.crossJoin(F.broadcast(ns)).select(
+        "node",
+        "is_seed",
+        F.expr(f"is_seed * ({PAGERANK_MASS} div ns)").alias("rank"),
+        "ns",
+    )
+    for i in range(iters):
+        inflow = (
+            ed.join(
+                F.broadcast(ranks.select("node", "rank")),
+                ed.src == F.col("node"),
+            )
+            .select(F.col("dst"), F.expr("rank div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            ranks.select("node", "is_seed", "ns")
+            .join(inflow, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                "is_seed",
+                "ns",
+                (
+                    F.expr(
+                        f"is_seed * ((15 * ({PAGERANK_MASS} div ns))"
+                        " div 100)"
+                    )
+                    + F.expr(
+                        f"({DAMPING_NUM} * coalesce(inflow, 0L))"
+                        f" div {DAMPING_DEN}"
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "rank")
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """Exact triangle census over a symmetric edge list — one row:
     (n_nodes, n_edges, n_wedges, n_triangles, global_clustering).

@@ -11153,6 +11153,235 @@ FROM pairs WHERE ham <= 6 GROUP BY 1
 """
 
 
+def q_events_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 — personalized PageRank over the co-activity graph, teleport
+    pinned to the seed cohort user_id % 7 == 0 (the 'similar to these
+    users' recommendation primitive; rank measures proximity to the
+    seeds, not global importance). Same BIGINT fixed-point machinery
+    and chained-CTE oracle as G1 — integer associativity makes all ten
+    iterations bit-identical under any shuffle order — and the same
+    memoized edge list (operators/graph.coactivity_edges cache shared
+    with G1/G2/G4). Top-50 by (rank desc, user_id): TakeOrdered, no
+    global sort."""
+    from floatchat_datapipeline_spark.operators.graph import (
+        coactivity_edges,
+        personalized_pagerank_fixed_point,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = coactivity_edges(ev, cache_key=sf_dir)
+    seeds = edges.select(F.col("src").alias("node")).filter(
+        F.col("node") % 7 == 0
+    )
+    ranks = personalized_pagerank_fixed_point(edges, seeds, iters=10)
+    return (
+        ranks.select(
+            F.col("node").alias("user_id"),
+            F.col("rank").alias("rank_units"),
+        )
+        .orderBy(F.desc("rank_units"), "user_id")
+        .limit(50)
+    )
+
+
+def _ppr_oracle(iters: int = 10, cap: int = 64) -> str:
+    head = f"""
+WITH members AS (
+  SELECT DISTINCT event_type,
+         epoch_us(ts) // 600000000 AS h, user_id
+  FROM events
+), capped AS (
+  SELECT event_type, h, user_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type, h ORDER BY user_id) AS rn
+    FROM members)
+  WHERE rn <= {cap}
+), edges0 AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM capped a JOIN capped b
+    ON a.event_type = b.event_type AND a.h = b.h
+   AND a.user_id <> b.user_id
+), deg AS (
+  SELECT src, count(*) AS outdeg FROM edges0 GROUP BY src
+), edges AS (
+  SELECT e.src, e.dst, d.outdeg FROM edges0 e JOIN deg d USING (src)
+), nodes AS (
+  SELECT DISTINCT src AS node,
+         CASE WHEN src % 7 = 0 THEN 1 ELSE 0 END AS is_seed
+  FROM edges0
+), const AS (
+  SELECT CAST(1000000000000000 // sum(is_seed) AS BIGINT) AS base
+  FROM nodes
+), r0 AS (
+  SELECT node, is_seed,
+         CAST(is_seed * (SELECT base FROM const) AS BIGINT) AS pr
+  FROM nodes
+)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""", r{i} AS (
+  SELECT n.node, n.is_seed,
+         CAST(n.is_seed * ((15 * (SELECT base FROM const)) // 100)
+              + (85 * COALESCE(s.inflow, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(r.pr // e.outdeg) AS BIGINT) AS inflow
+    FROM edges e JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+)""")
+    tail = f"""
+SELECT node AS user_id, pr AS rank_units
+FROM r{iters}
+ORDER BY rank_units DESC, user_id
+LIMIT 50
+"""
+    return head + "".join(steps) + tail
+
+
+_EVENTS_PPR_ORACLE = _ppr_oracle()
+
+
+def q_whale_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A52 — whale concentration: the revenue share of the top 1 % of
+    customers by exact-cents spend (n_whales = ceil(n/100)), the
+    one-number complement to the A37 Gini curve. The global descending
+    rank is plans/scale.ranged_cumsum of a ones column over the
+    (-cents, custkey) total order — range-partitioned, never a
+    single-partition window — and the share is one IEEE division of two
+    exact BIGINTs."""
+    from floatchat_datapipeline_spark.plans.scale import ranged_cumsum
+
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+        .withColumn("neg", -F.col("cents"))
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    ranked = ranged_cumsum(
+        cust, order_cols=["neg", "o_custkey"], value_col="one",
+        out_col="rnk",
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    return j.agg(
+        F.max("n").alias("n_customers"),
+        F.max(F.expr("(n + 99) div 100")).alias("n_whales"),
+        F.sum(
+            F.when(
+                F.col("rnk") <= F.expr("(n + 99) div 100"),
+                F.col("cents"),
+            ).otherwise(F.lit(0))
+        ).alias("whale_cents"),
+        F.max("total_cents").alias("total_cents"),
+        (
+            F.sum(
+                F.when(
+                    F.col("rnk") <= F.expr("(n + 99) div 100"),
+                    F.col("cents"),
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / F.max("total_cents").cast("double")
+        ).alias("whale_share"),
+    )
+
+
+_WHALE_REVENUE_SHARE_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY -cents, o_custkey) AS rnk
+  FROM cust
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS total_cents
+  FROM ranked
+)
+SELECT t.n AS n_customers,
+       (t.n + 99) // 100 AS n_whales,
+       CAST(sum(CASE WHEN r.rnk <= (t.n + 99) // 100
+                THEN r.cents ELSE 0 END) AS BIGINT) AS whale_cents,
+       t.total_cents,
+       CAST(sum(CASE WHEN r.rnk <= (t.n + 99) // 100
+                THEN r.cents ELSE 0 END) AS BIGINT)::DOUBLE
+         / CAST(t.total_cents AS DOUBLE) AS whale_share
+FROM ranked r CROSS JOIN tot t
+GROUP BY t.n, t.total_cents
+"""
+
+
+def q_events_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K13 — time-travel read over the K11 SCD2 dimension: reconstruct
+    the per-(user, event_type) attribute state AS OF the corpus-midpoint
+    instant (valid_from ≤ T < valid_to, open rows unbounded) — the
+    query that makes the SCD2 lineage USEFUL: any historical snapshot
+    without storing snapshots. T derives from the data ((min+max)/2
+    epoch seconds, integer div), so the query is self-contained and the
+    oracle replays the same interval filter over the same compaction.
+
+    Scale: the SCD2 compaction is the K11 single-shuffle plan; the
+    as-of filter is a per-row predicate on its output (at 100 TB this
+    is where interval-aligned partitioning / Z-ordering on valid_from
+    pays off — Z1's layout applies directly)."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_seconds,
+    )
+    from floatchat_datapipeline_spark.operators.windows import scd2_compact
+
+    ev = load_table(spark, sf_dir, "events")
+    # midpoint via one tiny agg, broadcast as a 1-row dim
+    bounds = ev.select(epoch_seconds(F.col("ts")).alias("es")).agg(
+        F.expr("(min(es) + max(es)) div 2").alias("t_mid")
+    )
+    hist = scd2_compact(ev)
+    j = hist.crossJoin(F.broadcast(bounds))
+    return j.filter(
+        (epoch_seconds(F.col("valid_from")) <= F.col("t_mid"))
+        & (
+            F.col("valid_to").isNull()
+            | (epoch_seconds(F.col("valid_to")) > F.col("t_mid"))
+        )
+    ).select("user_id", "event_type", "value", "valid_from")
+
+
+_EVENTS_SCD2_ASOF_ORACLE = """
+WITH bounds AS (
+  SELECT (min(epoch_us(ts) // 1000000)
+          + max(epoch_us(ts) // 1000000)) // 2 AS t_mid
+  FROM events
+), ordered AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         lag(value) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), changes AS (
+  SELECT * FROM ordered WHERE rn = 1 OR value IS DISTINCT FROM prev
+), hist AS (
+  SELECT user_id, event_type, value, ts AS valid_from,
+         lead(ts) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS valid_to
+  FROM changes
+)
+SELECT h.user_id, h.event_type, h.value, h.valid_from
+FROM hist h CROSS JOIN bounds b
+WHERE epoch_us(h.valid_from) // 1000000 <= b.t_mid
+  AND (h.valid_to IS NULL
+       OR epoch_us(h.valid_to) // 1000000 > b.t_mid)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11399,6 +11628,15 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_media_phash_pairs,
             _MEDIA_PHASH_PAIRS_ORACLE,
             ("D12", "multimodal-phash"),
+        ),
+        "events_ppr": QuerySpec(
+            q_events_ppr, _EVENTS_PPR_ORACLE, ("G7",)
+        ),
+        "whale_revenue_share": QuerySpec(
+            q_whale_revenue_share, _WHALE_REVENUE_SHARE_ORACLE, ("A52",)
+        ),
+        "events_scd2_asof": QuerySpec(
+            q_events_scd2_asof, _EVENTS_SCD2_ASOF_ORACLE, ("K13",)
         ),
         "cohort_ltv_curve": QuerySpec(
             q_cohort_ltv_curve, _COHORT_LTV_CURVE_ORACLE, ("A44",)

@@ -278,6 +278,12 @@ SURVEY_IDS = [
     "A51",
     # perceptual-hash banded near-dup over binary media columns
     "D12",
+    # personalized PageRank (seed-teleport BIGINT fixed point)
+    "G7",
+    # top-1% whale revenue share (ranged descending rank)
+    "A52",
+    # SCD2 time-travel as-of snapshot read
+    "K13",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
