@@ -75,14 +75,26 @@ def main() -> None:
         names.remove("ann_pq_topk")
         names.append("ann_pq_topk")
 
-    # The D5 duplicate-component closure is corpus state shared by three
-    # queries (dup clusters, dedup apply, leakage-safe split). Run the
+    # The D5 duplicate-component closure is corpus state shared by its
+    # consumer queries (dup clusters, dedup apply, leakage-safe split,
+    # cluster-size audit, token-savings report). Run the
     # closure-defining query FIRST among them so its cold row carries the
     # one-time build and the chain's other rows measure downstream work
     # against the warm index (same accounting as the PQ train/warm split).
-    if "doc_dup_clusters" in names and "doc_dedup_apply" in names:
+    d5_consumers = [
+        n
+        for n in (
+            "dedup_token_savings",
+            "doc_dedup_apply",
+            "doc_leakage_safe_split",
+            "dup_cluster_sizes",
+        )
+        if n in names
+    ]
+    if "doc_dup_clusters" in names and d5_consumers:
         names.remove("doc_dup_clusters")
-        names.insert(names.index("doc_dedup_apply"), "doc_dup_clusters")
+        first = min(names.index(n) for n in d5_consumers)
+        names.insert(first, "doc_dup_clusters")
 
     # Warm the JVM/readers AND the Python UDF workers once so per-query
     # numbers measure the queries, not session/daemon startup (the first

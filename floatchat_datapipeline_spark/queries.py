@@ -10925,8 +10925,13 @@ def q_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one partial-agg cell rollup over the fact table; margins
     come from the CELL table (langs×sources rows), broadcast back."""
     docs = load_table(spark, sf_dir, "documents")
-    cells = docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("nij")
+    # langs×sources rows; localCheckpoint so the three margin branches
+    # and the joinback reuse ONE fact rollup instead of four scans
+    # (two-branch rule).
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .localCheckpoint(eager=True)
     )
     rmarg = cells.groupBy("lang").agg(F.sum("nij").alias("ri"))
     cmarg = cells.groupBy("source").agg(F.sum("nij").alias("cj"))
@@ -11382,6 +11387,88 @@ WHERE epoch_us(h.valid_from) // 1000000 <= b.t_mid
 """
 
 
+def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L28 — dedup token-budget report per source: whitespace-token
+    mass before dedup, the mass on removable docs (every non-keeper of
+    a D5 near-dup component; keeper = min doc_id), and the survival
+    fraction — the number a pretraining-budget owner reads BEFORE
+    approving the dedup pass ('dedup costs us 7 % of src3's tokens').
+    Reuses the memoized D5 component index; one division per source.
+
+    Scale: token counting is map-only arithmetic on length(); the
+    component join is a broadcast of the (small) dup-membership set —
+    the D5 dedup-apply pattern."""
+    from floatchat_datapipeline_spark.operators.dedup import dup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dup_components(docs, spark, cache_key=sf_dir)
+    keepers = comp.groupBy("component").agg(
+        F.min("doc_id").alias("keeper")
+    )
+    removable = (
+        comp.join(
+            F.broadcast(keepers),
+            comp.component == keepers.component,
+        )
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+        .withColumn("_rm", F.lit(1))
+    )
+    toks = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", " ", ""))
+        + 1
+    ).cast("long")
+    flagged = docs.select(
+        "source", "doc_id", toks.alias("toks")
+    ).join(F.broadcast(removable), "doc_id", "left")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("_rm") == 1, F.col("toks")).otherwise(0)
+        ).alias("removable_tokens"),
+        (
+            (
+                F.sum("toks")
+                - F.sum(
+                    F.when(F.col("_rm") == 1, F.col("toks")).otherwise(0)
+                )
+            ).cast("double")
+            / F.sum("toks").cast("double")
+        ).alias("kept_fraction"),
+    )
+
+
+_DEDUP_TOKEN_SAVINGS_ORACLE = f"""
+WITH RECURSIVE {_DUP_COMPONENTS_SQL},
+keepers AS (
+  SELECT component, min(doc_id) AS keeper FROM comp GROUP BY 1
+),
+removable AS (
+  SELECT c.doc_id
+  FROM comp c JOIN keepers k ON c.component = k.component
+  WHERE c.doc_id <> k.keeper
+),
+flagged AS (
+  SELECT d.source,
+         CAST(length(d.text) - length(replace(d.text, ' ', '')) + 1
+              AS BIGINT) AS toks,
+         CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rm
+  FROM documents d LEFT JOIN removable r ON d.doc_id = r.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN rm = 1 THEN toks ELSE 0 END) AS BIGINT)
+         AS removable_tokens,
+       CAST(sum(toks) - sum(CASE WHEN rm = 1 THEN toks ELSE 0 END)
+            AS BIGINT)::DOUBLE
+         / CAST(sum(toks) AS BIGINT)::DOUBLE AS kept_fraction
+FROM flagged GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11637,6 +11724,9 @@ def _base_registry() -> dict[str, QuerySpec]:
         ),
         "events_scd2_asof": QuerySpec(
             q_events_scd2_asof, _EVENTS_SCD2_ASOF_ORACLE, ("K13",)
+        ),
+        "dedup_token_savings": QuerySpec(
+            q_dedup_token_savings, _DEDUP_TOKEN_SAVINGS_ORACLE, ("L28",)
         ),
         "cohort_ltv_curve": QuerySpec(
             q_cohort_ltv_curve, _COHORT_LTV_CURVE_ORACLE, ("A44",)

@@ -284,6 +284,8 @@ SURVEY_IDS = [
     "A52",
     # SCD2 time-travel as-of snapshot read
     "K13",
+    # dedup token-budget report (removable token mass per source)
+    "L28",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
