@@ -9357,7 +9357,8 @@ _TRADE_CORE_ORACLE = _trade_core_oracle()
 def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TS20 — autocorrelation function of the hourly event-count series
     per event_type, lags 1..12 (the seasonality detector feeding
-    forecast-model selection: a 24-lag echo means daily cycle). The
+    forecast-model selection; extend max_lag to 24 to surface a full
+    daily echo — the plan shape is lag-count-invariant). The
     series is densified onto the full hour spine (missing hours are
     true zeros for count data) so lags never skip gaps; all five sums
     (Σx Σy Σxy Σxx Σyy) are exact BIGINTs over integer counts and the
