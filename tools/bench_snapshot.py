@@ -33,6 +33,8 @@ MAX_PROBE = 0.5
 
 
 def main() -> None:
+    import time
+
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     force = os.environ.get("BENCH_SNAPSHOT_FORCE") == "1"
     merged: dict | None = None
@@ -41,6 +43,15 @@ def main() -> None:
     totals: list[float] = []
     for i in range(runs):
         load0 = round(os.getloadavg()[0], 2)
+        if i > 0:
+            # Between runs the 1-minute average still carries OUR OWN
+            # previous bench (local[32] for ~3.5 min) — that is not
+            # contention. Wait for it to decay instead of refusing.
+            waited = 0
+            while load0 > MAX_LOAD and waited < 300:
+                time.sleep(20)
+                waited += 20
+                load0 = round(os.getloadavg()[0], 2)
         if load0 > MAX_LOAD and not force:
             print(
                 f"refusing: load_avg {load0} > {MAX_LOAD} before run {i + 1} "
