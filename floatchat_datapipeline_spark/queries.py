@@ -9249,28 +9249,19 @@ def q_stream_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_CAPPED_SESSIONS_ORACLE = _EVENTS_CAPPED_SESSIONS_ORACLE
 
 
-def q_trade_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G6 — k-core decomposition of the bipartite customer↔supplier
-    trade graph (node 2·custkey / 2·suppkey+1, an edge per distinct
-    trading pair from lineitem⋈orders): the maximal subgraph where
-    every surviving node keeps ≥ k trading partners — the "dense
-    trading core" a marketplace-health dashboard watches. The
-    co-activity graph is degree-homogeneous (every fixed k is vacuous
-    at sf0.01 — SURVEY §2 G6 note), but this graph is heavy-tailed by
-    construction (customers ≈ 33 partners, suppliers ≈ 480 at sf0.01),
-    so k derived from the data splits the population at every SF:
-    k = (n_edges div n_customers) + 1 — one BIGINT division, identical
-    in both engines, just above the mean customer degree.
+_TRADE_EDGE_CACHE: dict[tuple, DataFrame] = {}
 
-    Scale: 4 fixed peel rounds (measured peel depth ≤ 2 at sf0.001/
-    0.01/0.1; the `converged` certificate is itself parity-checked, so
-    a graph needing more rounds fails loudly, not silently). Each round
-    is one partial-agg degree count + two semi-joins on the shrinking
-    edge set (operators/graph.k_core); the edge list is
-    localCheckpointed once — the k-scalar branch and the peel rounds
-    must not re-execute the join+distinct (two-branch rule)."""
-    from floatchat_datapipeline_spark.operators.graph import k_core
 
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite customer↔supplier trade edge list (node 2·custkey /
+    2·suppkey+1, both directions, distinct pairs from lineitem⋈orders),
+    memoized per (corpus, session) and localCheckpointed — the
+    coactivity-edge lifecycle: G6 k-core and G8 assortativity share one
+    build (operators/graph._EDGE_CACHE pattern, applicationId-keyed so
+    a session restart can't resurrect dead RDD state)."""
+    memo = (sf_dir, spark.sparkContext.applicationId)
+    if memo in _TRADE_EDGE_CACHE:
+        return _TRADE_EDGE_CACHE[memo]
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
@@ -9295,6 +9286,33 @@ def q_trade_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    _TRADE_EDGE_CACHE[memo] = edges
+    return edges
+
+
+def q_trade_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 — k-core decomposition of the bipartite customer↔supplier
+    trade graph (node 2·custkey / 2·suppkey+1, an edge per distinct
+    trading pair from lineitem⋈orders): the maximal subgraph where
+    every surviving node keeps ≥ k trading partners — the "dense
+    trading core" a marketplace-health dashboard watches. The
+    co-activity graph is degree-homogeneous (every fixed k is vacuous
+    at sf0.01 — SURVEY §2 G6 note), but this graph is heavy-tailed by
+    construction (customers ≈ 33 partners, suppliers ≈ 480 at sf0.01),
+    so k derived from the data splits the population at every SF:
+    k = (n_edges div n_customers) + 1 — one BIGINT division, identical
+    in both engines, just above the mean customer degree.
+
+    Scale: 4 fixed peel rounds (measured peel depth ≤ 2 at sf0.001/
+    0.01/0.1; the `converged` certificate is itself parity-checked, so
+    a graph needing more rounds fails loudly, not silently). Each round
+    is one partial-agg degree count + two semi-joins on the shrinking
+    edge set (operators/graph.k_core); the edge list is
+    localCheckpointed once — the k-scalar branch and the peel rounds
+    must not re-execute the join+distinct (two-branch rule)."""
+    from floatchat_datapipeline_spark.operators.graph import k_core
+
+    edges = _trade_edges(spark, sf_dir)
     row = (
         edges.filter(F.col("src") % 2 == 0)
         .agg(
@@ -11470,6 +11488,315 @@ FROM flagged GROUP BY 1
 """
 
 
+def q_incident_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4 — uptime report, the I3 overlap join's consuming KPI: per
+    (user, active day), total active seconds, seconds spent inside any
+    merged error-incident window, and the uptime fraction (one exact
+    BIGINT division). Incident intervals are pre-merged by the I2
+    gaps-and-islands rule, so overlapping incidents can never
+    double-count a second.
+
+    Scale: same shape as I3 (user-keyed equi-join + theta overlap) plus
+    one partial-agg rollup back to the (user, day) grain."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_seconds,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        epoch_seconds(F.col("ts")).alias("es"),
+    )
+    act = (
+        ev.groupBy("user_id", F.expr("es div 86400").alias("day"))
+        .agg(F.min("es").alias("a_start"), F.max("es").alias("a_end"))
+        .filter(F.col("a_end") > F.col("a_start"))
+    )
+    err = ev.filter(F.col("event_type") == "error").select("user_id", "es")
+    w = Window.partitionBy("user_id").orderBy("es", "user_id")
+    prev_end = F.max(F.col("es") + 3600).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = err.select(
+        "user_id",
+        "es",
+        F.when(prev_end.isNull() | (F.col("es") > prev_end), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    incidents = (
+        flagged.select(
+            "user_id",
+            "es",
+            F.sum("new_island")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("island"),
+        )
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("es").alias("i_start"),
+            (F.max("es") + 3600).alias("i_end"),
+        )
+    )
+    joined = act.join(incidents, "user_id").filter(
+        (F.col("i_start") < F.col("a_end"))
+        & (F.col("a_start") < F.col("i_end"))
+    )
+    down = joined.groupBy("user_id", "day").agg(
+        F.sum(
+            F.least("a_end", "i_end") - F.greatest("a_start", "i_start")
+        ).alias("down_seconds")
+    )
+    return (
+        act.join(down, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            (F.col("a_end") - F.col("a_start")).alias("active_seconds"),
+            F.coalesce("down_seconds", F.lit(0)).alias(
+                "incident_seconds"
+            ),
+            (
+                (
+                    F.col("a_end")
+                    - F.col("a_start")
+                    - F.coalesce("down_seconds", F.lit(0))
+                ).cast("double")
+                / (F.col("a_end") - F.col("a_start")).cast("double")
+            ).alias("uptime_fraction"),
+        )
+    )
+
+
+_INCIDENT_UPTIME_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS es FROM events
+), act AS (
+  SELECT user_id, es // 86400 AS day,
+         min(es) AS a_start, max(es) AS a_end
+  FROM ev GROUP BY 1, 2 HAVING max(es) > min(es)
+), err AS (
+  SELECT user_id, es FROM ev WHERE event_type = 'error'
+), flagged AS (
+  SELECT user_id, es,
+         CASE WHEN max(es + 3600) OVER (
+                PARTITION BY user_id ORDER BY es, user_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              IS NULL
+           OR es > max(es + 3600) OVER (
+                PARTITION BY user_id ORDER BY es, user_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_island
+  FROM err
+), islands AS (
+  SELECT user_id, es,
+         sum(new_island) OVER (
+           PARTITION BY user_id ORDER BY es, user_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), incidents AS (
+  SELECT user_id, island, min(es) AS i_start, max(es) + 3600 AS i_end
+  FROM islands GROUP BY 1, 2
+), down AS (
+  SELECT a.user_id, a.day,
+         CAST(sum(least(a.a_end, i.i_end)
+                  - greatest(a.a_start, i.i_start)) AS BIGINT)
+           AS down_seconds
+  FROM act a JOIN incidents i
+    ON a.user_id = i.user_id
+   AND i.i_start < a.a_end AND a.a_start < i.i_end
+  GROUP BY 1, 2
+)
+SELECT a.user_id, a.day,
+       a.a_end - a.a_start AS active_seconds,
+       COALESCE(d.down_seconds, 0) AS incident_seconds,
+       CAST(a.a_end - a.a_start - COALESCE(d.down_seconds, 0) AS DOUBLE)
+         / CAST(a.a_end - a.a_start AS DOUBLE) AS uptime_fraction
+FROM act a LEFT JOIN down d ON a.user_id = d.user_id AND a.day = d.day
+"""
+
+
+def q_events_wilson_lb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A53 — Wilson 95 % lower confidence bound on the per-type share
+    of high-value events (cents ≥ 10000): the rate a dashboard should
+    display INSTEAD of the raw proportion when n varies across groups
+    (small-n groups get honestly wider intervals). Parity is the
+    haversine rule applied to a pure-double tree: s and n are exact
+    BIGINTs, and every engine evaluates the identical op sequence —
+    p = s/n, z = 196e-2 literal, center = p + z²/(2n),
+    rad = z·√(p(1−p)/n + z²/(4n²)), LB = (center − rad)/(1 + z²/n) —
+    so each intermediate double is bit-identical.
+
+    Scale: one partial-aggregable rollup; five output rows."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.round(F.col("value") * 100).cast("long") >= 10000).cast(
+                "long"
+            )
+        ).alias("s"),
+    )
+    return per.select(
+        "event_type",
+        "n",
+        "s",
+        F.expr(
+            "(((cast(s as double) / cast(n as double))"
+            " + (196e-2 * 196e-2) / (2e0 * cast(n as double)))"
+            " - 196e-2 * sqrt("
+            "   ((cast(s as double) / cast(n as double))"
+            "    * (1e0 - cast(s as double) / cast(n as double)))"
+            "   / cast(n as double)"
+            "   + (196e-2 * 196e-2)"
+            "     / (4e0 * cast(n as double) * cast(n as double))))"
+            " / (1e0 + (196e-2 * 196e-2) / cast(n as double))"
+        ).alias("wilson_lb"),
+    )
+
+
+_EVENTS_WILSON_LB_ORACLE = """
+WITH per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) >= 10000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM events GROUP BY 1
+)
+SELECT event_type, n, s,
+       (((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         + (196e-2 * 196e-2) / (2e0 * CAST(n AS DOUBLE)))
+        - 196e-2 * sqrt(
+            ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1e0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+            / CAST(n AS DOUBLE)
+            + (196e-2 * 196e-2)
+              / (4e0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+       / (1e0 + (196e-2 * 196e-2) / CAST(n AS DOUBLE)) AS wilson_lb
+FROM per
+"""
+
+
+def q_trade_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 — degree assortativity of the bipartite customer↔supplier
+    trade graph: the Pearson correlation of (outdeg(src), outdeg(dst))
+    over all directed edges — strongly negative on a hub-spoke
+    bipartite graph (low-degree customers attach to high-degree
+    suppliers), the one-number structure fingerprint next to G5's
+    degree CCDF. Degrees are exact integers, the five sums are BIGINT
+    partial aggs, and r is the num/(sqrt·sqrt) fixed call sequence.
+    (2^63 bound: M·Σ(j·k) ≤ M²·maxdeg² — safe to ~10^7 edges at
+    10^3-degree hubs; prescale degrees by a common divisor beyond.)
+
+    Scale: one degree rollup + two broadcast joinbacks of the degree
+    table onto the edge list; no window anywhere."""
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    j = (
+        edges.join(F.broadcast(deg), "src")
+        .withColumnRenamed("d", "dj")
+        .join(
+            F.broadcast(deg.withColumnRenamed("src", "dst")),
+            "dst",
+        )
+        .withColumnRenamed("d", "dk")
+    )
+    m = F.count(F.lit(1))
+    sj, sk = F.sum("dj"), F.sum("dk")
+    sjk = F.sum(F.col("dj") * F.col("dk"))
+    sjj = F.sum(F.col("dj") * F.col("dj"))
+    skk = F.sum(F.col("dk") * F.col("dk"))
+    agg = j.agg(
+        m.alias("n_edges"),
+        (m * sjk - sj * sk).alias("num"),
+        (m * sjj - sj * sj).alias("d1"),
+        (m * skk - sk * sk).alias("d2"),
+    )
+    return agg.select(
+        "n_edges",
+        F.when(
+            (F.col("d1") > 0) & (F.col("d2") > 0),
+            F.col("num").cast("double")
+            / (
+                F.sqrt(F.col("d1").cast("double"))
+                * F.sqrt(F.col("d2").cast("double"))
+            ),
+        ).alias("assortativity"),
+    )
+
+
+_TRADE_ASSORTATIVITY_ORACLE = """
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), e0 AS MATERIALIZED (
+  SELECT 2 * c AS src, 2 * s + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT 2 * s + 1 AS src, 2 * c AS dst FROM pairs
+), deg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM e0 GROUP BY 1
+), j AS (
+  SELECT a.d AS dj, b.d AS dk
+  FROM e0 e
+  JOIN deg a ON e.src = a.src
+  JOIN deg b ON e.dst = b.src
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(count(*) * sum(dj * dk) - sum(dj) * sum(dk) AS BIGINT)
+           AS num,
+         CAST(count(*) * sum(dj * dj) - sum(dj) * sum(dj) AS BIGINT)
+           AS d1,
+         CAST(count(*) * sum(dk * dk) - sum(dk) * sum(dk) AS BIGINT)
+           AS d2
+  FROM j
+)
+SELECT n_edges,
+       CASE WHEN d1 > 0 AND d2 > 0 THEN
+         CAST(num AS DOUBLE)
+         / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE)))
+       END AS assortativity
+FROM agg
+"""
+
+
+def q_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20 — the A48 sample-ratio-mismatch guardrail as a STREAMING
+    aggregation: per-type variant counts accumulate in streaming state
+    (update mode) while events arrive; the chi-square and the
+    integer-cross-multiplied alarm are derived on the final state. The
+    batch SRM oracle checks it because the harness source replays the
+    full backlog — the S10/S14 stream-twin contract."""
+    from floatchat_datapipeline_spark.streaming.run import materialize
+    from floatchat_datapipeline_spark.streaming.sources import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+        ).alias("n0"),
+        F.sum(
+            F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)
+        ).alias("n1"),
+    )
+    # complete mode: the memory sink holds exactly the final state table
+    # (update mode could emit a key once per micro-batch under a
+    # multi-batch AvailableNow replay).
+    counts = materialize(per, "q_stream_srm", output_mode="complete")
+    d = F.col("n0") - F.col("n1")
+    tot = F.col("n0") + F.col("n1")
+    return counts.select(
+        "event_type",
+        "n0",
+        "n1",
+        ((d * d).cast("double") / tot.cast("double")).alias("chi2"),
+        (10000 * d * d > 38415 * tot).alias("srm_alarm"),
+    )
+
+
+_STREAM_SRM_ORACLE = _EVENTS_SRM_ORACLE
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -11728,6 +12055,18 @@ def _base_registry() -> dict[str, QuerySpec]:
         ),
         "dedup_token_savings": QuerySpec(
             q_dedup_token_savings, _DEDUP_TOKEN_SAVINGS_ORACLE, ("L28",)
+        ),
+        "incident_uptime": QuerySpec(
+            q_incident_uptime, _INCIDENT_UPTIME_ORACLE, ("I4",)
+        ),
+        "events_wilson_lb": QuerySpec(
+            q_events_wilson_lb, _EVENTS_WILSON_LB_ORACLE, ("A53",)
+        ),
+        "trade_assortativity": QuerySpec(
+            q_trade_assortativity, _TRADE_ASSORTATIVITY_ORACLE, ("G8",)
+        ),
+        "stream_srm": QuerySpec(
+            q_stream_srm, _STREAM_SRM_ORACLE, ("S20",)
         ),
         "cohort_ltv_curve": QuerySpec(
             q_cohort_ltv_curve, _COHORT_LTV_CURVE_ORACLE, ("A44",)

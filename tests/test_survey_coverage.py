@@ -286,6 +286,14 @@ SURVEY_IDS = [
     "K13",
     # dedup token-budget report (removable token mass per source)
     "L28",
+    # uptime report (active seconds minus merged incident overlap)
+    "I4",
+    # Wilson 95% lower confidence bound (fixed pure-double tree)
+    "A53",
+    # degree assortativity of the trade graph (exact integer sums)
+    "G8",
+    # streaming sample-ratio-mismatch guardrail (complete-mode state)
+    "S20",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
