@@ -103,3 +103,32 @@ def test_u_shape_split_closed_form_conserves(cents, n):
         )
     assert sum(credits) == cents
     assert len(credits) == n
+
+
+def test_trade_edges_memoized_per_session(spark, sf_dir):
+    """G6 k-core and G8 assortativity share one edge build per
+    (corpus, session) — a second call must return the SAME checkpointed
+    DataFrame, and the memo key must carry the applicationId (the
+    coactivity-edge session-restart rule)."""
+    from floatchat_datapipeline_spark import queries as Q
+
+    e1 = Q._trade_edges(spark, sf_dir)
+    e2 = Q._trade_edges(spark, sf_dir)
+    assert e1 is e2
+    app = spark.sparkContext.applicationId
+    assert any(k[1] == app for k in Q._TRADE_EDGE_CACHE), (
+        "memo key must include applicationId"
+    )
+
+
+def test_bench_snapshot_contention_gates():
+    """The committed-bench tool must expose the contention thresholds the
+    round process relies on (refuse load>2 ambient / probe>0.5)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import bench_snapshot
+
+    assert bench_snapshot.MAX_LOAD == 2.0
+    assert bench_snapshot.MAX_PROBE == 0.5
