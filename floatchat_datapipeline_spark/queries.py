@@ -11797,6 +11797,184 @@ def q_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SRM_ORACLE = _EVENTS_SRM_ORACLE
 
 
+def q_events_roc_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS24 — robust rate-of-change alarms: hour-over-hour deltas of
+    the densified per-type count series, alarmed where the delta sits
+    more than 3 robust sigmas (MAD) from the per-type median delta —
+    the derivative-space twin of the A20 level-space MAD outliers
+    (spikes AND cliffs fire; a high-but-flat plateau doesn't). Deltas
+    are exact BIGINTs; median and MAD are R-7 percentiles (the
+    cross-engine-identical interpolation), and the gate compares the
+    identical doubles both engines computed — the A20 precedent.
+
+    Scale: one hourly partial-agg; lag, the two percentile rollups, and
+    the joinbacks all run on the types×hours domain."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+    from pyspark.sql import Window
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            long_div(
+                epoch_micros(F.date_trunc("hour", F.col("ts"))),
+                3_600_000_000,
+            ).alias("hx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hx").alias("lo"), F.max("hx").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("hx")
+    )
+    dense = spine.join(hourly, ["event_type", "hx"], "left").select(
+        "event_type", "hx", F.coalesce("n", F.lit(0)).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("hx")
+    # types×hours rows; checkpointed because THREE branches consume it
+    # (median rollup, deviation join, final filter) — un-checkpointed,
+    # each re-runs the fact rollup + spine + lag (two-branch rule;
+    # measured 7.8 s → ~1 s at sf0.01).
+    deltas = (
+        dense.select(
+            "event_type",
+            "hx",
+            "x",
+            (F.col("x") - F.lag("x", 1).over(w)).alias("delta"),
+        )
+        .filter(F.col("delta").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    med = deltas.groupBy("event_type").agg(
+        F.expr("percentile(delta, 0.5e0)").alias("med")
+    )
+    devs = (
+        deltas.join(F.broadcast(med), "event_type")
+        .withColumn("dev", F.abs(F.col("delta") - F.col("med")))
+        .localCheckpoint(eager=True)
+    )
+    mad = devs.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5e0)").alias("mad")
+    )
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > 3 * F.col("mad"))
+        .select("event_type", "hx", "x", "delta")
+    )
+
+
+_EVENTS_ROC_ALARMS_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS hx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(hx) AS lo, max(hx) AS hi FROM hourly GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS hx FROM bounds
+), dense AS (
+  SELECT s.event_type, s.hx, COALESCE(h.n, 0) AS x
+  FROM spine s LEFT JOIN hourly h USING (event_type, hx)
+), deltas AS (
+  SELECT event_type, hx, x,
+         x - lag(x) OVER (PARTITION BY event_type ORDER BY hx) AS delta
+  FROM dense
+), nn AS (
+  SELECT * FROM deltas WHERE delta IS NOT NULL
+), med AS (
+  SELECT event_type, quantile_cont(delta, 0.5e0) AS med
+  FROM nn GROUP BY 1
+), devs AS (
+  SELECT n.event_type, n.hx, n.x, n.delta,
+         abs(n.delta - m.med) AS dev
+  FROM nn n JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5e0) AS mad
+  FROM devs GROUP BY 1
+)
+SELECT d.event_type, d.hx, d.x, d.delta
+FROM devs d JOIN mad m USING (event_type)
+WHERE d.dev > 3 * m.mad
+"""
+
+
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V15 — accuracy certificate for the V14 random-projection ANN:
+    run the RP top-10 AND the exact quantized-L2 brute force, report
+    recall@10 and a certified boolean (recall ≥ 0.8) — the A9/A11
+    sketch-certificate pattern applied to vector search. This is the QA
+    job an ANN deployment runs on a sample before trusting the index;
+    at 100 TB the brute-force leg runs on a sampled slice while the RP
+    leg is the production path (here the full corpus IS the sample).
+
+    One row out; the intersection is a 10×10 id join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rp = q_emb_rp_topk(spark, sf_dir).select("vec_id")
+    q64 = F.expr(
+        "transform(embedding, x -> "
+        "cast(round(cast(x as double) * 10000) as bigint))"
+    )
+    base = emb.select("vec_id", q64.alias("q64"))
+    qrow = base.filter(F.col("vec_id") == 0).select(
+        F.col("q64").alias("qq")
+    )
+    brute = (
+        base.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(q64, qq, (a, b) -> (a-b)*(a-b)), "
+                "0L, (acc, x) -> acc + x)"
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = rp.join(brute, "vec_id")
+    return hits.agg(
+        F.lit(10).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall"),
+        (F.count(F.lit(1)) >= 8).alias("certified"),
+    )
+
+
+_ANN_RECALL_AUDIT_ORACLE = f"""
+WITH rp AS ({_EMB_RP_TOPK_ORACLE}),
+base2 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q64
+  FROM embeddings
+), qv2 AS (
+  SELECT q64 AS qq FROM base2 WHERE vec_id = 0
+), brute AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           CAST(list_dot_product(
+             list_transform(list_zip(q64, (SELECT qq FROM qv2)),
+                            s -> s[1] - s[2]),
+             list_transform(list_zip(q64, (SELECT qq FROM qv2)),
+                            s -> s[1] - s[2])) AS BIGINT) AS d
+    FROM base2 WHERE vec_id <> 0)
+  ORDER BY d, vec_id LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(*) AS DOUBLE) / 10 AS recall,
+       count(*) >= 8 AS certified
+FROM rp JOIN brute USING (vec_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -12067,6 +12245,12 @@ def _base_registry() -> dict[str, QuerySpec]:
         ),
         "stream_srm": QuerySpec(
             q_stream_srm, _STREAM_SRM_ORACLE, ("S20",)
+        ),
+        "events_roc_alarms": QuerySpec(
+            q_events_roc_alarms, _EVENTS_ROC_ALARMS_ORACLE, ("TS24",)
+        ),
+        "ann_recall_audit": QuerySpec(
+            q_ann_recall_audit, _ANN_RECALL_AUDIT_ORACLE, ("V15",)
         ),
         "cohort_ltv_curve": QuerySpec(
             q_cohort_ltv_curve, _COHORT_LTV_CURVE_ORACLE, ("A44",)

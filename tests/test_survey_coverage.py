@@ -294,6 +294,10 @@ SURVEY_IDS = [
     "G8",
     # streaming sample-ratio-mismatch guardrail (complete-mode state)
     "S20",
+    # robust rate-of-change alarms (MAD in derivative space)
+    "TS24",
+    # ANN recall certificate (RP top-k vs exact brute force)
+    "V15",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
