@@ -472,7 +472,7 @@ def link_prediction_scores(
 
 
 def k_core(
-    edges: DataFrame, k: int = 3, rounds: int = 16
+    edges: DataFrame, k: int | DataFrame = 3, rounds: int = 16
 ) -> DataFrame:
     """G6 — k-core decomposition by iterative peeling: repeatedly drop
     nodes whose degree within the surviving subgraph is < k; the fixed
@@ -485,15 +485,31 @@ def k_core(
     certifies convergence on any graph whose peel sequence is shorter,
     and a false certificate is itself parity-checked. Each round is
     one semi-join + one degree agg on the shrinking edge set,
-    localCheckpointed every 4 rounds to cut lineage (the iterative-
-    loop rule; ~0.5 s/round scheduling floor in local mode is
-    amortized at scale)."""
+    localCheckpointed EVERY round: each round references the surviving
+    edges three times, so an un-checkpointed chain re-executes a
+    3^rounds-wide DAG (measured 8-9 s at sf0.1 on an every-4-rounds
+    cadence vs ~3 s per-round — the eager materialization is cheaper
+    than one re-evaluation).
+
+    `k` may be an int or a 1-row DataFrame with a single `k` column —
+    the latter folds a data-derived threshold into the lazy plan as a
+    broadcast scalar join (the whale_revenue_share pattern) instead of
+    forcing the caller into an eager driver-side .first() before the
+    peel."""
+    k_df = k if isinstance(k, DataFrame) else None
     surv = edges
     prev_n = None
     last_n = None
     for r in range(rounds):
         deg = surv.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("src")
+        if k_df is not None:
+            keep = (
+                deg.crossJoin(F.broadcast(k_df))
+                .filter(F.col("deg") >= F.col("k"))
+                .select("src")
+            )
+        else:
+            keep = deg.filter(F.col("deg") >= k).select("src")
         surv = (
             surv.join(keep, "src")
             .join(keep.withColumnRenamed("src", "dst"), "dst")

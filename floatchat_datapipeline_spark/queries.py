@@ -9313,16 +9313,13 @@ def q_trade_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     from floatchat_datapipeline_spark.operators.graph import k_core
 
     edges = _trade_edges(spark, sf_dir)
-    row = (
-        edges.filter(F.col("src") % 2 == 0)
-        .agg(
-            F.count(F.lit(1)).alias("m"),
-            F.countDistinct("src").alias("n"),
-        )
-        .first()
+    # k folded into the lazy plan as a 1-row broadcast scalar (the
+    # whale_revenue_share pattern) — no eager driver job before the
+    # peel; positive BIGINTs, so div == the oracle's //.
+    k_df = edges.filter(F.col("src") % 2 == 0).agg(
+        F.expr("count(1) div count(DISTINCT src) + 1").alias("k")
     )
-    k = int(row["m"]) // int(row["n"]) + 1  # positive ints: // == div
-    return k_core(edges, k=k, rounds=4).withColumnRenamed(
+    return k_core(edges, k=k_df, rounds=4).withColumnRenamed(
         "user_id", "node_id"
     )
 
@@ -9604,15 +9601,13 @@ def q_doc_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
         F.substring("text", 1, 16).alias("head16"),
-        (
-            (
-                F.length("text")
-                - F.length(F.regexp_replace("text", " ", ""))
-                + 1
-            )
-            / 10
-        ).cast("long").alias("tok_decade"),
-        (F.col("n_chars") / 50).cast("long").alias("band"),
+        # Integer div, never double / + cast: matches the oracle's //
+        # exactly at every operand range (the doc_calibration_curve rule).
+        F.expr(
+            "(length(text) - length(regexp_replace(text, ' ', '')) + 1)"
+            " div 10"
+        ).alias("tok_decade"),
+        F.expr("n_chars div 50").alias("band"),
     )
     w = Window.partitionBy("lang", "band").orderBy("doc_id")
     ranked = docs.withColumn("rn", F.row_number().over(w))
@@ -10882,11 +10877,14 @@ WITH RECURSIVE hourly AS (
 ), meta AS MATERIALIZED (
   SELECT event_type, CAST(count(*) AS BIGINT) AS npts FROM dense GROUP BY 1
 ), pts AS MATERIALIZED (
-  -- interior points with their equal-count bucket index
+  -- interior points with their equal-count bucket index; short series
+  -- (npts <= nb+2, the Spark path's pass-through guard) are excluded
+  -- here so the bucket division (npts-2 >= nb+1 > 0) is always safe
+  -- and the recursive chain never sees an empty bucket
   SELECT d.event_type, d.t, d.hx, d.x,
          ((d.t - 1) * {nb}) // (m.npts - 2) AS b
   FROM dense d JOIN meta m USING (event_type)
-  WHERE d.t >= 1 AND d.t <= m.npts - 2
+  WHERE m.npts > {nb} + 2 AND d.t >= 1 AND d.t <= m.npts - 2
 ), bsum AS MATERIALIZED (
   SELECT event_type, b, CAST(count(*) AS BIGINT) AS c,
          CAST(sum(t) AS BIGINT) AS sx, CAST(sum(x) AS BIGINT) AS sy
@@ -10894,7 +10892,7 @@ WITH RECURSIVE hourly AS (
 ), lastpt AS MATERIALIZED (
   SELECT d.event_type, d.t, d.hx, d.x
   FROM dense d JOIN meta m USING (event_type)
-  WHERE d.t = m.npts - 1
+  WHERE m.npts > {nb} + 2 AND d.t = m.npts - 1
 ), target AS MATERIALIZED (
   -- bucket k's triangle anchor: bucket k+1's sums, or the final point
   -- for the last bucket (scaled cross-product clears the centroid
@@ -10905,8 +10903,9 @@ WITH RECURSIVE hourly AS (
          t, x
   FROM lastpt
 ), sel AS (
-  SELECT event_type, CAST(-1 AS BIGINT) AS k, t, hx, x
-  FROM dense WHERE t = 0
+  SELECT d.event_type, CAST(-1 AS BIGINT) AS k, d.t, d.hx, d.x
+  FROM dense d JOIN meta m USING (event_type)
+  WHERE m.npts > {nb} + 2 AND d.t = 0
   UNION ALL
   SELECT s.event_type, s.k + 1, c.t, c.hx, c.x
   FROM sel s JOIN LATERAL (
@@ -10925,6 +10924,11 @@ WITH RECURSIVE hourly AS (
 SELECT event_type, t, hx, x FROM sel
 UNION ALL
 SELECT event_type, t, hx, x FROM lastpt
+UNION ALL
+-- short-series pass-through: mirrors the Spark path's n <= nb+2 guard
+SELECT d.event_type, d.t, d.hx, d.x
+FROM dense d JOIN meta m USING (event_type)
+WHERE m.npts <= {nb} + 2
 """
 
 

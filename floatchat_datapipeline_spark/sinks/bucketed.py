@@ -84,24 +84,32 @@ def _layout_tag(sf_dir: str) -> str:
 
 
 def _looks_like_parquet_table(loc: str) -> bool:
-    """True iff every file under `loc` is Spark table-output shaped
-    (part-* data files, _SUCCESS, checksum/_committed sidecars) AND at
-    least one part-* data file or _SUCCESS marker actually exists.
-    Guards the stale-layout rmtree in ensure_bucketed_order_tables
-    against deleting an unrelated directory parked at the expected path
-    — an empty directory or one holding only dotfiles/.crc sidecars is
-    NOT treated as a table (it could be anything)."""
+    """True iff `loc` is safe for the stale-layout rmtree in
+    ensure_bucketed_order_tables: either a real Spark table directory
+    (at least one part-* data file or _SUCCESS marker, everything else
+    recognized sidecars) or pure write residue (empty, or ONLY
+    _started/_committed/.crc sidecars — what a crashed previous write
+    leaves behind; without this branch the stale location is never
+    cleaned and the next saveAsTable dies with 'location is not
+    empty'). A directory holding any foreign file, or only generic
+    dotfiles (.gitkeep, .DS_Store, ...), is NOT ours to delete."""
     import os
 
-    ok = ("part-", "_SUCCESS", "_committed", "_started", ".")
     saw_table_file = False
+    saw_generic_dotfile = False
     for root, _dirs, files in os.walk(loc):
         for f in files:
-            if not (f.startswith(ok) or f.endswith(".crc")):
-                return False
             if f.startswith(("part-", "_SUCCESS")):
                 saw_table_file = True
-    return saw_table_file
+            elif f.startswith(("_committed", "_started")) or f.endswith(
+                ".crc"
+            ):
+                pass  # committer residue / checksum sidecars
+            elif f.startswith("."):
+                saw_generic_dotfile = True
+            else:
+                return False
+    return saw_table_file or not saw_generic_dotfile
 
 
 def ensure_bucketed_order_tables(

@@ -149,3 +149,39 @@ def test_bucketed_tag_distinguishes_same_basename_dirs(tmp_path):
     assert _layout_tag(a) != _layout_tag(b)
     # stable for the same dir (trailing slash / relative form included)
     assert _layout_tag(a) == _layout_tag(a + "/")
+
+
+def test_parquet_table_guard_classifies_residue(tmp_path):
+    """ADVICE r8: residue of a crashed write — an empty dir or one
+    holding ONLY _started/_committed/.crc sidecars — must be deletable
+    (self-heal), while foreign files or dotfiles-only dirs stay
+    protected."""
+    import os
+
+    from floatchat_datapipeline_spark.sinks.bucketed import (
+        _looks_like_parquet_table,
+    )
+
+    def mk(name, files):
+        d = tmp_path / name
+        os.makedirs(d)
+        for f in files:
+            (d / f).write_text("x")
+        return str(d)
+
+    assert _looks_like_parquet_table(mk("empty", []))
+    assert _looks_like_parquet_table(
+        mk("residue", ["_started_123", "_committed_123", ".part-0.crc"])
+    )
+    assert _looks_like_parquet_table(
+        mk("table", ["part-00000.parquet", "_SUCCESS", "._SUCCESS.crc"])
+    )
+    assert not _looks_like_parquet_table(mk("foreign", ["notes.txt"]))
+    assert not _looks_like_parquet_table(
+        mk("mixed", ["part-00000.parquet", "notes.txt"])
+    )
+    assert not _looks_like_parquet_table(mk("dotonly", [".gitkeep"]))
+    # dotfiles alongside a real table are fine
+    assert _looks_like_parquet_table(
+        mk("table_dot", ["part-0.parquet", ".DS_Store"])
+    )

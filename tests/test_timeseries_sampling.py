@@ -245,3 +245,51 @@ def test_gapfill_linterp_midpoint_and_observed_passthrough(spark):
     assert list(u1["is_gap"]) == [False, True, True, False]
     u2 = out[out.user_id == 2]
     assert len(u2) == 1 and not u2["is_gap"].iloc[0]
+
+
+# ------------------------------------------------------------------ LTTB
+def test_lttb_short_series_oracle_parity(spark, tmp_path):
+    """Both engines must take the pass-through branch for a series with
+    n <= nb+2 points and the greedy branch otherwise — the oracle's
+    bucket division (npts-2) and recursive CTE only run on long series,
+    so a 2-point corpus can't divide by zero or strand the recursion.
+    (ADVICE r8: the oracle previously had no short-series guard.)"""
+    import pandas as pd
+
+    from floatchat_datapipeline_spark.queries import (
+        _EVENTS_LTTB_ORACLE,
+        _LTTB_BUCKETS,
+        q_events_lttb,
+    )
+    from tests.oracle_utils import compare, duckdb_con
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    # "tiny": 2 hourly points — the npts-2 == 0 divide-by-zero case.
+    for h in (0, 1):
+        rows.append(("tiny", base + dt.timedelta(hours=h, minutes=5)))
+    # "short": 6 points with a gap (hour 3 missing -> zero-filled).
+    for h in (0, 1, 2, 4, 5):
+        for _ in range((h % 3) + 1):
+            rows.append(("short", base + dt.timedelta(hours=h, minutes=9)))
+    # "long": > nb+2 hourly points, varying counts -> greedy branch.
+    for h in range(_LTTB_BUCKETS + 40):
+        for _ in range((h * 7) % 5 + 1):
+            rows.append(("long", base + dt.timedelta(hours=h, minutes=3)))
+    events = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [r[1] for r in rows],
+            "user_id": [1] * len(rows),
+            "event_type": [r[0] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    events.to_parquet(tmp_path / "events.parquet")
+    out = q_events_lttb(spark, str(tmp_path))
+    compare(out, duckdb_con(str(tmp_path)), _EVENTS_LTTB_ORACLE, "lttb_short")
+    pdf = out.toPandas()
+    assert len(pdf[pdf.event_type == "tiny"]) == 2
+    assert len(pdf[pdf.event_type == "short"]) == 6  # gap hour zero-filled
+    assert len(pdf[pdf.event_type == "long"]) == _LTTB_BUCKETS + 2
