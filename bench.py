@@ -153,6 +153,30 @@ def main() -> None:
                     min(run_once(name), run_once(name)), 3
                 )
                 continue
+            if name == "ann_ivf_topk":
+                # Same split as PQ: the cold row carries the memoized
+                # k-means training + corpus assignment (one-time per
+                # corpus), the warm row the per-query probe (VERDICT r8
+                # item 3: driver single-runs carried ~5 s of training
+                # inside a warm-query row).
+                from floatchat_datapipeline_spark.embeddings import search  # noqa: PLC0415
+
+                search.reset_caches()
+                timings["ann_ivf_topk_train"] = round(run_once(name), 3)
+                timings["ann_ivf_topk_warm"] = round(
+                    min(run_once(name), run_once(name)), 3
+                )
+                continue
+            if name == "ann_lsh_topk":
+                # No trained state, but the 8-plane signature expression
+                # pays a one-time Janino/codegen compile measured at
+                # several seconds in driver single-runs; report it as the
+                # train row so the steady-state row is the bucket probe.
+                timings["ann_lsh_topk_train"] = round(run_once(name), 3)
+                timings["ann_lsh_topk_warm"] = round(
+                    min(run_once(name), run_once(name)), 3
+                )
+                continue
             timings[name] = round(min(run_once(name), run_once(name)), 3)
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]

@@ -11979,6 +11979,121 @@ FROM rp JOIN brute USING (vec_id)
 """
 
 
+def q_events_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K3/K6/K7 — deterministic change-log replay through the REAL
+    keyed parquet sinks (sinks/upsert.py), then a rollup fingerprint of
+    the final table state. This moves the MERGE semantics the reference
+    implements as per-row SQL (ingest/db_handler.py:136-256 ON CONFLICT
+    DO UPDATE / DO NOTHING; update_chromadb_measurements.py:285-304
+    delete-then-add) from module-test-only coverage under the driver's
+    value-hash gate:
+
+      1. initial load  = upsert of the even-event_id slice (K6 on empty)
+      2. upsert batch  = event_id % 3 rows, retyped + value+1 (K6/K1:
+         new wins; odd multiples of 3 insert, even ones replace)
+      3. append batch  = event_id % 5 rows retyped (K2 DO NOTHING: only
+         ids absent so far insert)
+      4. delete        = event_id % 7 keys (K7)
+
+    Every write goes through _swap_write's staged-rename publish (K3),
+    and the replay starts by clearing the state dir, so the query is
+    idempotent — re-running hashes identically. The oracle replays the
+    same four steps as set algebra over the events view.
+
+    Scale: each step is one anti-join against a broadcast key set + a
+    table rewrite — the vanilla-parquet MERGE cost documented in
+    sinks/upsert.py (real deployments partition or use Delta; the
+    helpers' partition_by seam keeps that path open). The rollup output
+    uses exact integer math only (floor-cents, BIGINT sums)."""
+    import shutil
+
+    from floatchat_datapipeline_spark.sinks.bucketed import _layout_tag
+    from floatchat_datapipeline_spark.sinks.upsert import (
+        append_new,
+        delete_keys,
+        upsert,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = os.path.join(warehouse, f"upsert_replay_{_layout_tag(sf_dir)}")
+    for p in (path, path + ".old"):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    upsert(ev.filter(F.col("event_id") % 2 == 0), path, keys=("event_id",))
+    upsert(
+        ev.filter(F.col("event_id") % 3 == 0)
+        .withColumn("event_type", F.lit("upserted"))
+        .withColumn("value", F.col("value") + F.lit(1.0)),
+        path,
+        keys=("event_id",),
+    )
+    append_new(
+        ev.filter(F.col("event_id") % 5 == 0).withColumn(
+            "event_type", F.lit("appended")
+        ),
+        path,
+        keys=("event_id",),
+    )
+    delete_keys(
+        spark, path, ev.filter(F.col("event_id") % 7 == 0).select("event_id")
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)")).alias(
+                "cents"
+            ),
+            F.sum("event_id").alias("id_sum"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+
+
+_EVENTS_UPSERT_REPLAY_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id, event_type, value
+  FROM events WHERE event_id % 2 = 0
+), u AS (
+  SELECT event_id, user_id, 'upserted' AS event_type, value + 1e0 AS value
+  FROM events WHERE event_id % 3 = 0
+), s1 AS (
+  -- upsert: new wins on key collision
+  SELECT * FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.event_id = b.event_id)
+  UNION ALL SELECT * FROM u
+), a AS (
+  SELECT event_id, user_id, 'appended' AS event_type, value
+  FROM events WHERE event_id % 5 = 0
+), s2 AS (
+  -- append_new: existing wins, only absent keys insert
+  SELECT * FROM s1
+  UNION ALL
+  SELECT * FROM a
+  WHERE NOT EXISTS (SELECT 1 FROM s1 WHERE s1.event_id = a.event_id)
+), s3 AS (
+  SELECT * FROM s2 WHERE event_id % 7 <> 0
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id
+FROM s3
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -12048,9 +12163,12 @@ def _load_fingerprint_rounds(root: str) -> dict[int, dict[str, str]]:
 def _driver_check_history(
     current_fps: dict[str, str] | None = None,
     root: str | None = None,
-) -> tuple[dict[str, int], dict[str, bool], dict[str, bool]]:
+) -> tuple[
+    dict[str, int], dict[str, bool], dict[str, bool], dict[str, int]
+]:
     """Per query, from the committed ``CORRECTNESS_r*.json`` rounds:
-    (times checked, was-red-at-latest-check, latest-was-rows-only). The
+    (times checked, was-red-at-latest-check, latest-was-rows-only,
+    round-of-latest-valid-check). The
     driver hash-checks only the FIRST 50 entries of ``queries()``, so
     these files double as a shared, monotonic record of which queries
     the hard gate has actually visited — and of which ones it last saw
@@ -12080,6 +12198,7 @@ def _driver_check_history(
     counts: dict[str, int] = {}
     latest_red: dict[str, bool] = {}
     latest_rows_only: dict[str, bool] = {}
+    latest_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -12116,21 +12235,25 @@ def _driver_check_history(
                 green = False
             latest_red[k] = not green
             latest_rows_only[k] = rows_only_pass
-    return counts, latest_red, latest_rows_only
+            latest_round[k] = rnd
+    return counts, latest_red, latest_rows_only, latest_round
 
 
 def registry() -> dict[str, QuerySpec]:
-    """Self-ordering: (last-check-was-red DESC, times-checked ASC, base
-    order). A fixed ordering leaves the tail past the driver's 50-wide
-    window permanently unchecked (rounds 1-4 hash-checked the identical
-    50), and plain ascending-count ordering strands a fixed-but-stale red
-    in its high-count tier for rounds (the round-5 NTZ streaming fixes
-    would have waited ~2 rounds for re-verification). So: queries whose
-    LATEST driver check failed come first (their fixes need the hard gate
-    now), then never-checked queries, then greens cycling by ascending
-    count — no green is permanently evicted. A query whose latest check
-    was a rows-only pass counts as needing the gate iff it HAS an oracle
-    now (the hash has never seen it); a permanently oracle-less query
+    """Self-ordering: (last-check-was-red DESC, latest-check-round ASC,
+    times-checked ASC, base order). A fixed ordering leaves the tail
+    past the driver's 50-wide window permanently unchecked (rounds 1-4
+    hash-checked the identical 50). So: queries whose LATEST driver
+    check failed come first (their fixes need the hard gate now), then
+    never-checked queries (latest round 0), then greens cycling by
+    OLDEST EVIDENCE first — no green's driver hash ever goes
+    unboundedly stale. Recency, not check count, is the cycle key
+    (VERDICT r8 item 2: the r1-r4 rounds re-checked the same 50, so
+    those queries carry counts up to 4 and ascending-COUNT ordering
+    stranded exactly the tier with the OLDEST evidence behind the
+    once-checked r7/r8 tier). A query whose latest check was a
+    rows-only pass counts as needing the gate iff it HAS an oracle now
+    (the hash has never seen it); a permanently oracle-less query
     cycles like a green. Local tests (tests/test_driver_parity.py)
     always gate the full set regardless of order.
 
@@ -12140,7 +12263,9 @@ def registry() -> dict[str, QuerySpec]:
     never-checked instead of cycling as a stale green."""
     base = _base_registry()
     current_fps = {n: query_fingerprint(s) for n, s in base.items()}
-    counts, latest_red, latest_rows_only = _driver_check_history(current_fps)
+    counts, latest_red, latest_rows_only, latest_round = (
+        _driver_check_history(current_fps)
+    )
 
     def needs_gate(n: str) -> bool:
         if latest_red.get(n, False):
@@ -12151,6 +12276,7 @@ def registry() -> dict[str, QuerySpec]:
         base,
         key=lambda n: (
             0 if needs_gate(n) else 1,
+            latest_round.get(n, 0),
             counts.get(n, 0),
         ),
     )
@@ -12159,6 +12285,11 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "events_upsert_replay": QuerySpec(
+            q_events_upsert_replay,
+            _EVENTS_UPSERT_REPLAY_ORACLE,
+            ("K2", "K3", "K6", "K7"),
+        ),
         "trade_core": QuerySpec(
             q_trade_core, _TRADE_CORE_ORACLE, ("G6",)
         ),

@@ -1,13 +1,16 @@
 """The driver hash-checks only the first 50 registry() entries, so the
-registry self-orders by (needs-the-gate DESC, ascending driver-checked
-count), read from the committed CORRECTNESS_r*.json files. "Needs the
-gate" = latest check failed, OR latest check was a rows-only pass but
-the query has since grown an oracle (its hash has never been checked).
-Invariants: no query is ever dropped, specs are identical under
-reordering, gate-needing queries lead the window, never-checked queries
-enter before any green re-check, permanently oracle-less queries cycle
-like greens (no permanent red-pin), and the 50-wide window visits every
-query within bounded rounds."""
+registry self-orders by (needs-the-gate DESC, latest-check-round ASC,
+ascending driver-checked count), read from the committed
+CORRECTNESS_r*.json files. "Needs the gate" = latest check failed, OR
+latest check was a rows-only pass but the query has since grown an
+oracle (its hash has never been checked). Greens cycle by OLDEST
+EVIDENCE first (round of latest valid check), so no query's driver
+hash goes unboundedly stale. Invariants: no query is ever dropped,
+specs are identical under reordering, gate-needing queries lead the
+window, never-checked queries enter before any green re-check,
+permanently oracle-less queries cycle like greens (no permanent
+red-pin), the window prefers stale evidence, and the 50-wide window
+visits every query within bounded rounds."""
 
 from floatchat_datapipeline_spark.queries import (
     _base_registry,
@@ -30,7 +33,7 @@ def _history():
 
 def _needs_gate_set():
     base = _base_registry()
-    counts, latest_red, latest_rows_only = _history()
+    counts, latest_red, latest_rows_only, _latest_round = _history()
     return {
         n
         for n in base
@@ -60,7 +63,7 @@ def test_gate_needing_queries_lead_the_window():
 
 
 def test_never_checked_queries_precede_green_rechecks():
-    counts, latest_red, _ = _history()
+    counts, latest_red, _, _ = _history()
     ordered = list(registry())
     need = _needs_gate_set()
     never = [n for n in ordered if counts.get(n, 0) == 0]
@@ -83,7 +86,7 @@ def test_oracle_less_queries_do_not_red_pin():
     it would park it at the head of the window forever, displacing real
     hash checks round after round."""
     base = _base_registry()
-    _, latest_red, latest_rows_only = _history()
+    _, latest_red, latest_rows_only, _ = _history()
     need = _needs_gate_set()
     for n in base:
         if base[n].oracle is None and latest_rows_only.get(n, False):
@@ -98,7 +101,7 @@ def test_rows_only_history_with_new_oracle_reenters_window():
     err=no_oracle) must be treated as gate-needing — the hash check has
     never seen it."""
     base = _base_registry()
-    _, _, latest_rows_only = _history()
+    _, _, latest_rows_only, _ = _history()
     stale = [
         n
         for n in base
@@ -112,33 +115,64 @@ def test_rows_only_history_with_new_oracle_reenters_window():
 
 
 def test_window_covers_all_queries_within_bounded_rounds():
-    """Simulate future rounds: each round the first 50 get +1 checked and
-    (optimistically) settle; the window must reach every query."""
+    """Simulate future rounds with the REAL sort key: each round the
+    first 50 get checked (latest_round advances) and optimistically
+    settle; the window must reach every query."""
     base = _base_registry()
     names = list(base)
     n = len(names)
-    counts, latest_red, latest_rows_only = _history()
+    counts, latest_red, latest_rows_only, latest_round = _history()
     counts = dict(counts)
+    latest_round = dict(latest_round)
+    rnd = max(latest_round.values(), default=0)
     need = _needs_gate_set()
     seen = {q for q in names if counts.get(q, 0) > 0}
     max_rounds = -(-n // WINDOW) + 1
     for _ in range(max_rounds):
         if len(seen) == n:
             break
+        rnd += 1
         ordered = sorted(
             names,
-            key=lambda q: (0 if q in need else 1, counts.get(q, 0)),
+            key=lambda q: (
+                0 if q in need else 1,
+                latest_round.get(q, 0),
+                counts.get(q, 0),
+            ),
         )
         window = ordered[:WINDOW]
         seen.update(window)
         for q in window:
             counts[q] = counts.get(q, 0) + 1
+            latest_round[q] = rnd
             need.discard(q)
     assert len(seen) == n, f"window never covers all {n}; got {len(seen)}"
 
 
+def test_window_prefers_stalest_evidence():
+    """Greens must enter the window oldest-latest-check first: no green
+    outside the window may have STALER evidence than a green inside it
+    (VERDICT r8 item 2 — ascending-count ordering stranded the r4 tier,
+    whose queries carry counts up to 4 from rounds 1-4 re-checking the
+    same fixed 50, behind the once-checked r7/r8 tier)."""
+    counts, _, _, latest_round = _history()
+    need = _needs_gate_set()
+    ordered = list(registry())
+    greens = [n for n in ordered if n not in need and counts.get(n, 0) > 0]
+    inside = [n for n in greens if ordered.index(n) < WINDOW]
+    outside = [n for n in greens if ordered.index(n) >= WINDOW]
+    if not inside or not outside:
+        return
+    worst_inside = max(latest_round[n] for n in inside)
+    best_outside = min(latest_round[n] for n in outside)
+    assert worst_inside <= best_outside, (
+        f"a green inside the window has evidence from round {worst_inside} "
+        f"while one outside is staler (round {best_outside})"
+    )
+
+
 def test_counts_reflect_committed_rounds():
-    counts, _, _ = _driver_check_history()  # unfiltered: raw committed rows
+    counts, _, _, _ = _driver_check_history()  # unfiltered: raw committed rows
     assert counts, "no CORRECTNESS files found"
     assert max(counts.values()) >= 1
     base = _base_registry()
@@ -178,7 +212,7 @@ def test_edited_query_reenters_as_never_checked(tmp_path):
             }
         )
     )
-    counts, latest_red, _ = _driver_check_history(fps, root=str(tmp_path))
+    counts, latest_red, _, _ = _driver_check_history(fps, root=str(tmp_path))
     assert counts.get(edited, 0) == 0, (
         "edited query's stale check must not count"
     )
@@ -211,7 +245,7 @@ def test_round_without_snapshot_counts_as_valid(tmp_path):
             }
         )
     )
-    counts, _, _ = _driver_check_history(fps, root=str(tmp_path))
+    counts, _, _, _ = _driver_check_history(fps, root=str(tmp_path))
     assert counts.get(q) == 1
 
 

@@ -42,8 +42,48 @@ COLUMNS = (
     "shuffle_joins",
     "nl_joins",
     "py_nodes",
+    "unpart_windows",
     "pushdown",
 )
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Split `[a], [b], [c]...` into its top-level bracket groups."""
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def unpartitioned_windows(plan: str) -> int:
+    """Count Window / WindowInPandas nodes with NO partition spec — a
+    global sort through one task at scale. The node renders as
+    `Window [exprs], [part], [order]` (3 groups = partitioned),
+    `Window [exprs], [part]` or `Window [exprs], [order]` (2 groups:
+    partitioned iff the trailing group has no ASC/DESC sort markers),
+    or `Window [exprs]` (1 group = unpartitioned, unordered)."""
+    n = 0
+    for ln in plan.splitlines():
+        m = re.search(r"\b(?:Window|WindowInPandas) (\[.*)$", ln)
+        if not m:
+            continue
+        groups = _top_level_groups(m.group(1))
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 1 or re.search(r" (ASC|DESC)\b", groups[-1]):
+            n += 1
+    return n
 
 
 def census_one(plan: str) -> tuple:
@@ -60,8 +100,51 @@ def census_one(plan: str) -> tuple:
             plan,
         )
     )
+    n_upw = unpartitioned_windows(plan)
     pushed = "yes" if re.search(r"PushedFilters: \[[^\]]", plan) else ""
-    return (n_ex, n_bhj, n_smj + n_shj, n_nl, n_py, pushed)
+    return (n_ex, n_bhj, n_smj + n_shj, n_nl, n_py, n_upw, pushed)
+
+
+def find_regressions(
+    committed: dict[str, dict],
+    fresh: dict[str, tuple],
+    unpart_whitelist: frozenset[str] | set[str] = frozenset(),
+) -> tuple[list[str], list[tuple]]:
+    """Compare a fresh census against the committed baseline.
+
+    Returns (regressions, errors). A regression is an EXISTING query
+    whose shuffle or NL/cartesian-join count grew, or ANY query (new
+    ones included — baseline 0) whose unpartitioned-window count grew
+    and is not in the bounded-domain whitelist. Shared by
+    tests/test_plan_regression.py and its meta-test so the gate logic
+    itself is exercised, not re-stated."""
+    regressions: list[str] = []
+    errors: list[tuple] = []
+    for name, row in sorted(fresh.items()):
+        if row[1] == "ERROR":
+            errors.append((name, row[2]))
+            continue
+        _, shuffles, _bc, _sj, nl, _py, unpart, _pd = row
+        base = committed.get(name)
+        if base is not None and isinstance(base.get("shuffles"), int):
+            if shuffles > base["shuffles"]:
+                regressions.append(
+                    f"{name}: shuffles {base['shuffles']} -> {shuffles}"
+                )
+            if isinstance(base.get("nl_joins"), int) and nl > base["nl_joins"]:
+                regressions.append(
+                    f"{name}: NL/cartesian joins {base['nl_joins']} -> {nl}"
+                )
+        base_upw = base.get("unpart_windows") if base else None
+        if not isinstance(base_upw, int):
+            base_upw = 0
+        if unpart > base_upw and name not in unpart_whitelist:
+            regressions.append(
+                f"{name}: unpartitioned windows {base_upw} -> {unpart} "
+                "(a global single-task sort at scale; partition it or add "
+                "it to the bounded-domain whitelist with a justification)"
+            )
+    return regressions, errors
 
 
 def census(spark, sf: str, names=None) -> list[tuple]:
@@ -123,24 +206,31 @@ def main() -> None:
         "",
         f"Planned against `{sf}`. Columns: shuffles (Exchange nodes), "
         "broadcast joins, shuffle joins (SMJ+SHJ), nested-loop/cartesian "
-        "joins, Python eval nodes (Arrow seams), filter pushdown seen. "
-        "Regression baseline: tests/test_plan_regression.py fails when an "
-        "existing query's shuffle or NL-join count grows vs this file.",
+        "joins, Python eval nodes (Arrow seams), unpartitioned Window "
+        "nodes (global single-task sorts — only allowed on bounded "
+        "domains, whitelisted in tests/test_plan_regression.py), filter "
+        "pushdown seen. Regression baseline: tests/test_plan_regression.py "
+        "fails when an existing query's shuffle, NL-join, or "
+        "unpartitioned-window count grows vs this file.",
         "",
         "| query | shuffles | bcast joins | shuffle joins | NL/cartesian |"
-        " py nodes | pushdown |",
-        "|---|---|---|---|---|---|---|",
+        " py nodes | unpart windows | pushdown |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         out.append("| " + " | ".join(str(x) for x in r) + " |")
     n_nl_total = sum(r[4] for r in rows if isinstance(r[4], int))
+    n_upw_total = sum(r[6] for r in rows if isinstance(r[6], int))
     n_err = sum(1 for r in rows if r[1] == "ERROR")
     out.append("")
     out.append(
         f"Totals: {len(rows)} queries, {n_err} plan errors, "
         f"{n_nl_total} nested-loop/cartesian joins across the whole "
         "suite (each audited: 1-row stat assemblies, bounded theta joins "
-        "at dim size, or broadcast range probes)."
+        f"at dim size, or broadcast range probes), {n_upw_total} "
+        "unpartitioned Window nodes (each on a domain bounded by "
+        "days/degrees/sources/top-k — see the whitelist in "
+        "tests/test_plan_regression.py)."
     )
     with open(AUDIT_PATH, "w") as f:
         f.write("\n".join(out) + "\n")
