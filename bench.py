@@ -52,9 +52,32 @@ def _cpu_probe() -> float:
     return round(time.time() - t0, 3)
 
 
+def _refresh_fingerprints() -> None:
+    """Keep the upcoming-round fingerprint snapshot current (same hook
+    as tests/conftest.py pytest_sessionstart): the driver runs bench
+    AFTER writing CORRECTNESS_r0N.json and commits leftovers, so
+    refreshing here guarantees the round-N+1 snapshot exists even if
+    the next builder session never runs pytest first."""
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        import gen_fingerprints
+
+        root = os.path.dirname(os.path.abspath(__file__))
+        rnd = gen_fingerprints.next_round(root)
+        with open(os.path.join(root, "FINGERPRINTS.json")) as f:
+            snap = json.load(f).get("rounds", {}).get(str(rnd))
+        if snap != gen_fingerprints.current_fingerprints():
+            gen_fingerprints.main()
+    except Exception as exc:  # pragma: no cover — never block the bench
+        print(f"fingerprint auto-refresh skipped: {exc}", file=sys.stderr)
+
+
 def main() -> None:
     load_start = round(os.getloadavg()[0], 2)
     cpu_probe = _cpu_probe()
+    _refresh_fingerprints()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark(

@@ -12094,6 +12094,220 @@ GROUP BY event_type
 """
 
 
+def q_emb_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4/K5 — the keyed-sink replay over the EMBEDDINGS table: vectors
+    ride the sinks as a first-class array<float> parquet column
+    (reference stores them as ChromaDB payloads;
+    update_chromadb_measurements.py:285-304 delete-then-add). Initial
+    upsert of the even-vec_id slice, then append_new (DO NOTHING) of
+    the %3 slice relabeled — only odd multiples of 3 insert, colliding
+    keys keep their original label — proving conflict-skip semantics
+    hold for rows carrying vector payloads through the staged-rename
+    publish. The rollup fingerprints the final state per vec_id%5
+    bucket with an EXACT integer vector checksum:
+    Σ floor(double(x)·1000) over each embedding, folded with BIGINT
+    adds (float→double cast and the ·1000 product are deterministic
+    IEEE on both engines; float addition order would not be)."""
+    import shutil
+
+    from floatchat_datapipeline_spark.sinks.bucketed import _layout_tag
+    from floatchat_datapipeline_spark.sinks.upsert import append_new, upsert
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = os.path.join(warehouse, f"emb_replay_{_layout_tag(sf_dir)}")
+    for p in (path, path + ".old"):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    upsert(emb.filter(F.col("vec_id") % 2 == 0), path, keys=("vec_id",))
+    append_new(
+        emb.filter(F.col("vec_id") % 3 == 0).withColumn(
+            "label", F.lit(-1)
+        ),
+        path,
+        keys=("vec_id",),
+    )
+    checksum = F.aggregate(
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy((F.col("vec_id") % 5).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(checksum).alias("vec_checksum"),
+            F.sum("label").alias("label_sum"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+        )
+    )
+
+
+_EMB_UPSERT_REPLAY_ORACLE = """
+WITH base AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 2 = 0
+), a AS (
+  SELECT vec_id, embedding, -1 AS label
+  FROM embeddings WHERE vec_id % 3 = 0
+), s1 AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT * FROM a
+  WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.vec_id = a.vec_id)
+)
+SELECT CAST(vec_id % 5 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(list_sum(list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))))
+            AS BIGINT) AS vec_checksum,
+       CAST(sum(label) AS BIGINT) AS label_sum,
+       min(vec_id) AS min_id,
+       max(vec_id) AS max_id
+FROM s1
+GROUP BY 1
+"""
+
+
+def q_events_quality_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — in-flight observed metrics (plans/metrics.observe_quality):
+    row/null/range counters accumulate ON THE EXECUTORS while a real
+    noop-write action runs — no second scan (reference main.py run
+    summaries / fastapi_app.py processing stats, recomputed there with
+    extra pandas passes). The query returns the observation payload as
+    a 1-row DataFrame; the oracle recomputes the same aggregates with a
+    plain scan — the driver hash thereby certifies the zero-cost
+    observed path equals the paid-for aggregation."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from floatchat_datapipeline_spark.plans.metrics import observe_quality
+
+    ev = load_table(spark, sf_dir, "events").select("value", "user_id")
+    run = observe_quality(ev, numeric_cols=("value", "user_id"))
+    run.df.write.format("noop").mode("overwrite").save()
+    m = run.metrics()
+    schema = StructType(
+        [
+            StructField("n_rows", LongType()),
+            StructField("value_non_null", LongType()),
+            StructField("value_min", DoubleType()),
+            StructField("value_max", DoubleType()),
+            StructField("user_id_non_null", LongType()),
+            StructField("user_id_min", LongType()),
+            StructField("user_id_max", LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["value_non_null"]),
+                float(m["value_min"]),
+                float(m["value_max"]),
+                int(m["user_id_non_null"]),
+                int(m["user_id_min"]),
+                int(m["user_id_max"]),
+            )
+        ],
+        schema,
+    )
+
+
+_EVENTS_QUALITY_OBSERVED_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(value) AS BIGINT) AS value_non_null,
+       min(value) AS value_min,
+       max(value) AS value_max,
+       CAST(count(user_id) AS BIGINT) AS user_id_non_null,
+       CAST(min(user_id) AS BIGINT) AS user_id_min,
+       CAST(max(user_id) AS BIGINT) AS user_id_max
+FROM events
+"""
+
+
+def q_argo_sync_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — the full per-float sync-job document
+    (functions/text.sync_document_v4; reference
+    sync_supabase_to_chromadb.py:121-177): multi-line header +
+    flattened stats + the raw properties JSON appended via `to_json`
+    over a typed struct (field order = declaration order, compact
+    rendering — byte-identical in DuckDB's to_json(struct_pack(...))).
+    Platform number falls back to the float id, matching the
+    reference's payloads where both carry the WMO id."""
+    from floatchat_datapipeline_spark.functions.text import sync_document_v4
+
+    g = (
+        _argo_clean_df(spark, sf_dir)
+        .groupBy("float_id")
+        .agg(
+            F.countDistinct("profile_id").alias("total_profiles"),
+            F.min("temperature").alias("temperature_min"),
+            F.max("temperature").alias("temperature_max"),
+            F.date_format(F.min("time"), "yyyy-MM-dd").alias("d0"),
+            F.date_format(F.max("time"), "yyyy-MM-dd").alias("d1"),
+        )
+    )
+    props = F.struct(
+        F.col("total_profiles").alias("total_profiles"),
+        F.struct(
+            F.col("d0").alias("start"), F.col("d1").alias("finish")
+        ).alias("date_range"),
+    )
+    return g.select(
+        "float_id",
+        sync_document_v4(
+            {
+                "float_id": F.col("float_id"),
+                "platform_number": F.col("float_id"),
+                "total_profiles": F.col("total_profiles"),
+                "temperature_min": F.col("temperature_min"),
+                "temperature_max": F.col("temperature_max"),
+                "properties": props,
+            }
+        ).alias("doc"),
+    )
+
+
+_ARGO_SYNC_DOCUMENTS_ORACLE = _argo_oracle(
+    """
+, g AS (
+  SELECT float_id,
+         CAST(count(DISTINCT profile_id) AS BIGINT) AS total_profiles,
+         min(temperature) + 0e0 AS tmin,
+         max(temperature) + 0e0 AS tmax,
+         strftime(min(time), '%Y-%m-%d') AS d0,
+         strftime(max(time), '%Y-%m-%d') AS d1
+  FROM argo_clean GROUP BY 1
+)
+SELECT float_id,
+       concat(
+         'Float Profile Data - ID: ', float_id,
+         chr(10), 'Platform: ', float_id,
+         chr(10), 'Profiles: ', CAST(total_profiles AS STRING),
+         chr(10), 'Temperature: ',
+         coalesce(CAST(round(tmin, 1) AS STRING), 'unknown'), ' to ',
+         coalesce(CAST(round(tmax, 1) AS STRING), 'unknown'),
+         ' °C', chr(10), 'Full JSON Data: ',
+         to_json(struct_pack(
+           total_profiles := total_profiles,
+           date_range := struct_pack(start := d0, finish := d1)))
+       ) AS doc
+FROM g
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -12289,6 +12503,21 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_events_upsert_replay,
             _EVENTS_UPSERT_REPLAY_ORACLE,
             ("K2", "K3", "K6", "K7"),
+        ),
+        "emb_upsert_replay": QuerySpec(
+            q_emb_upsert_replay,
+            _EMB_UPSERT_REPLAY_ORACLE,
+            ("K4", "K5"),
+        ),
+        "events_quality_observed": QuerySpec(
+            q_events_quality_observed,
+            _EVENTS_QUALITY_OBSERVED_ORACLE,
+            ("A15",),
+        ),
+        "argo_sync_documents": QuerySpec(
+            q_argo_sync_documents,
+            _ARGO_SYNC_DOCUMENTS_ORACLE,
+            ("C4",),
         ),
         "trade_core": QuerySpec(
             q_trade_core, _TRADE_CORE_ORACLE, ("G6",)
