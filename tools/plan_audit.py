@@ -164,7 +164,7 @@ def census(spark, sf: str, names=None) -> list[tuple]:
                 .toString()
             )
         except Exception as e:  # noqa: BLE001 — census, not a gate
-            rows.append((name, "ERROR", str(e)[:80], "", "", "", ""))
+            rows.append((name, "ERROR", str(e)[:80], "", "", "", "", ""))
             continue
         rows.append((name, *census_one(plan)))
     return rows
