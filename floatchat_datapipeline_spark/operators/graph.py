@@ -536,3 +536,74 @@ def k_core(
             F.lit(converged).alias("converged"),
         )
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """G9 — synchronous label-propagation community detection (Raghavan
+    et al. 2007) made DETERMINISTIC: labels start as the node id; each
+    round every node adopts the most frequent label among its neighbors
+    PLUS ITSELF, ties broken to the SMALLEST label. Classic async LPA
+    visits nodes in random order — useless under a parity gate; the
+    synchronous min-label rule makes every round a pure function of the
+    previous labeling, so a DuckDB chained-CTE oracle replays it
+    exactly. The self-vote is the standard damping for synchronous
+    LPA's 2-cycle oscillation (a bipartite-ish region otherwise swaps
+    labels forever and the certificate can never go green). Fixed
+    `rounds` iterations plus a `converged` certificate (labels
+    unchanged in the final round) that both engines compute — the
+    pagerank/k-core fixed-iteration pattern.
+
+    Each round is one shuffle (edges ⋈ labels on src) + one partial-agg
+    label count + a per-node argmax expressed as max(struct(cnt,
+    -label)) — the deterministic tie-break without a row_number sort.
+    Labels are localCheckpointed per round: the frame feeds both the
+    next round's neighbor votes and its self-votes (two-branch rule).
+
+    Returns (user_id, community, converged): community = final label.
+    On a graph with modular structure the labels recover it
+    (tests/test_graph_intervals.py two-clique hand graph); on a dense
+    structureless graph (this generator's uniform co-activity traffic)
+    the honest fixed point is one giant community.
+    """
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        nbr = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("n2"), "label"
+        )
+        own = labels.select(F.col("node").alias("n2"), "label")
+        counts = nbr.unionByName(own).groupBy("n2", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        best = (
+            counts.groupBy("n2")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"), (-F.col("label")).alias("neg")
+                    )
+                ).alias("s")
+            )
+            .select(
+                F.col("n2").alias("node"),
+                (-F.col("s.neg")).alias("label"),
+            )
+        )
+        prev = labels
+        labels = best.localCheckpoint(eager=True)
+    # convergence certificate: one diff count on the final pair only
+    # (both frames are checkpointed, so this is a small hash join, not
+    # a lineage replay)
+    changed = (
+        labels.join(prev.withColumnRenamed("label", "_old"), "node")
+        .filter(F.col("label") != F.col("_old"))
+        .count()
+    )
+    return (
+        labels.select(
+            F.col("node").alias("user_id"),
+            F.col("label").alias("community"),
+            F.lit(changed == 0).alias("converged"),
+        )
+    )

@@ -12308,6 +12308,502 @@ FROM g
 )
 
 
+def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A54 — CUPED variance-reduced A/B readout (Deng et al. 2013, the
+    standard pre-experiment covariate adjustment): per user, X = spend
+    in the pre period, Y = spend in the post period (calendar midpoint
+    split, derived lazily as a broadcast scalar — no eager driver job);
+    θ = cov(X,Y)/var(X) pooled across variants; each variant reports
+    mean(Y) and the adjusted mean(Y) − θ·(mean(X) − mean(X_pooled)),
+    plus ρ² (the variance-reduction fraction CUPED buys).
+
+    Parity: spend is exact 0.1-dollar BIGINT units, all five moment
+    sums (Σx Σy Σxx Σxy Σyy) are exact integer partial aggs, and θ /
+    adjusted means / ρ² are a FIXED double expression tree over those
+    integer scalars — one value per engine, no order dependence.
+    Products stay ≪ 2^63 through sf1 (n·Σxy ≈ 2e17; at extreme scale
+    pre-divide the unit, only ratios matter — the A31 rule). Plan: one
+    user rollup (partial-agg), then (2 variants + 1 pooled) tiny frames
+    broadcast-joined."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        long_div(epoch_micros(F.col("ts")), 86_400_000_000).alias("d"),
+        F.round(F.col("value") * 10).cast("long").alias("du"),
+    )
+    mid = ev.agg(F.expr("(min(d) + max(d) + 1) div 2").alias("mid"))
+    per = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("d") < F.col("mid"), F.col("du")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("d") >= F.col("mid"), F.col("du")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("y"),
+        )
+        # two-branch rule: the pooled moments and the per-variant sums
+        # both consume this |users|-row rollup — checkpoint it so the
+        # fact table is scanned once, not once per branch
+        .localCheckpoint(eager=True)
+    )
+    pooled = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    byv = per.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("pre_units"),
+        F.sum("y").alias("post_units"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    theta = cov / varx
+    adj = (
+        F.col("post_units").cast("double") / F.col("n_users")
+        - theta
+        * (
+            F.col("pre_units").cast("double") / F.col("n_users")
+            - F.col("sx").cast("double") / F.col("n")
+        )
+    )
+    return byv.crossJoin(F.broadcast(pooled)).select(
+        "variant",
+        "n_users",
+        "pre_units",
+        "post_units",
+        (F.col("post_units").cast("double") / F.col("n_users")).alias(
+            "mean_post"
+        ),
+        adj.alias("adj_mean_post"),
+        theta.alias("theta"),
+        (cov * cov / (varx * vary)).alias("rho2"),
+    )
+
+
+_EVENTS_CUPED_ORACLE = """
+WITH ev AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS d,
+         CAST(round(value * 10) AS BIGINT) AS du
+  FROM events
+), mid AS (
+  SELECT (min(d) + max(d) + 1) // 2 AS mid FROM ev
+), per AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN d < (SELECT mid FROM mid) THEN du
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN d >= (SELECT mid FROM mid) THEN du
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM ev GROUP BY 1
+), pooled AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM per
+), byv AS (
+  SELECT user_id % 2 AS variant,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x) AS BIGINT) AS pre_units,
+         CAST(sum(y) AS BIGINT) AS post_units
+  FROM per GROUP BY 1
+)
+SELECT variant, n_users, pre_units, post_units,
+       CAST(post_units AS DOUBLE) / n_users AS mean_post,
+       CAST(post_units AS DOUBLE) / n_users
+         - (CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE))
+           * (CAST(pre_units AS DOUBLE) / n_users
+              - CAST(sx AS DOUBLE) / n) AS adj_mean_post,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         * CAST(n * sxy - sx * sy AS DOUBLE)
+         / (CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(n * syy - sy * sy AS DOUBLE)) AS rho2
+FROM byv, pooled
+"""
+
+
+def q_events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A55 — Mann–Whitney U rank-sum test per event_type: does variant
+    B's value distribution stochastically dominate variant A's (the
+    nonparametric partner of the A31 mean-lift readout — robust to the
+    heavy tails that invalidate a t-test)? Entirely exact until the
+    final z: values collapse to cents, per-(type, cents) variant
+    counts feed DOUBLED midrank sums (2·R_a = Σ tₐ·(2·cum_less + t + 1)
+    — the ×2 clears the (t+1)/2 tie midpoint, keeping every rank sum a
+    BIGINT), U from the closed form, and the tie-corrected normal
+    z-score is ONE fixed double tree over five integer scalars
+    (rounded 1e-9, the derived-float convention). The significance gate
+    compares z² to 3.8415 — same two doubles on both engines.
+
+    Plan: one partial-agg to the (type, cents) domain, a window
+    PARTITIONED by type (never global), one per-type rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    g = ev.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    ).agg(
+        F.sum(
+            F.when(F.col("user_id") % 2 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("ta"),
+        F.sum(
+            F.when(F.col("user_id") % 2 == 1, F.lit(1)).otherwise(F.lit(0))
+        ).alias("tb"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = g.withColumn(
+        "cless",
+        F.coalesce(F.sum(F.col("ta") + F.col("tb")).over(w), F.lit(0)),
+    )
+    t = F.col("ta") + F.col("tb")
+    stats = cum.groupBy("event_type").agg(
+        F.sum("ta").alias("n_a"),
+        F.sum("tb").alias("n_b"),
+        F.sum(
+            F.col("ta") * (F.lit(2) * F.col("cless") + t + F.lit(1))
+        ).alias("r2a"),
+        F.sum(t * t * t - t).alias("tie3"),
+    )
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    nab = (F.col("n_a") * F.col("n_b")).cast("double")
+    u2a = F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1)
+    z = (u2a - F.col("n_a") * F.col("n_b")).cast("double") / (
+        F.lit(2.0)
+        * F.sqrt(
+            nab
+            / F.lit(12.0)
+            * (
+                (n + F.lit(1.0))
+                - F.col("tie3").cast("double") / (n * (n - F.lit(1.0)))
+            )
+        )
+    )
+    return stats.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        u2a.alias("u2_a"),
+        "tie3",
+        F.round(z, 9).alias("z"),
+        (z * z > F.lit(3.8415)).alias("significant"),
+    )
+
+
+_EVENTS_MANNWHITNEY_ORACLE = """
+WITH g AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ta,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS tb
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT *, COALESCE(sum(ta + tb) OVER (
+      PARTITION BY event_type ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cless
+  FROM g
+), stats AS (
+  SELECT event_type,
+         CAST(sum(ta) AS BIGINT) AS n_a,
+         CAST(sum(tb) AS BIGINT) AS n_b,
+         CAST(sum(ta * (2 * cless + (ta + tb) + 1)) AS BIGINT) AS r2a,
+         CAST(sum((ta + tb) * (ta + tb) * (ta + tb) - (ta + tb))
+              AS BIGINT) AS tie3
+  FROM cum GROUP BY 1
+)
+SELECT event_type, n_a, n_b,
+       r2a - n_a * (n_a + 1) AS u2_a,
+       tie3,
+       round(
+         CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+         / (2e0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12e0
+             * ((CAST(n_a + n_b AS DOUBLE) + 1e0)
+                - CAST(tie3 AS DOUBLE)
+                  / (CAST(n_a + n_b AS DOUBLE)
+                     * (CAST(n_a + n_b AS DOUBLE) - 1e0))))),
+         9) AS z,
+       (CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+        / (2e0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12e0
+            * ((CAST(n_a + n_b AS DOUBLE) + 1e0)
+               - CAST(tie3 AS DOUBLE)
+                 / (CAST(n_a + n_b AS DOUBLE)
+                    * (CAST(n_a + n_b AS DOUBLE) - 1e0))))))
+       * (CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+        / (2e0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12e0
+            * ((CAST(n_a + n_b AS DOUBLE) + 1e0)
+               - CAST(tie3 AS DOUBLE)
+                 / (CAST(n_a + n_b AS DOUBLE)
+                    * (CAST(n_a + n_b AS DOUBLE) - 1e0))))))
+       > 3.8415 AS significant
+FROM stats
+"""
+
+
+def q_user_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 — deterministic synchronous label propagation over the user
+    co-activity graph (operators/graph.label_propagation): 6 fixed
+    rounds of adopt-the-most-frequent-label-among-neighbors-and-self
+    with min-label tie-break, plus a `converged` certificate both
+    engines compute. Shares the memoized edge list with pagerank / PPR
+    / triangles — the fourth consumer of one localCheckpointed build.
+    Oracle replays the rounds as chained MATERIALIZED CTEs with an
+    explicit (cnt DESC, label ASC) row_number argmax — the same
+    selection the Spark max(struct(cnt, −label)) makes. On this
+    generator's uniform traffic the co-activity graph is a dense
+    structureless expander, so the honest fixed point is ONE giant
+    community (textbook LPA-on-ER behavior); the two-clique hand-graph
+    test proves the same machinery recovers real modular structure."""
+    from floatchat_datapipeline_spark.operators.graph import (
+        coactivity_edges,
+        label_propagation,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return label_propagation(
+        coactivity_edges(ev, cache_key=sf_dir), rounds=6
+    )
+
+
+def _user_communities_oracle(rounds: int = 6, cap: int = 64) -> str:
+    head = f"""
+WITH members AS (
+  SELECT DISTINCT event_type,
+         epoch_us(ts) // 600000000 AS h, user_id
+  FROM events
+), capped AS (
+  SELECT event_type, h, user_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type, h ORDER BY user_id) AS rn
+    FROM members)
+  WHERE rn <= {cap}
+), edges0 AS MATERIALIZED (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM capped a JOIN capped b
+    ON a.event_type = b.event_type AND a.h = b.h
+   AND a.user_id <> b.user_id
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS label FROM edges0
+)"""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f""", c{r} AS MATERIALIZED (
+  SELECT node, label, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT e.dst AS node, l.label
+    FROM edges0 e JOIN l{r - 1} l ON l.node = e.src
+    UNION ALL
+    SELECT node, label FROM l{r - 1}
+  ) GROUP BY 1, 2
+), l{r} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER (
+      PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{r})
+  WHERE rn = 1
+)"""
+        )
+    tail = f""", chg AS (
+  SELECT CAST(count(*) AS BIGINT) AS c
+  FROM l{rounds} a JOIN l{rounds - 1} b USING (node)
+  WHERE a.label <> b.label
+)
+SELECT node AS user_id, CAST(label AS BIGINT) AS community,
+       (SELECT c FROM chg) = 0 AS converged
+FROM l{rounds}
+"""
+    return head + "".join(steps) + tail
+
+
+_USER_COMMUNITIES_ORACLE = _user_communities_oracle()
+
+
+def q_events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS25 — rolling robust baseline over the densified hourly series:
+    per (event_type, hour), the exact R-7 median of the ±12 h window
+    and the window's MAD, with an anomaly flag |x − med| > 3·1.4826·mad
+    (the rolling twin of the global A20 MAD outliers — a level shift
+    only pollutes 25 baselines instead of the whole month). Exactness:
+    the series is integer counts on a zero-filled spine; `percentile(x,
+    0.5e0)` == DuckDB `quantile_cont` (both R-7, bit-identical on
+    integer inputs); the flag multiplies the SAME two doubles by the
+    same literal on both engines.
+
+    Scale: the hourly rollup is the only fact shuffle; the spine is
+    wall-clock-bounded, so the ±12 h self-join is a broadcast range
+    probe and both percentile aggs run on a 25-row-per-anchor domain."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            long_div(
+                epoch_micros(F.date_trunc("hour", F.col("ts"))),
+                3_600_000_000,
+            ).alias("hx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hx").alias("lo"), F.max("hx").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("hx")
+    )
+    dense = spine.join(hourly, ["event_type", "hx"], "left").select(
+        "event_type", "hx", F.coalesce("n", F.lit(0)).alias("x")
+    )
+    dense = dense.localCheckpoint(eager=True)  # 3 consumers (two-branch rule)
+    b = dense.select(
+        F.col("event_type").alias("et2"),
+        F.col("hx").alias("hx2"),
+        F.col("x").alias("x2"),
+    )
+    med = (
+        dense.join(
+            b,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("hx2") >= F.col("hx") - 12)
+            & (F.col("hx2") <= F.col("hx") + 12),
+        )
+        .groupBy("event_type", "hx", "x")
+        .agg(F.expr("percentile(x2, 0.5e0)").alias("med"))
+    )
+    mad = (
+        med.join(
+            b,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("hx2") >= F.col("hx") - 12)
+            & (F.col("hx2") <= F.col("hx") + 12),
+        )
+        .groupBy("event_type", "hx", "x", "med")
+        .agg(F.expr("percentile(abs(x2 - med), 0.5e0)").alias("mad"))
+    )
+    return mad.select(
+        "event_type",
+        "hx",
+        "x",
+        "med",
+        "mad",
+        (
+            F.abs(F.col("x") - F.col("med"))
+            > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+        ).alias("is_anomaly"),
+    )
+
+
+_EVENTS_ROLLING_MEDIAN_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS hx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(hx) AS lo, max(hx) AS hi FROM hourly GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS hx FROM bounds
+), dense AS MATERIALIZED (
+  SELECT s.event_type, s.hx, COALESCE(h.n, 0) AS x
+  FROM spine s LEFT JOIN hourly h USING (event_type, hx)
+), med AS MATERIALIZED (
+  SELECT a.event_type, a.hx, a.x, quantile_cont(b.x, 0.5e0) AS med
+  FROM dense a JOIN dense b
+    ON a.event_type = b.event_type
+   AND b.hx BETWEEN a.hx - 12 AND a.hx + 12
+  GROUP BY 1, 2, 3
+)
+SELECT m.event_type, m.hx, m.x, m.med,
+       quantile_cont(abs(b.x - m.med), 0.5e0) AS mad,
+       abs(m.x - m.med) > 3e0 * 1.4826e0 * quantile_cont(abs(b.x - m.med), 0.5e0)
+         AS is_anomaly
+FROM med m JOIN dense b
+  ON m.event_type = b.event_type
+ AND b.hx BETWEEN m.hx - 12 AND m.hx + 12
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L29 — weighted reservoir sampling without replacement
+    (Efraimidis–Spirakis 2006, the A-ES key trick): each document draws
+    key = ln(u)/w with w = n_chars and u hash-uniform in (0, 1]; the
+    top-100 keys ARE a weight-proportional sample — the corpus-selection
+    primitive for 'sample 1M docs ∝ length' without a global shuffle.
+    Determinism: u = (md5₁₅(doc_id) % 10⁶ + 1)/10⁶ is an exact rational
+    of the shared cross-engine hash, ln on identical doubles is
+    bit-identical (the A51/L27 rule), and one division by the integer
+    weight finishes the key — TakeOrdered top-k, no window, no shuffle
+    beyond the reduction. Selection ties are impossible in practice and
+    broken by doc_id regardless."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    from floatchat_datapipeline_spark.functions.textstats import md5_long
+
+    u = (md5_long(F.col("doc_id").cast("string")) % 1_000_000 + 1).cast(
+        "double"
+    ) / F.lit(1_000_000.0)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(100)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(F.col("k"), 12).alias("w_key"),
+        )
+    )
+
+
+_DOC_WEIGHTED_SAMPLE_ORACLE = """
+WITH k AS (
+  SELECT doc_id, source, n_chars,
+         ln(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 1000000 + 1 AS DOUBLE) / 1000000e0)
+           / n_chars AS key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars, round(key, 12) AS w_key
+FROM k
+ORDER BY key DESC, doc_id
+LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -12518,6 +13014,23 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_argo_sync_documents,
             _ARGO_SYNC_DOCUMENTS_ORACLE,
             ("C4",),
+        ),
+        "events_cuped": QuerySpec(
+            q_events_cuped, _EVENTS_CUPED_ORACLE, ("A54",)
+        ),
+        "events_mannwhitney": QuerySpec(
+            q_events_mannwhitney, _EVENTS_MANNWHITNEY_ORACLE, ("A55",)
+        ),
+        "user_communities": QuerySpec(
+            q_user_communities, _USER_COMMUNITIES_ORACLE, ("G9",)
+        ),
+        "events_rolling_median": QuerySpec(
+            q_events_rolling_median,
+            _EVENTS_ROLLING_MEDIAN_ORACLE,
+            ("TS25",),
+        ),
+        "doc_weighted_sample": QuerySpec(
+            q_doc_weighted_sample, _DOC_WEIGHTED_SAMPLE_ORACLE, ("L29",)
         ),
         "trade_core": QuerySpec(
             q_trade_core, _TRADE_CORE_ORACLE, ("G6",)

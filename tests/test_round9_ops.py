@@ -132,3 +132,147 @@ def test_bench_snapshot_contention_gates():
 
     assert bench_snapshot.MAX_LOAD == 2.0
     assert bench_snapshot.MAX_PROBE == 0.5
+
+
+# ---------------------------------------------------------- round-9 batch
+def test_label_propagation_recovers_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: LPA must give each
+    clique its own community (min member's label) and converge — the
+    self-vote keeps the bridge endpoints loyal to their cliques."""
+    from floatchat_datapipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    pairs = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13])
+    pairs += [(4, 10), (10, 4)]  # bridge
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    out = {
+        r["user_id"]: r for r in label_propagation(edges, rounds=4).collect()
+    }
+    assert {out[i]["community"] for i in (1, 2, 3, 4)} == {1}
+    assert {out[i]["community"] for i in (10, 11, 12, 13)} == {10}
+    assert all(r["converged"] for r in out.values())
+
+
+def test_label_propagation_tie_breaks_to_min_label(spark):
+    """A node whose neighbor labels tie must adopt the SMALLEST label
+    (the determinism rule the oracle's row_number replay depends on):
+    path 5-20-7 after one round gives node 20 votes {5:1, 7:1, 20:1} —
+    all tied, min wins."""
+    from floatchat_datapipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    pairs = [(5, 20), (20, 5), (7, 20), (20, 7)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    out = {
+        r["user_id"]: r["community"]
+        for r in label_propagation(edges, rounds=1).collect()
+    }
+    assert out[20] == 5
+
+
+def test_mannwhitney_hand_cases(spark, tmp_path):
+    """Separated samples: A=[1,2,3] B=[4,5,6] -> U_a = 0, z < 0, no
+    ties. Tied sample: A=[.01,.01] B=[.01,.02] -> U_a = 1 (2U=2) and
+    tie3 = 3^3-3 = 24."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from floatchat_datapipeline_spark.queries import q_events_mannwhitney
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # variant by user parity: even user -> A, odd -> B
+    for i, v in enumerate([0.01, 0.02, 0.03]):
+        rows.append(("sep", 2 * i, v))
+    for i, v in enumerate([0.04, 0.05, 0.06]):
+        rows.append(("sep", 2 * i + 1, v))
+    for i, v in enumerate([0.01, 0.01]):
+        rows.append(("tied", 2 * i, v))
+    for i, v in enumerate([0.01, 0.02]):
+        rows.append(("tied", 2 * i + 1, v))
+    events = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [base] * len(rows),
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[0] for r in rows],
+            "value": [r[2] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    events.to_parquet(tmp_path / "events.parquet")
+    out = {
+        r["event_type"]: r
+        for r in q_events_mannwhitney(spark, str(tmp_path)).collect()
+    }
+    sep = out["sep"]
+    assert sep["u2_a"] == 0 and sep["tie3"] == 0 and sep["z"] < 0
+    tied = out["tied"]
+    assert tied["u2_a"] == 2 and tied["tie3"] == 24
+
+
+def test_cuped_perfect_covariate_gives_rho2_one(spark, tmp_path):
+    """post = 2 * pre per user (exact deciunits) -> theta == 2.0 and
+    rho2 == 1.0 EXACTLY (integer moment sums make the double tree
+    exact), and each variant's adjusted mean equals the pooled-mean
+    prediction."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from floatchat_datapipeline_spark.queries import q_events_cuped
+
+    pre, post = dt.datetime(2024, 3, 1), dt.datetime(2024, 3, 29)
+    rows = []
+    for u, x in [(0, 1.0), (1, 2.0), (2, 4.0), (3, 7.0)]:
+        rows.append((u, pre, x))
+        rows.append((u, post, 2 * x))
+    events = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [r[1] for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": ["purchase"] * len(rows),
+            "value": [r[2] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    events.to_parquet(tmp_path / "events.parquet")
+    out = {r["variant"]: r for r in q_events_cuped(spark, str(tmp_path)).collect()}
+    assert out[0]["theta"] == 2.0 and out[0]["rho2"] == 1.0
+    # adjusted means: variance from the covariate is fully removed, so
+    # both variants collapse to the pooled mean of y = 2 * pooled mean x
+    pooled_y = 2 * (10 + 20 + 40 + 70) / 4.0
+    assert abs(out[0]["adj_mean_post"] - pooled_y) < 1e-9
+    assert abs(out[1]["adj_mean_post"] - pooled_y) < 1e-9
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, tmp_path):
+    """E-S keys: with one 10^6-char doc among 1-char docs, the heavy doc
+    must be sampled (its key ln(u)/w is ~10^6 x closer to zero), and the
+    output is deterministic across runs."""
+    import pandas as pd
+
+    from floatchat_datapipeline_spark.queries import q_doc_weighted_sample
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "text": ["x"] * 200,
+            "lang": ["en"] * 200,
+            "source": ["s"] * 200,
+            "n_chars": [1_000_000] + [1] * 199,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got1 = q_doc_weighted_sample(spark, str(tmp_path)).collect()
+    got2 = q_doc_weighted_sample(spark, str(tmp_path)).collect()
+    assert got1 == got2
+    ids = [r["doc_id"] for r in got1]
+    assert 0 in ids and len(ids) == 100

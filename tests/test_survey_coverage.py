@@ -298,6 +298,16 @@ SURVEY_IDS = [
     "TS24",
     # ANN recall certificate (RP top-k vs exact brute force)
     "V15",
+    # CUPED variance-reduced A/B readout (integer moment sums)
+    "A54",
+    # Mann-Whitney U rank-sum test (doubled midranks, tie-corrected z)
+    "A55",
+    # label-propagation communities (self-vote, min-label determinism)
+    "G9",
+    # rolling robust baseline (R-7 median/MAD over the hourly spine)
+    "TS25",
+    # weighted reservoir sample (Efraimidis-Spirakis ln(u)/w keys)
+    "L29",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
