@@ -12804,6 +12804,298 @@ LIMIT 100
 """
 
 
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS26 — single-changepoint detection per event_type (binary
+    segmentation, first split): the hour whose left/right mean split
+    maximizes the between-segment variance reduction
+    gain(i) = S_i²/i + (S_N−S_i)²/(N−i) − S_N²/N over the zero-filled
+    hourly count series — the level-shift locator a monitoring stack
+    runs before alerting on a mean change. Prefix sums are exact
+    BIGINTs from a PARTITIONED window cumsum; each candidate's gain is
+    the same fixed double tree on both engines, rounded 1e-9, and the
+    argmax ties break to the EARLIEST hour via max(struct(gain, −i)) —
+    the events_m4/G9 determinism pattern. Output: per type, the split
+    hour, both segment means (exact-integer ÷ count), and the gain.
+
+    Scale: one fact shuffle to the hourly rollup; everything after
+    lives on the wall-clock-bounded spine."""
+    from pyspark.sql import Window
+
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            long_div(
+                epoch_micros(F.date_trunc("hour", F.col("ts"))),
+                3_600_000_000,
+            ).alias("hx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hx").alias("lo"), F.max("hx").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("hx")
+    )
+    dense = spine.join(hourly, ["event_type", "hx"], "left").select(
+        "event_type", "hx", F.coalesce("n", F.lit(0)).alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = dense.select(
+        "event_type",
+        "hx",
+        F.sum("x").over(w).alias("s"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("hx"))
+        .alias("i"),
+    )
+    tot = pre.groupBy("event_type").agg(
+        F.max("s").alias("sn"), F.max("i").alias("nn")
+    )
+    cand = pre.join(tot, "event_type").filter(F.col("i") < F.col("nn"))
+    gain = F.round(
+        (F.col("s") * F.col("s")).cast("double") / F.col("i")
+        + (
+            (F.col("sn") - F.col("s")) * (F.col("sn") - F.col("s"))
+        ).cast("double")
+        / (F.col("nn") - F.col("i"))
+        - (F.col("sn") * F.col("sn")).cast("double") / F.col("nn"),
+        9,
+    )
+    best = (
+        cand.select(
+            "event_type",
+            F.struct(
+                gain.alias("g"),
+                (-F.col("i")).alias("ni"),
+                F.col("hx").alias("hx"),
+                F.col("s").alias("s"),
+                F.col("i").alias("i"),
+                F.col("sn").alias("sn"),
+                F.col("nn").alias("nn"),
+            ).alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(F.max("c").alias("b"))
+    )
+    return best.select(
+        "event_type",
+        F.col("b.hx").alias("split_hx"),
+        F.col("b.g").alias("gain"),
+        (F.col("b.s").cast("double") / F.col("b.i")).alias("left_mean"),
+        (
+            (F.col("b.sn") - F.col("b.s")).cast("double")
+            / (F.col("b.nn") - F.col("b.i"))
+        ).alias("right_mean"),
+    )
+
+
+_EVENTS_CHANGEPOINT_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS hx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(hx) AS lo, max(hx) AS hi FROM hourly GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS hx FROM bounds
+), dense AS (
+  SELECT s.event_type, s.hx, COALESCE(h.n, 0) AS x
+  FROM spine s LEFT JOIN hourly h USING (event_type, hx)
+), pre AS (
+  SELECT event_type, hx,
+         CAST(sum(x) OVER (PARTITION BY event_type ORDER BY hx
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY hx)
+           AS BIGINT) AS i
+  FROM dense
+), tot AS (
+  SELECT event_type, max(s) AS sn, max(i) AS nn FROM pre GROUP BY 1
+), cand AS (
+  SELECT p.event_type, p.hx, p.s, p.i, t.sn, t.nn,
+         round(CAST(p.s * p.s AS DOUBLE) / p.i
+               + CAST((t.sn - p.s) * (t.sn - p.s) AS DOUBLE)
+                 / (t.nn - p.i)
+               - CAST(t.sn * t.sn AS DOUBLE) / t.nn, 9) AS g
+  FROM pre p JOIN tot t USING (event_type)
+  WHERE p.i < t.nn
+), best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type ORDER BY g DESC, i ASC) AS rn
+    FROM cand)
+  WHERE rn = 1
+)
+SELECT event_type, hx AS split_hx, g AS gain,
+       CAST(s AS DOUBLE) / i AS left_mean,
+       CAST(sn - s AS DOUBLE) / (nn - i) AS right_mean
+FROM best
+"""
+
+
+def q_emb_prefix_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V16 — prefix-dimension retrieval audit (the Matryoshka / MRL
+    question: how much recall does searching on the first 16 of 64
+    dims keep?): exact quantized-L2 top-10 on the 16-dim prefix vs the
+    64-dim exact top-10 for the stored query vec_id=0, reporting
+    recall@10 and a certified bool — the V15 certificate pattern
+    pointed at dimension truncation instead of random projection. Both
+    legs are exact integer math (1e4-quantized coordinates, BIGINT
+    squared-L2), so the overlap is deterministic.
+
+    At 100 TB the prefix leg is the production scan (4× less IO and
+    FLOPs); this audit is the job that decides whether that truncation
+    is safe. On THIS corpus the verdict is honestly NEGATIVE
+    (recall 0–0.1, certified=false at every SF): the synthetic
+    embeddings are isotropic random vectors with no Matryoshka-style
+    information concentration, so naive truncation destroys the
+    neighborhood — exactly the unsafe deployment the audit exists to
+    block, and the discriminating contrast to V15 (32-projection RP on
+    the same corpus certifies at recall ≥ 0.8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q64 = F.expr(
+        "transform(embedding, x -> "
+        "cast(round(cast(x as double) * 10000) as bigint))"
+    )
+    base = emb.select("vec_id", q64.alias("q")).localCheckpoint(
+        eager=True
+    )  # two legs + two broadcast query rows: one quantization pass
+    qrow = base.filter(F.col("vec_id") == 0).select(F.col("q").alias("qq"))
+
+    def topk(expr: str) -> DataFrame:
+        return (
+            base.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(qrow))
+            .select("vec_id", F.expr(expr).alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+
+    full = topk(
+        "aggregate(zip_with(q, qq, (a, b) -> (a-b)*(a-b)), 0L,"
+        " (acc, x) -> acc + x)"
+    )
+    prefix = topk(
+        "aggregate(zip_with(slice(q, 1, 16), slice(qq, 1, 16),"
+        " (a, b) -> (a-b)*(a-b)), 0L, (acc, x) -> acc + x)"
+    )
+    return prefix.join(full, "vec_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.lit(16).cast("long").alias("prefix_dims"),
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall"),
+        (F.count(F.lit(1)) >= 5).alias("certified"),
+    )
+
+
+_EMB_PREFIX_DIM_AUDIT_ORACLE = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+  FROM embeddings
+), qv AS (
+  SELECT q AS qq FROM base WHERE vec_id = 0
+), fullk AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           CAST(list_sum(list_transform(
+             list_zip(q, (SELECT qq FROM qv)),
+             s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT) AS d
+    FROM base WHERE vec_id <> 0)
+  ORDER BY d, vec_id LIMIT 10
+), prefixk AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           CAST(list_sum(list_transform(
+             list_zip(q[1:16], (SELECT qq[1:16] FROM qv)),
+             s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT) AS d
+    FROM base WHERE vec_id <> 0)
+  ORDER BY d, vec_id LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(16 AS BIGINT) AS prefix_dims,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(*) AS DOUBLE) / 10 AS recall,
+       count(*) >= 5 AS certified
+FROM prefixk JOIN fullk USING (vec_id)
+"""
+
+
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L30 — the per-source corpus datasheet ('datasheets for datasets',
+    Gebru et al. 2021 §3.2 composition): the one-table summary a corpus
+    release ships — doc/char/token volumes, language breadth, exact R-7
+    length quantiles, and the short-doc fraction that drives quality
+    filtering budgets. Complements the D11/L28 dedup audit (which owns
+    duplication stats) — together they are the release manifest.
+
+    Exactness: counts and char/token sums are BIGINTs; p50/p90 are
+    `percentile(_, qe0)` == `quantile_cont` on integer inputs (R-7,
+    bit-identical); short_frac is one division of two exact BIGINTs.
+    One partial-aggregable rollup over documents — map-side combine,
+    no second scan."""
+    from floatchat_datapipeline_spark.functions.textstats import (
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(token_count("text")).alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.expr("percentile(n_chars, 0.5e0)").alias("p50_chars"),
+            F.expr("percentile(n_chars, 0.9e0)").alias("p90_chars"),
+            F.sum(
+                F.when(F.col("n_chars") < 200, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_short"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "n_langs",
+            "p50_chars",
+            "p90_chars",
+            (F.col("n_short").cast("double") / F.col("n_docs")).alias(
+                "short_frac"
+            ),
+        )
+    )
+
+
+_CORPUS_DATASHEET_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+            AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       quantile_cont(n_chars, 0.5e0) AS p50_chars,
+       quantile_cont(n_chars, 0.9e0) AS p90_chars,
+       CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS short_frac
+FROM documents
+GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -13031,6 +13323,17 @@ def _base_registry() -> dict[str, QuerySpec]:
         ),
         "doc_weighted_sample": QuerySpec(
             q_doc_weighted_sample, _DOC_WEIGHTED_SAMPLE_ORACLE, ("L29",)
+        ),
+        "events_changepoint": QuerySpec(
+            q_events_changepoint, _EVENTS_CHANGEPOINT_ORACLE, ("TS26",)
+        ),
+        "emb_prefix_dim_audit": QuerySpec(
+            q_emb_prefix_dim_audit,
+            _EMB_PREFIX_DIM_AUDIT_ORACLE,
+            ("V16",),
+        ),
+        "corpus_datasheet": QuerySpec(
+            q_corpus_datasheet, _CORPUS_DATASHEET_ORACLE, ("L30",)
         ),
         "trade_core": QuerySpec(
             q_trade_core, _TRADE_CORE_ORACLE, ("G6",)

@@ -276,3 +276,34 @@ def test_weighted_sample_prefers_heavy_docs(spark, tmp_path):
     assert got1 == got2
     ids = [r["doc_id"] for r in got1]
     assert 0 in ids and len(ids) == 100
+
+
+def test_changepoint_finds_level_shift(spark, tmp_path):
+    """A clean level shift (rate 1/h for 48 h, then 5/h for 48 h) must
+    split exactly at the shift boundary with left/right means 1 and 5."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from floatchat_datapipeline_spark.queries import q_events_changepoint
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for h in range(96):
+        for k in range(1 if h < 48 else 5):
+            rows.append(base + dt.timedelta(hours=h, minutes=k + 1))
+    events = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": rows,
+            "user_id": [1] * len(rows),
+            "event_type": ["shift"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    events.to_parquet(tmp_path / "events.parquet")
+    r = q_events_changepoint(spark, str(tmp_path)).first()
+    base_hx = int(base.timestamp()) // 3600
+    assert r["split_hx"] == base_hx + 47  # last hour of the low segment
+    assert r["left_mean"] == 1.0 and r["right_mean"] == 5.0

@@ -308,6 +308,12 @@ SURVEY_IDS = [
     "TS25",
     # weighted reservoir sample (Efraimidis-Spirakis ln(u)/w keys)
     "L29",
+    # single-changepoint detection (integer prefix sums, fixed gain tree)
+    "TS26",
+    # prefix-dimension retrieval audit (Matryoshka truncation safety)
+    "V16",
+    # corpus datasheet (per-source release manifest rollup)
+    "L30",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
