@@ -13096,6 +13096,114 @@ GROUP BY source
 """
 
 
+def q_events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K14 — Debezium-style CDC log apply: reconstruct final table
+    state from an ordered change log (op ∈ I/U/D, per-key sequence)
+    with LATEST-OP-WINS and delete tombstones — the lakehouse MERGE
+    contract (Delta CDF / Iceberg changelog consumers), generalizing
+    the K1 latest-per-key dedupe with explicit update payloads and
+    deletes. The log is synthesized deterministically from events
+    (every id INSERTs at seq 1; ids %3 UPDATE at seq 2; ids %7 DELETE
+    at seq 3); apply = one partial-aggregable max(struct(seq, …)) per
+    key — no window, no sort — then tombstone keys fold into a
+    '__tombstone__' bucket of the rollup so the delete path is
+    hash-visible.
+
+    Scale: the apply is a single hash aggregation on the key — the
+    shape that absorbs billion-row CDC feeds; payloads ride inside the
+    struct, exact cents only."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ins = ev.select(
+        "event_id",
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        "event_type",
+        "cents",
+    )
+    upd = ev.filter(F.col("event_id") % 3 == 0).select(
+        "event_id",
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        F.lit("updated").alias("event_type"),
+        (F.col("cents") + 100).alias("cents"),
+    )
+    dele = ev.filter(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit("").alias("event_type"),
+        F.lit(0).cast("long").alias("cents"),
+    )
+    log = ins.unionByName(upd).unionByName(dele)
+    latest = log.groupBy("event_id").agg(
+        F.max(
+            F.struct(
+                F.col("seq"), F.col("op"), F.col("event_type"), F.col("cents")
+            )
+        ).alias("s")
+    )
+    return (
+        latest.select(
+            "event_id",
+            F.when(F.col("s.op") == "D", F.lit("__tombstone__"))
+            .otherwise(F.col("s.event_type"))
+            .alias("final_type"),
+            F.when(F.col("s.op") == "D", F.lit(0))
+            .otherwise(F.col("s.cents"))
+            .alias("cents"),
+        )
+        .groupBy("final_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cents").alias("cents"),
+            F.sum("event_id").alias("id_sum"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+
+
+_EVENTS_CDC_APPLY_ORACLE = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), log AS (
+  SELECT event_id, 1 AS seq, 'I' AS op, event_type, cents FROM ev
+  UNION ALL
+  SELECT event_id, 2, 'U', 'updated', cents + 100
+  FROM ev WHERE event_id % 3 = 0
+  UNION ALL
+  SELECT event_id, 3, 'D', '', CAST(0 AS BIGINT)
+  FROM ev WHERE event_id % 7 = 0
+), latest AS (
+  SELECT event_id, op, event_type, cents FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_id ORDER BY seq DESC) AS rn
+    FROM log)
+  WHERE rn = 1
+), finals AS (
+  SELECT event_id,
+         CASE WHEN op = 'D' THEN '__tombstone__'
+              ELSE event_type END AS final_type,
+         CASE WHEN op = 'D' THEN 0 ELSE cents END AS cents
+  FROM latest
+)
+SELECT final_type,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cents) AS BIGINT) AS cents,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id
+FROM finals
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -13334,6 +13442,9 @@ def _base_registry() -> dict[str, QuerySpec]:
         ),
         "corpus_datasheet": QuerySpec(
             q_corpus_datasheet, _CORPUS_DATASHEET_ORACLE, ("L30",)
+        ),
+        "events_cdc_apply": QuerySpec(
+            q_events_cdc_apply, _EVENTS_CDC_APPLY_ORACLE, ("K14",)
         ),
         "trade_core": QuerySpec(
             q_trade_core, _TRADE_CORE_ORACLE, ("G6",)

@@ -307,3 +307,149 @@ def test_changepoint_finds_level_shift(spark, tmp_path):
     base_hx = int(base.timestamp()) // 3600
     assert r["split_hx"] == base_hx + 47  # last hour of the low segment
     assert r["left_mean"] == 1.0 and r["right_mean"] == 5.0
+
+
+def test_mannwhitney_matches_brute_force_pair_count(spark, tmp_path):
+    """The doubled-midrank formula must equal the DEFINITION
+    2U_a = 2·#(a>b) + #(a=b) over all cross pairs — a shared-wrong-
+    formula in query+oracle would pass the parity gate but fail this."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from floatchat_datapipeline_spark.queries import q_events_mannwhitney
+
+    rng = random.Random(9)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    samples = {}
+    for t in ("t1", "t2", "t3"):
+        a = [rng.randint(1, 8) / 100 for _ in range(rng.randint(3, 9))]
+        b = [rng.randint(1, 8) / 100 for _ in range(rng.randint(3, 9))]
+        samples[t] = (a, b)
+        for i, v in enumerate(a):
+            rows.append((t, 2 * i, v))
+        for i, v in enumerate(b):
+            rows.append((t, 2 * i + 1, v))
+    events = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [base] * len(rows),
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[0] for r in rows],
+            "value": [r[2] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    events.to_parquet(tmp_path / "events.parquet")
+    out = {
+        r["event_type"]: r
+        for r in q_events_mannwhitney(spark, str(tmp_path)).collect()
+    }
+    for t, (a, b) in samples.items():
+        ca = [round(v * 100) for v in a]
+        cb = [round(v * 100) for v in b]
+        u2 = sum(
+            2 if x > y else (1 if x == y else 0) for x in ca for y in cb
+        )
+        assert out[t]["u2_a"] == u2, (t, out[t]["u2_a"], u2)
+        assert out[t]["n_a"] == len(a) and out[t]["n_b"] == len(b)
+
+
+def test_rolling_median_matches_pandas(spark, tmp_path):
+    """med/mad must equal pandas' centered rolling(25, min_periods=1)
+    median on the same zero-filled series (R-7 == numpy median on
+    integer windows)."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from floatchat_datapipeline_spark.queries import q_events_rolling_median
+
+    rng = random.Random(5)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for h in range(60):
+        for _ in range(rng.randint(0, 6)):  # some hours empty -> gaps
+            rows.append(base + dt.timedelta(hours=h, minutes=7))
+    events = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": rows,
+            "user_id": [1] * len(rows),
+            "event_type": ["m"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    events.to_parquet(tmp_path / "events.parquet")
+    got = (
+        q_events_rolling_median(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("hx")
+        .reset_index(drop=True)
+    )
+    # zero-filled spine from first to last OBSERVED hour
+    lo, hi = got.hx.min(), got.hx.max()
+    series = pd.Series(0, index=range(lo, hi + 1), dtype=float)
+    for _, r in got.iterrows():
+        series[r.hx] = r.x
+    med = series.rolling(25, center=True, min_periods=1).median()
+    assert list(got.med) == list(med.values)
+    mad = (
+        (series - med)
+        .abs()
+        .rolling(25, center=True, min_periods=1)
+        .median()
+    )
+    # pandas MAD here subtracts the ROLLING med at the deviation's own
+    # position; the query subtracts the anchor's med from each window
+    # member — equal only when med is locally flat, so compare MAD via
+    # explicit windows instead:
+    import numpy as np
+
+    for i, r in got.iterrows():
+        w = series.loc[max(lo, r.hx - 12): r.hx + 12]  # label-inclusive
+        assert r["mad"] == float(np.median(np.abs(w.values - r["med"])))
+
+
+def test_cuped_theta_matches_numpy_lstsq(spark, tmp_path):
+    """theta must equal the OLS slope of y on x (numpy lstsq) within
+    1e-9 on a random integer sample."""
+    import datetime as dt
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from floatchat_datapipeline_spark.queries import q_events_cuped
+
+    rng = random.Random(7)
+    pre, post = dt.datetime(2024, 3, 1), dt.datetime(2024, 3, 29)
+    rows, xs, ys = [], [], []
+    for u in range(12):
+        x = rng.randint(1, 50) / 10
+        y = rng.randint(1, 50) / 10
+        xs.append(round(x * 10))
+        ys.append(round(y * 10))
+        rows.append((u, pre, x))
+        rows.append((u, post, y))
+    events = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [r[1] for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": ["e"] * len(rows),
+            "value": [r[2] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    events.to_parquet(tmp_path / "events.parquet")
+    out = q_events_cuped(spark, str(tmp_path)).first()
+    x = np.array(xs, dtype=float)
+    y = np.array(ys, dtype=float)
+    a = np.vstack([x, np.ones_like(x)]).T
+    slope = np.linalg.lstsq(a, y, rcond=None)[0][0]
+    assert abs(out["theta"] - slope) < 1e-9

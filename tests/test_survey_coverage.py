@@ -314,6 +314,8 @@ SURVEY_IDS = [
     "V16",
     # corpus datasheet (per-source release manifest rollup)
     "L30",
+    # CDC log apply (latest-op-wins + tombstones, one hash agg)
+    "K14",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
