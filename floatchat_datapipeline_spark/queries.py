@@ -13204,6 +13204,1393 @@ GROUP BY 1
 """
 
 
+def _stage_events_csv(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    mod: int,
+    n_files: int,
+) -> None:
+    """TEST-HARNESS fixture staging for the S12/S13 DataSource gates:
+    export the event_id%mod slice to one CSV per event_id%n_files
+    "float" with csv.writer — Python str(float) is repr, so doubles
+    round-trip exactly. In deployment the files arrive via the
+    scrape/staging cache (sources/staging.py) and this collect does not
+    exist; the measured operator is the scan."""
+    import csv
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % mod == 0)
+        .select("event_id", "user_id", "event_type", "value")
+        .collect()
+    )
+    buckets: dict[int, list] = {}
+    for r in rows:
+        buckets.setdefault(r.event_id % n_files, []).append(r)
+    for b, rs in buckets.items():
+        with open(
+            os.path.join(path, f"float_{b}.csv"), "w", newline=""
+        ) as fh:
+            w = csv.writer(fh)
+            w.writerow(["event_id", "user_id", "event_type", "value"])
+            for r in sorted(rs, key=lambda x: x.event_id):
+                w.writerow(
+                    [
+                        "" if v is None else v
+                        for v in (
+                            r.event_id,
+                            r.user_id,
+                            r.event_type,
+                            r.value,
+                        )
+                    ]
+                )
+
+
+_EVENTS_CSV_DDL = (
+    "event_id bigint, user_id bigint, event_type string, value double"
+)
+
+
+def q_erddap_staged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 — the Spark-4 Python DataSource batch path under the value
+    gate: rows flow through `spark.read.format("erddap_staged")`
+    (sources/pyds.py — one InputPartition per staged CSV file, the
+    reference's per-float download unit, ingest/load_data.py:49-103) and
+    the rollup of what the custom source YIELDED hash-matches a DuckDB
+    rollup over the same parquet rows. This is the source-side analog of
+    events_upsert_replay's sink gate: the format's schema contract,
+    partition planning, and per-partition typed decode are all on the
+    hash path.
+
+    Harness staging (TEST-ONLY driver step, not the operator): the
+    event_id%13 slice is exported to one CSV per event_id%8 "float" with
+    csv.writer — Python str(float) is repr, so doubles round-trip
+    exactly. In deployment the files arrive via the scrape/staging cache
+    (sources/staging.py) and this collect does not exist; the measured
+    operator is the parallel scan, which reads N files as N tasks with
+    no driver loop.
+
+    Scale: partition-per-file parallel decode; the rollup is one
+    partial-aggregable hash agg. Exact integer outputs only (floor-cents
+    fold for the double column)."""
+    from floatchat_datapipeline_spark.sinks.bucketed import _layout_tag
+    from floatchat_datapipeline_spark.sources.pyds import (
+        ErddapStagedDataSource,
+    )
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = os.path.join(
+        warehouse, f"erddap_staged_{_layout_tag(sf_dir)}"
+    )
+    _stage_events_csv(spark, sf_dir, path, mod=13, n_files=8)
+    spark.dataSource.register(ErddapStagedDataSource)
+    staged = (
+        spark.read.format("erddap_staged")
+        .option("path", path)
+        .option("ddl", _EVENTS_CSV_DDL)
+        .load()
+    )
+    return staged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)")).alias("cents"),
+        F.sum("event_id").alias("id_sum"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+_ERDDAP_STAGED_SCAN_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id
+FROM events
+WHERE event_id % 13 = 0
+GROUP BY event_type
+"""
+
+
+def q_parts_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17 — additive parquet schema evolution under the value gate:
+    three generations of the part table land with WIDENING schemas
+    (gen 0: key+type; gen 1: +p_size; gen 2: +retail_cents) via
+    sources/evolution.append_evolved, and the mergeSchema union read
+    (read_evolving) must surface NULLs exactly where a part predates a
+    column. The rollup groups by generation (p_partkey%3), so the
+    NULL-fill pattern is hash-visible: gen 0 must show n_size = 0 and
+    n_cents = 0, gen 1 only n_cents = 0. The reference migrates schemas
+    by hand (ingest/schema.sql fixed DDL + backfill); this is the
+    lakehouse additive-evolution contract instead.
+
+    Scale: mergeSchema's footer union is the documented
+    bootstrap/recovery path — steady state pins the evolved schema
+    (evolved_schema → read_pinned) and skips footer discovery. The
+    rollup itself is one partial-aggregable hash agg; exact integers
+    only."""
+    import shutil
+
+    from floatchat_datapipeline_spark.sinks.bucketed import _layout_tag
+    from floatchat_datapipeline_spark.sources.evolution import (
+        append_evolved,
+        read_evolving,
+    )
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = os.path.join(
+        warehouse, f"parts_evolving_{_layout_tag(sf_dir)}"
+    )
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    part = load_table(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    append_evolved(
+        part.filter(pk % 3 == 0).select("p_partkey", "p_type"), path
+    )
+    append_evolved(
+        part.filter(pk % 3 == 1).select("p_partkey", "p_type", "p_size"),
+        path,
+    )
+    append_evolved(
+        part.filter(pk % 3 == 2).select(
+            "p_partkey",
+            "p_type",
+            "p_size",
+            F.round(F.col("p_retailprice") * 100)
+            .cast("long")
+            .alias("retail_cents"),
+        ),
+        path,
+    )
+    ev = read_evolving(spark, path)
+    return ev.groupBy((pk % 3).alias("gen")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("p_size").alias("n_size"),
+        F.count("retail_cents").alias("n_cents"),
+        F.sum(F.coalesce(F.col("p_size"), F.lit(0)).cast("long")).alias(
+            "size_sum"
+        ),
+        F.sum(F.coalesce(F.col("retail_cents"), F.lit(0))).alias(
+            "cents_sum"
+        ),
+        F.sum("p_partkey").alias("key_sum"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
+_PARTS_SCHEMA_EVOLUTION_ORACLE = """
+WITH g0 AS (
+  SELECT p_partkey, p_type,
+         CAST(NULL AS INTEGER) AS p_size,
+         CAST(NULL AS BIGINT) AS retail_cents
+  FROM part WHERE p_partkey % 3 = 0
+), g1 AS (
+  SELECT p_partkey, p_type, p_size, CAST(NULL AS BIGINT)
+  FROM part WHERE p_partkey % 3 = 1
+), g2 AS (
+  SELECT p_partkey, p_type, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT)
+  FROM part WHERE p_partkey % 3 = 2
+), u AS (
+  SELECT * FROM g0 UNION ALL SELECT * FROM g1 UNION ALL SELECT * FROM g2
+)
+SELECT CAST(p_partkey % 3 AS BIGINT) AS gen,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(p_size) AS BIGINT) AS n_size,
+       CAST(count(retail_cents) AS BIGINT) AS n_cents,
+       CAST(sum(coalesce(p_size, 0)) AS BIGINT) AS size_sum,
+       CAST(sum(coalesce(retail_cents, 0)) AS BIGINT) AS cents_sum,
+       CAST(sum(p_partkey) AS BIGINT) AS key_sum,
+       CAST(count(DISTINCT p_type) AS BIGINT) AS n_types
+FROM u
+GROUP BY 1
+"""
+
+
+def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS27 — Mann-Kendall nonparametric trend test per event type over
+    the daily-cents series: S = Σ_{i<j} sign(x_j − x_i), tie-corrected
+    variance (×18 to stay integral), and the two-sided z-test at
+    α = 0.05 decided by CROSS-MULTIPLICATION so every compared quantity
+    is an exact BIGINT: significant ⇔ S ≠ 0 and
+    180000·(|S|−1)² > 38416·Var18 (1.96² = 38416/10000; Var = Var18/18;
+    the −1 is the standard continuity correction). The companion to
+    TS14 Holt / A32 Theil-Sen: those estimate the trend, this one tests
+    its existence without distributional assumptions.
+
+    Scale: the O(n²) pair pass runs on the DAILY rollup — the spine
+    grows with time, not event volume (the rolling-median argument), so
+    the theta self-join is bounded; the rollup itself is one
+    partial-aggregable hash agg over the fact table. The daily frame is
+    localCheckpointed once and feeds all three branches (pairs, ties,
+    counts) — the two-branch rule."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        epoch_seconds(F.col("ts")).alias("es"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = (
+        ev.groupBy("event_type", F.expr("es div 86400").alias("day"))
+        .agg(F.sum("cents").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    return _mann_kendall_report(daily)
+
+
+def _mann_kendall_report(daily: DataFrame) -> DataFrame:
+    """Mann-Kendall core over a (event_type, day, x) series frame —
+    factored so property tests can feed synthetic trending/flat series
+    (tests/test_round10_ops.py) the way the changepoint/LPA cores are
+    brute-force-tested. All-integer; see q_events_mann_kendall."""
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    tie = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    out = (
+        nn.join(s, "event_type", "left")
+        .join(tie, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            F.coalesce("s_stat", F.lit(0)).alias("s_stat"),
+            (
+                F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.coalesce("tie_term", F.lit(0))
+            ).alias("var18"),
+        )
+    )
+    sa = F.abs(F.col("s_stat"))
+    return out.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        "var18",
+        F.when(F.col("s_stat") > 0, F.lit("up"))
+        .when(F.col("s_stat") < 0, F.lit("down"))
+        .otherwise(F.lit("flat"))
+        .alias("direction"),
+        (
+            (F.col("s_stat") != 0)
+            & (
+                F.lit(180000) * (sa - 1) * (sa - 1)
+                > F.lit(38416) * F.col("var18")
+            )
+        ).alias("significant"),
+    )
+
+
+_EVENTS_MANN_KENDALL_ORACLE = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 1000000 AS es,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), daily AS (
+  SELECT event_type, es // 86400 AS day,
+         CAST(sum(cents) AS BIGINT) AS x
+  FROM ev GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.x > a.x THEN 1
+              WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), s AS (
+  SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat
+  FROM pairs GROUP BY 1
+), tie AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (
+    SELECT event_type, x, count(*) AS t FROM daily GROUP BY 1, 2
+  ) GROUP BY 1
+), nn AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+), o AS (
+  SELECT nn.event_type, n_days,
+         CAST(coalesce(s_stat, 0) AS BIGINT) AS s_stat,
+         CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+              - coalesce(tie_term, 0) AS BIGINT) AS var18
+  FROM nn LEFT JOIN s USING (event_type)
+          LEFT JOIN tie USING (event_type)
+)
+SELECT event_type, n_days, s_stat, var18,
+       CASE WHEN s_stat > 0 THEN 'up'
+            WHEN s_stat < 0 THEN 'down' ELSE 'flat' END AS direction,
+       (s_stat <> 0 AND
+        180000 * (abs(s_stat) - 1) * (abs(s_stat) - 1)
+          > 38416 * var18) AS significant
+FROM o
+"""
+
+
+def q_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A56 — Herfindahl–Hirschman market-concentration index: per
+    nation, how concentrated revenue is across its suppliers. Shares
+    quantize to exact ppm BIGINTs FIRST (u·10⁶ div total — truncating
+    div on both engines), then HHI = Σ ppm², so the index is exact
+    integer end-to-end (squaring the raw e-4-dollar units would
+    overflow BIGINT; quantized shares cap the square at 10¹²). The
+    complement to A37 Gini (inequality) and A52 whale share (top-k
+    mass): HHI is the antitrust-standard concentration scalar.
+
+    Scale: one partial-aggregable fact rollup to (nation, supplier)
+    grain with broadcast dims; nation totals via a window over the
+    ROLLUP (25-nation × supplier grain — never a fact self-join), then
+    one hash agg to nation grain."""
+    from pyspark.sql import Window
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    units = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    ).alias("u")
+    per_sup = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", units)
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum("u").alias("u"))
+    )
+    total = F.sum("u").over(Window.partitionBy("n_name"))
+    shares = per_sup.select(
+        "n_name", F.expr("u * 1000000").alias("u6"), total.alias("tot")
+    ).select("n_name", F.expr("u6 div tot").alias("ppm"))
+    return shares.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("ppm") * F.col("ppm")).alias("hhi_ppm2"),
+        F.max("ppm").alias("top_share_ppm"),
+    )
+
+
+_NATION_HHI_ORACLE = """
+WITH per_sup AS (
+  SELECT n_name, l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS u
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+), shares AS (
+  SELECT n_name,
+         (u * 1000000) // CAST(sum(u) OVER (PARTITION BY n_name) AS BIGINT)
+           AS ppm
+  FROM per_sup
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(ppm * ppm) AS BIGINT) AS hhi_ppm2,
+       CAST(max(ppm) AS BIGINT) AS top_share_ppm
+FROM shares GROUP BY 1
+"""
+
+
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L31 — out-of-vocabulary rate curve over the word-BIGRAM
+    vocabulary (the merge-candidate units of L17's BPE step): for vocab
+    sizes k ∈ {64, 256, 1024}, the fraction of bigram OCCURRENCES not
+    covered by the top-k vocabulary (count DESC, unit ASC — fully
+    deterministic truncation). The tokenizer-design feedback loop every
+    training pipeline runs before freezing a vocab; the curve
+    quantifies the coverage/size trade. Bigrams rather than unigrams
+    because the synthetic corpus has only ~31 distinct words — the
+    unigram curve is saturated at every k (the same vacuousness rule
+    that sized capped_sessions/SNM: a gate must BIND at sf0.001-0.1);
+    the ~900-bigram vocabulary makes k = 64/256 bind and k = 1024 show
+    honest saturation. Counts are exact BIGINTs; the rate is ONE IEEE
+    division of two exact integers.
+
+    Scale: one corpus-wide bigram hash agg (map-side generated by a
+    codegen'd zip_with, the word_shingles shape), localCheckpointed
+    once because four branches consume it (three top-k probes + the
+    total); each top-k is TakeOrderedAndProject — driver cost O(k),
+    never a global sort."""
+    from floatchat_datapipeline_spark.functions.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    arr = tokens("text")
+    bigrams = F.when(F.size(arr) < 2, F.array()).otherwise(
+        F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    )
+    cnt = (
+        docs.select(F.explode(bigrams).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    total = cnt.agg(F.sum("c").alias("total"))
+    legs = []
+    for k in (64, 256, 1024):
+        legs.append(
+            cnt.orderBy(F.desc("c"), "token")
+            .limit(k)
+            .agg(
+                F.lit(k).cast("long").alias("vocab_k"),
+                F.count(F.lit(1)).alias("vocab_tokens"),
+                F.sum("c").alias("in_occ"),
+            )
+        )
+    cur = legs[0]
+    for leg in legs[1:]:
+        cur = cur.unionByName(leg)
+    return cur.crossJoin(F.broadcast(total)).select(
+        "vocab_k",
+        "vocab_tokens",
+        "in_occ",
+        (F.col("total") - F.col("in_occ")).alias("oov_occ"),
+        "total",
+        (
+            (F.col("total") - F.col("in_occ")).cast("double")
+            / F.col("total")
+        ).alias("oov_rate"),
+    )
+
+
+_VOCAB_OOV_RATE_ORACLE = """
+WITH docs AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), tok AS (
+  SELECT t[i.x] || ' ' || t[i.x + 1] AS token
+  FROM docs, unnest(range(1, len(t))) AS i(x)
+), cnt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+), rk AS (
+  SELECT token, c,
+         row_number() OVER (ORDER BY c DESC, token) AS r
+  FROM cnt
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt
+), ks AS (
+  SELECT unnest([64, 256, 1024]) AS vocab_k
+), sel AS (
+  SELECT vocab_k,
+         CAST(count(*) FILTER (WHERE r <= vocab_k) AS BIGINT)
+           AS vocab_tokens,
+         CAST(coalesce(sum(c) FILTER (WHERE r <= vocab_k), 0) AS BIGINT)
+           AS in_occ
+  FROM ks CROSS JOIN rk GROUP BY 1
+)
+SELECT CAST(vocab_k AS BIGINT) AS vocab_k, vocab_tokens, in_occ,
+       total - in_occ AS oov_occ, total,
+       CAST(total - in_occ AS DOUBLE) / total AS oov_rate
+FROM sel CROSS JOIN tot
+"""
+
+
+def q_events_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K15 — time-travel snapshot diff through the versioned sink
+    (sinks/versioned.py): write snapshot v1 (the even-event_id slice),
+    then v2 with deterministic churn (drop %10 keys, bump %6 cents by
+    100, add the odd %9 keys), then read BOTH versions back via
+    `read_version` and classify every key added / removed / changed /
+    unchanged with one full-outer join. The reference's stores
+    overwrite in place (delete-then-add, ON CONFLICT DO UPDATE) and
+    lose history; this is the Delta/Iceberg `versionAsOf` contract on
+    vanilla parquet, and the diff is the audit query every pipeline
+    runs after a suspect sync. State dir is cleared first, so the query
+    is idempotent and hash-stable.
+
+    Scale: a snapshot write never rewrites history (one parquet write);
+    the time-travel read is metadata (pick a directory); the diff is
+    ONE key-partitioned full-outer join + a hash rollup. Exact cents
+    only."""
+    import shutil
+
+    from floatchat_datapipeline_spark.sinks.bucketed import _layout_tag
+    from floatchat_datapipeline_spark.sinks.versioned import (
+        read_version,
+        write_version,
+    )
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = os.path.join(warehouse, f"events_versions_{_layout_tag(sf_dir)}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    v1 = ev.filter(F.col("event_id") % 2 == 0)
+    write_version(v1, path)
+    v2 = (
+        v1.filter(F.col("event_id") % 10 != 0)
+        .select(
+            "event_id",
+            F.when(F.col("event_id") % 6 == 0, F.lit("bumped"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(
+                F.col("event_id") % 6 == 0, F.col("cents") + 100
+            )
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionByName(
+            ev.filter(
+                (F.col("event_id") % 2 == 1) & (F.col("event_id") % 9 == 0)
+            )
+        )
+    )
+    write_version(v2, path)
+    old = read_version(spark, path, 1).alias("o")
+    new = read_version(spark, path, 2).alias("n")
+    joined = old.join(new, F.col("o.event_id") == F.col("n.event_id"), "full_outer")
+    klass = (
+        F.when(F.col("o.event_id").isNull(), F.lit("added"))
+        .when(F.col("n.event_id").isNull(), F.lit("removed"))
+        .when(
+            (F.col("o.cents") != F.col("n.cents"))
+            | (F.col("o.event_type") != F.col("n.event_type")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            klass.alias("change"),
+            F.coalesce(F.col("o.event_id"), F.col("n.event_id")).alias(
+                "event_id"
+            ),
+            F.coalesce(F.col("o.cents"), F.lit(0)).alias("old_cents"),
+            F.coalesce(F.col("n.cents"), F.lit(0)).alias("new_cents"),
+        )
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("old_cents").alias("old_cents"),
+            F.sum("new_cents").alias("new_cents"),
+            F.sum("event_id").alias("id_sum"),
+        )
+    )
+
+
+_EVENTS_VERSION_DIFF_ORACLE = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), v1 AS (
+  SELECT * FROM ev WHERE event_id % 2 = 0
+), v2 AS (
+  SELECT event_id,
+         CASE WHEN event_id % 6 = 0 THEN 'bumped' ELSE event_type END
+           AS event_type,
+         CASE WHEN event_id % 6 = 0 THEN cents + 100 ELSE cents END
+           AS cents
+  FROM v1 WHERE event_id % 10 <> 0
+  UNION ALL
+  SELECT event_id, event_type, cents
+  FROM ev WHERE event_id % 2 = 1 AND event_id % 9 = 0
+), d AS (
+  SELECT CASE WHEN o.event_id IS NULL THEN 'added'
+              WHEN n.event_id IS NULL THEN 'removed'
+              WHEN o.cents <> n.cents
+                OR o.event_type <> n.event_type THEN 'changed'
+              ELSE 'unchanged' END AS change,
+         coalesce(o.event_id, n.event_id) AS event_id,
+         coalesce(o.cents, 0) AS old_cents,
+         coalesce(n.cents, 0) AS new_cents
+  FROM v1 o FULL OUTER JOIN v2 n ON o.event_id = n.event_id
+)
+SELECT change,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(old_cents) AS BIGINT) AS old_cents,
+       CAST(sum(new_cents) AS BIGINT) AS new_cents,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM d GROUP BY 1
+"""
+
+
+def q_events_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13 — blocking-scheme quality audit, the evaluation loop of
+    every record-linkage/dedup blocker (the metric pair behind the D9
+    SNM and LSH band choices): against ground-truth matches = event
+    pairs sharing (user_id, event_type), how does blocking on
+    (event_type, day) trade candidate volume for recall?
+
+      pair_completeness = caught_pairs / gt_pairs      (recall)
+      reduction_ratio   = 1 − candidate_pairs / all_pairs
+
+    ALL pair counts come from group sizes — Σ C(g,2) per group — so
+    nothing ever materializes a pair: three partial-aggregable hash
+    aggs (per (user,type), per (type,day), per (user,type,day)) and
+    C(N,2) for the denominator. Exact BIGINTs; each ratio is ONE IEEE
+    division.
+
+    Scale: this is the shape that audits a billion-row blocker — group
+    sizes, never pairs; skew-safe because C(g,2) is computed inside
+    the aggregation, not by exploding candidates."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        epoch_seconds(F.col("ts")).alias("es"),
+    ).select(
+        "user_id", "event_type", F.expr("es div 86400").alias("day")
+    )
+
+    def pairs2(c: str):
+        # Σ C(g,2) from group sizes; g(g-1) is even so the halving is
+        # exact — integer div, never a double quotient (2^53 cliff).
+        return F.expr(f"sum({c} * ({c} - 1)) div 2")
+    gt = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("g"))
+        .groupBy("event_type")
+        .agg(pairs2("g").alias("gt_pairs"))
+    )
+    cand = (
+        ev.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("b"))
+        .groupBy("event_type")
+        .agg(
+            pairs2("b").alias("candidate_pairs"),
+            F.sum("b").alias("n_rows"),
+        )
+    )
+    caught = (
+        ev.groupBy("user_id", "event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type")
+        .agg(pairs2("c").alias("caught_pairs"))
+    )
+    out = gt.join(cand, "event_type").join(caught, "event_type")
+    all_pairs = F.expr("n_rows * (n_rows - 1) div 2")
+    return out.select(
+        "event_type",
+        "n_rows",
+        "gt_pairs",
+        "candidate_pairs",
+        "caught_pairs",
+        (
+            F.col("caught_pairs").cast("double") / F.col("gt_pairs")
+        ).alias("pair_completeness"),
+        (
+            F.lit(1.0)
+            - F.col("candidate_pairs").cast("double") / all_pairs
+        ).alias("reduction_ratio"),
+    )
+
+
+_EVENTS_BLOCKING_AUDIT_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         (epoch_us(ts) // 1000000) // 86400 AS day
+  FROM events
+), gt AS (
+  SELECT event_type,
+         CAST(sum(g * (g - 1)) // 2 AS BIGINT) AS gt_pairs
+  FROM (
+    SELECT user_id, event_type, count(*) AS g
+    FROM ev GROUP BY 1, 2
+  ) GROUP BY 1
+), cand AS (
+  SELECT event_type,
+         CAST(sum(b * (b - 1)) // 2 AS BIGINT) AS candidate_pairs,
+         CAST(sum(b) AS BIGINT) AS n_rows
+  FROM (
+    SELECT event_type, day, count(*) AS b
+    FROM ev GROUP BY 1, 2
+  ) GROUP BY 1
+), caught AS (
+  SELECT event_type,
+         CAST(sum(c * (c - 1)) // 2 AS BIGINT) AS caught_pairs
+  FROM (
+    SELECT user_id, event_type, day, count(*) AS c
+    FROM ev GROUP BY 1, 2, 3
+  ) GROUP BY 1
+)
+SELECT event_type, n_rows, gt_pairs, candidate_pairs, caught_pairs,
+       CAST(caught_pairs AS DOUBLE) / gt_pairs AS pair_completeness,
+       1e0 - CAST(candidate_pairs AS DOUBLE)
+               / (n_rows * (n_rows - 1) // 2)
+         AS reduction_ratio
+FROM gt JOIN cand USING (event_type) JOIN caught USING (event_type)
+"""
+
+
+def q_doc_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L32 — ordered quality-filter funnel (the Gopher/C4-style rule
+    cascade every corpus release documents): rules applied in sequence,
+    one row per stage with entering/killed/surviving counts, so the
+    attrition report shows WHICH rule costs how much corpus. Rules are
+    integer-exact (cross-multiplied thresholds, tuned to BIND at every
+    SF — the capped_sessions vacuousness discipline):
+
+      1 min_length      n_chars ≥ 100
+      2 min_tokens      n_tokens ≥ 20
+      3 word_shape      3·n_tokens ≤ chars_no_space ≤ 4.9·n_tokens
+                        (as 10·chars ≤ 49·tokens)
+      4 repetition      3·distinct_tokens ≥ n_tokens
+
+    Scale: ONE map-side pass computes all four flags per doc, one
+    partial-aggregable count rollup, and a 4-row stack on the 1-row
+    aggregate — no joins, no second corpus scan."""
+    from floatchat_datapipeline_spark.functions.textstats import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.size(tokens("text")).alias("nt"),
+        F.size(F.array_distinct(tokens("text"))).alias("dt"),
+        F.length(F.regexp_replace("text", " ", "")).alias("lns"),
+    )
+    flagged = d.select(
+        (F.col("n_chars") >= 100).alias("r1"),
+        (F.col("nt") >= 20).alias("r2"),
+        (
+            (3 * F.col("nt") <= F.col("lns"))
+            & (10 * F.col("lns") <= 49 * F.col("nt"))
+        ).alias("r3"),
+        (3 * F.col("dt") >= F.col("nt")).alias("r4"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count(F.when(F.col("r1"), 1)).alias("n1"),
+        F.count(F.when(F.col("r1") & F.col("r2"), 1)).alias("n2"),
+        F.count(F.when(F.col("r1") & F.col("r2") & F.col("r3"), 1)).alias(
+            "n3"
+        ),
+        F.count(
+            F.when(F.col("r1") & F.col("r2") & F.col("r3") & F.col("r4"), 1)
+        ).alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            "1L, 'min_length', n0, n1, "
+            "2L, 'min_tokens', n1, n2, "
+            "3L, 'word_shape', n2, n3, "
+            "4L, 'repetition', n3, n4) AS (stage, rule, n_in, n_out)"
+        )
+    ).select(
+        "stage",
+        "rule",
+        "n_in",
+        (F.col("n_in") - F.col("n_out")).alias("n_killed"),
+        "n_out",
+        (
+            (F.col("n_in") - F.col("n_out")).cast("double")
+            / F.col("n_in")
+        ).alias("kill_rate"),
+    )
+
+
+_DOC_QUALITY_FUNNEL_ORACLE = """
+WITH d AS (
+  SELECT n_chars,
+         len(string_split(text, ' ')) AS nt,
+         len(list_distinct(string_split(text, ' '))) AS dt,
+         len(replace(text, ' ', '')) AS lns
+  FROM documents
+), f AS (
+  SELECT (n_chars >= 100) AS r1,
+         (nt >= 20) AS r2,
+         (3 * nt <= lns AND 10 * lns <= 49 * nt) AS r3,
+         (3 * dt >= nt) AS r4
+  FROM d
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(count(*) FILTER (r1) AS BIGINT) AS n1,
+         CAST(count(*) FILTER (r1 AND r2) AS BIGINT) AS n2,
+         CAST(count(*) FILTER (r1 AND r2 AND r3) AS BIGINT) AS n3,
+         CAST(count(*) FILTER (r1 AND r2 AND r3 AND r4) AS BIGINT) AS n4
+  FROM f
+), s AS (
+  SELECT 1 AS stage, 'min_length' AS rule, n0 AS n_in, n1 AS n_out FROM a
+  UNION ALL SELECT 2, 'min_tokens', n1, n2 FROM a
+  UNION ALL SELECT 3, 'word_shape', n2, n3 FROM a
+  UNION ALL SELECT 4, 'repetition', n3, n4 FROM a
+)
+SELECT CAST(stage AS BIGINT) AS stage, rule, n_in,
+       n_in - n_out AS n_killed, n_out,
+       CAST(n_in - n_out AS DOUBLE) / n_in AS kill_rate
+FROM s
+"""
+
+
+def q_trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 — directed-graph reciprocity over the nation→nation trade
+    network (J10's edges with exact e-4-dollar weights): what fraction
+    of directed trade relations flow back? Edge reciprocity (count of
+    reciprocated edges / edges) and Squartini-style weighted
+    reciprocity (Σ min(w_ij, w_ji) / Σ w_ij) — both exact BIGINT
+    numerator/denominator pairs with ONE IEEE division each, plus the
+    raw counts so the certificate is auditable.
+
+    Scale: the fact pass is J10's shape (one fact-fact shuffle,
+    broadcast role dims) down to the nation-pair grain; the reciprocity
+    self-join runs on that EDGE LIST (bounded by nations², never rows)
+    keyed on the reversed pair."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("src"))
+    )
+    cust_nation = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("dst"))
+    )
+    units = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    ).alias("u")
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", units)
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust_nation), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("u").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    rev = edges.select(
+        F.col("src").alias("dst"),
+        F.col("dst").alias("src"),
+        F.col("w").alias("w_rev"),
+    )
+    paired = edges.join(rev, ["src", "dst"], "left")
+    return paired.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.count("w_rev").alias("n_reciprocated"),
+        F.sum("w").alias("w_total"),
+        F.sum(
+            F.least(F.col("w"), F.coalesce(F.col("w_rev"), F.lit(0)))
+        ).alias("w_reciprocated"),
+    ).select(
+        "n_edges",
+        "n_reciprocated",
+        "w_total",
+        "w_reciprocated",
+        (
+            F.col("n_reciprocated").cast("double") / F.col("n_edges")
+        ).alias("edge_reciprocity"),
+        (
+            F.col("w_reciprocated").cast("double") / F.col("w_total")
+        ).alias("weighted_reciprocity"),
+    )
+
+
+_TRADE_RECIPROCITY_ORACLE = """
+WITH edges AS (
+  SELECT sn.n_name AS src, cn.n_name AS dst,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE sn.n_name <> cn.n_name
+  GROUP BY 1, 2
+), paired AS (
+  SELECT a.w, b.w AS w_rev
+  FROM edges a LEFT JOIN edges b
+    ON a.src = b.dst AND a.dst = b.src
+)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(w_rev) AS BIGINT) AS n_reciprocated,
+       CAST(sum(w) AS BIGINT) AS w_total,
+       CAST(sum(least(w, coalesce(w_rev, 0))) AS BIGINT)
+         AS w_reciprocated,
+       CAST(count(w_rev) AS DOUBLE) / count(*) AS edge_reciprocity,
+       CAST(sum(least(w, coalesce(w_rev, 0))) AS DOUBLE) / sum(w)
+         AS weighted_reciprocity
+FROM paired
+"""
+
+
+def q_events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A57 — Wald–Wolfowitz runs test for randomness per event type:
+    split the daily-cents series at its R-7 median (above = x > med,
+    the deterministic tie rule), count runs R of consecutive same-side
+    days, and test R against its null distribution with every compared
+    quantity exact: A = R·n − 2·n1·n2 − n (the numerator of R − μ
+    scaled by n) and B = 2·n1·n2·(2·n1·n2 − n) (Var scaled by
+    n²(n−1)), so non-random ⇔ 10000·A²·(n−1) > 38416·B. The
+    companion to TS27: Mann-Kendall asks "is there a trend", this asks
+    "is the sequence random at all" (clustering OR over-alternation
+    both reject).
+
+    Scale: daily rollup (one partial-agg), per-type median on the
+    time-bounded spine, one lag window per type partition — no joins
+    against the fact table after the rollup."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        epoch_seconds(F.col("ts")).alias("es"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = ev.groupBy(
+        "event_type", F.expr("es div 86400").alias("day")
+    ).agg(F.sum("cents").alias("x"))
+    return _runs_test_report(daily)
+
+
+def _runs_test_report(daily: DataFrame) -> DataFrame:
+    """Wald–Wolfowitz core over a (event_type, day, x) series frame —
+    factored so property tests can feed synthetic alternating/clustered
+    series (tests/test_round10_ops.py). See q_events_runs_test."""
+    from pyspark.sql import Window
+
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(x, 0.5e0)").alias("med")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    sided = (
+        daily.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "day",
+            (F.col("x") > F.col("med")).cast("int").alias("above"),
+        )
+        .select(
+            "event_type",
+            "above",
+            F.when(
+                F.lag("above").over(w).isNull()
+                | (F.lag("above").over(w) != F.col("above")),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_run"),
+        )
+    )
+    agg = sided.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("above").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("above")).cast("long").alias("n_below"),
+        F.sum("new_run").cast("long").alias("runs"),
+    )
+    a_num = (
+        F.col("runs") * F.col("n_days")
+        - 2 * F.col("n_above") * F.col("n_below")
+        - F.col("n_days")
+    )
+    b_den = (
+        2
+        * F.col("n_above")
+        * F.col("n_below")
+        * (2 * F.col("n_above") * F.col("n_below") - F.col("n_days"))
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        "n_above",
+        "n_below",
+        "runs",
+        (
+            (F.col("n_above") > 0)
+            & (F.col("n_below") > 0)
+            & (b_den > 0)
+            & (
+                F.lit(10000) * a_num * a_num * (F.col("n_days") - 1)
+                > F.lit(38416) * b_den
+            )
+        ).alias("non_random"),
+    )
+
+
+_EVENTS_RUNS_TEST_ORACLE = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 1000000 AS es,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), daily AS (
+  SELECT event_type, es // 86400 AS day,
+         CAST(sum(cents) AS BIGINT) AS x
+  FROM ev GROUP BY 1, 2
+), med AS (
+  SELECT event_type, quantile_cont(x, 0.5e0) AS med
+  FROM daily GROUP BY 1
+), sided AS (
+  SELECT d.event_type, d.day,
+         CAST(d.x > m.med AS INT) AS above
+  FROM daily d JOIN med m USING (event_type)
+), runs AS (
+  SELECT event_type, above,
+         CASE WHEN lag(above) OVER (
+                PARTITION BY event_type ORDER BY day) IS DISTINCT
+                FROM above THEN 1 ELSE 0 END AS new_run
+  FROM sided
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(above) AS BIGINT) AS n_above,
+         CAST(count(*) - sum(above) AS BIGINT) AS n_below,
+         CAST(sum(new_run) AS BIGINT) AS runs
+  FROM runs GROUP BY 1
+)
+SELECT event_type, n_days, n_above, n_below, runs,
+       (n_above > 0 AND n_below > 0
+        AND 2 * n_above * n_below * (2 * n_above * n_below - n_days) > 0
+        AND 10000 * (runs * n_days - 2 * n_above * n_below - n_days)
+                  * (runs * n_days - 2 * n_above * n_below - n_days)
+                  * (n_days - 1)
+            > 38416 * 2 * n_above * n_below
+                    * (2 * n_above * n_below - n_days))
+         AS non_random
+FROM agg
+"""
+
+
+def q_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18 — interchange-format round-trip under the value gate: the
+    event_id%17 slice is written to CSV, JSON, and ORC through
+    sources/formats.write_table (pinned schema, microsecond
+    timestampFormat) and read back through read_table; the per-format
+    rollup — including an exact Σ unix_micros(ts) so timestamp
+    precision is ON the hash path — must equal the parquet truth for
+    every format. This moves the formats module from module-test-only
+    under the driver's hash gate: a format that truncated micros,
+    mangled a double, or dropped rows would hash-mismatch its row.
+
+    Scale: each leg is one partition-parallel write + scan of the
+    slice; text-format schema is PINNED (no inference pass), the
+    module's steady-state rule."""
+    import shutil
+
+    from floatchat_datapipeline_spark.sinks.bucketed import _layout_tag
+    from floatchat_datapipeline_spark.sources.formats import (
+        read_table,
+        write_table,
+    )
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    root = os.path.join(warehouse, f"formats_rt_{_layout_tag(sf_dir)}")
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    sl = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 17 == 0
+    ).select("event_id", "user_id", "event_type", "value", "ts")
+    legs = []
+    for fmt in ("csv", "json", "orc"):
+        path = os.path.join(root, fmt)
+        write_table(sl, path, fmt=fmt)
+        back = read_table(spark, path, fmt=fmt, schema=sl.schema)
+        legs.append(
+            back.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.expr("CAST(floor(value * 100) AS BIGINT)")
+                ).alias("cents"),
+                F.sum("event_id").alias("id_sum"),
+                # offset keeps the exact-micros sum inside BIGINT
+                # (raw epoch_us ≈ 1.7e15 × row count overflows)
+                F.sum(
+                    F.unix_micros(F.col("ts"))
+                    - F.lit(1700000000000000)
+                ).alias("ts_micros_sum"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+_FORMATS_ROUNDTRIP_ORACLE = """
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(sum(event_id) AS BIGINT) AS id_sum,
+         CAST(sum(epoch_us(ts) - 1700000000000000) AS BIGINT)
+           AS ts_micros_sum
+  FROM events WHERE event_id % 17 = 0
+)
+SELECT fmt, n_rows, cents, id_sum, ts_micros_sum
+FROM (SELECT unnest(['csv', 'json', 'orc']) AS fmt) CROSS JOIN base
+"""
+
+
+def q_erddap_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10 — the commit-protocol report SINK under the value gate: the
+    event_id%19 slice is written through
+    `df.write.format("erddap_report")` (sources/pyds.py
+    ErddapReportWriter — per-task CSV parts, driver-side commit renders
+    _MANIFEST + _SUCCESS only after every task reports in), then the
+    published parts are read back (pathGlobFilter, pinned schema) and
+    rolled up against the parquet truth. The write side analog of
+    erddap_staged_scan's read gate: a lost task, a partial part, or a
+    type-mangling write would hash-mismatch.
+
+    Scale: the writer is embarrassingly parallel (one part per task);
+    the 8-way repartition here just bounds the part count for the
+    fixture — at 100 TB the natural partitioning stands and commit
+    cost is one manifest line per task."""
+    import shutil
+
+    from floatchat_datapipeline_spark.sinks.bucketed import _layout_tag
+    from floatchat_datapipeline_spark.sources.pyds import (
+        ErddapReportDataSource,
+    )
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = os.path.join(warehouse, f"erddap_report_{_layout_tag(sf_dir)}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    spark.dataSource.register(ErddapReportDataSource)
+    sl = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 19 == 0)
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(8, "event_id")
+    )
+    sl.write.format("erddap_report").option("path", path).mode(
+        "append"
+    ).save()
+    back = (
+        spark.read.schema(
+            "event_id long, user_id long, event_type string, value double"
+        )
+        .option("header", "true")
+        .option("pathGlobFilter", "part-*.csv")
+        .csv(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)")).alias("cents"),
+        F.sum("event_id").alias("id_sum"),
+    )
+
+
+_ERDDAP_REPORT_ROUNDTRIP_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events
+WHERE event_id % 19 = 0
+GROUP BY event_type
+"""
+
+
+def q_erddap_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 — the STREAMING Python DataSource under the value gate: the
+    event_id%23 slice staged as per-float CSVs is consumed through
+    `spark.readStream.format("erddap_stream")` (sources/pyds.py
+    SimpleDataSourceStreamReader — per-arrival micro-batches over the
+    checkpointed file-count offset, the reference's /upload ingest,
+    fastapi_app.py:614-778) with an AvailableNow trigger into a
+    complete-mode aggregation, and the drained result must hash-match
+    the batch oracle over the same rows — the stream-twin pattern
+    (S10/S14/S19/S20) applied to the custom source itself. Offset
+    replay across runs stays pinned by tests/test_pyds.py; THIS query
+    proves the typed row stream is value-correct end to end.
+
+    Scale: the simple stream reader prefetches per micro-batch on the
+    driver (the documented simple-API trade); the aggregation is one
+    partial-agg shuffle at STREAM_SHUFFLE_PARTITIONS."""
+    from floatchat_datapipeline_spark.sinks.bucketed import _layout_tag
+    from floatchat_datapipeline_spark.sources.pyds import (
+        ErddapStreamDataSource,
+    )
+    from floatchat_datapipeline_spark.streaming.run import materialize
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = os.path.join(
+        warehouse, f"erddap_stream_{_layout_tag(sf_dir)}"
+    )
+    _stage_events_csv(spark, sf_dir, path, mod=23, n_files=6)
+    spark.dataSource.register(ErddapStreamDataSource)
+    sdf = (
+        spark.readStream.format("erddap_stream")
+        .option("path", path)
+        .option("ddl", _EVENTS_CSV_DDL)
+        .load()
+    )
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # no countDistinct: unsupported on streams (use the HLL twin
+        # S11 pattern where approximate distincts are needed)
+        F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)")).alias("cents"),
+        F.sum("event_id").alias("id_sum"),
+        F.max("user_id").alias("max_user"),
+    )
+    return materialize(agg, "q_erddap_stream_scan", output_mode="complete")
+
+
+_ERDDAP_STREAM_SCAN_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       max(user_id) AS max_user
+FROM events
+WHERE event_id % 23 = 0
+GROUP BY event_type
+"""
+
+
+def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D14 — LSH blocking recall certificate, the dedup-family analog
+    of V15's ANN recall audit: ground truth = the EXACT Jaccard ≥ 1/2
+    shingle pairs (L22's lossless PPJoin), candidates = the banded
+    MinHash-LSH buckets (the 100 TB blocking path) — how many true
+    near-dup pairs does the sketch blocking actually surface? Both pair
+    sets are deterministic (seeded md5 minhashes), so recall and
+    bucket precision are exact, hash-checkable values — at sf0.01 the
+    bands honestly MISS one true pair (recall 24/25), the
+    discriminating contrast that proves the certificate can fail.
+
+    Scale: each leg is its own bounded/banded design (capped posting
+    lists, banded buckets — never all-pairs); the audit joins the two
+    PAIR LISTS (output-sized, not corpus-sized)."""
+    from floatchat_datapipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ppjoin_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    gt = ppjoin_pairs(docs).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(docs, spark).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=True)
+    hit = gt.join(
+        cand.withColumn("hit", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    stats_gt = hit.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.count("hit").alias("n_caught"),
+    )
+    stats_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return stats_gt.crossJoin(F.broadcast(stats_cand)).select(
+        "n_true",
+        "n_candidates",
+        "n_caught",
+        (F.col("n_caught").cast("double") / F.col("n_true")).alias(
+            "recall"
+        ),
+        (
+            F.col("n_caught").cast("double") / F.col("n_candidates")
+        ).alias("bucket_precision"),
+    )
+
+
+_MINHASH_RECALL_AUDIT_ORACLE = f"""
+WITH {_MINHASH_SIG_SQL},
+keys AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         md5(string_agg(CAST(minhash AS STRING), ',' ORDER BY seed))
+           AS band_key
+  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), psh AS (
+  SELECT doc_id,
+         unnest(list_transform({_SHINGLES_3_SQL},
+                               s -> {_MD5_LONG_SQL.format(x='s')})) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)
+), psizes AS (
+  SELECT doc_id, count(*) AS n FROM psh GROUP BY doc_id
+), pinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM psh a JOIN psh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), gt AS (
+  SELECT id_a, id_b FROM pinter
+  JOIN psizes sa ON id_a = sa.doc_id
+  JOIN psizes sb ON id_b = sb.doc_id
+  WHERE n_inter * 2 >= 1 * (sa.n + sb.n - n_inter)
+), c AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM gt) AS n_true,
+         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM gt JOIN cand USING (id_a, id_b)) AS n_caught
+)
+SELECT n_true, n_candidates, n_caught,
+       CAST(n_caught AS DOUBLE) / n_true AS recall,
+       CAST(n_caught AS DOUBLE) / n_candidates AS bucket_precision
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -13395,6 +14782,66 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "erddap_stream_scan": QuerySpec(
+            q_erddap_stream_scan,
+            _ERDDAP_STREAM_SCAN_ORACLE,
+            ("S13",),
+        ),
+        "minhash_recall_audit": QuerySpec(
+            q_minhash_recall_audit,
+            _MINHASH_RECALL_AUDIT_ORACLE,
+            ("D14",),
+        ),
+        "trade_reciprocity": QuerySpec(
+            q_trade_reciprocity, _TRADE_RECIPROCITY_ORACLE, ("G10",)
+        ),
+        "events_runs_test": QuerySpec(
+            q_events_runs_test, _EVENTS_RUNS_TEST_ORACLE, ("A57",)
+        ),
+        "formats_roundtrip": QuerySpec(
+            q_formats_roundtrip, _FORMATS_ROUNDTRIP_ORACLE, ("S18",)
+        ),
+        "erddap_report_roundtrip": QuerySpec(
+            q_erddap_report_roundtrip,
+            _ERDDAP_REPORT_ROUNDTRIP_ORACLE,
+            ("K10",),
+        ),
+        "events_version_diff": QuerySpec(
+            q_events_version_diff,
+            _EVENTS_VERSION_DIFF_ORACLE,
+            ("K15",),
+        ),
+        "events_blocking_audit": QuerySpec(
+            q_events_blocking_audit,
+            _EVENTS_BLOCKING_AUDIT_ORACLE,
+            ("D13",),
+        ),
+        "doc_quality_funnel": QuerySpec(
+            q_doc_quality_funnel,
+            _DOC_QUALITY_FUNNEL_ORACLE,
+            ("L32",),
+        ),
+        "events_mann_kendall": QuerySpec(
+            q_events_mann_kendall,
+            _EVENTS_MANN_KENDALL_ORACLE,
+            ("TS27",),
+        ),
+        "nation_hhi": QuerySpec(
+            q_nation_hhi, _NATION_HHI_ORACLE, ("A56",)
+        ),
+        "vocab_oov_rate": QuerySpec(
+            q_vocab_oov_rate, _VOCAB_OOV_RATE_ORACLE, ("L31",)
+        ),
+        "erddap_staged_scan": QuerySpec(
+            q_erddap_staged_scan,
+            _ERDDAP_STAGED_SCAN_ORACLE,
+            ("S12",),
+        ),
+        "parts_schema_evolution": QuerySpec(
+            q_parts_schema_evolution,
+            _PARTS_SCHEMA_EVOLUTION_ORACLE,
+            ("S17",),
+        ),
         "events_upsert_replay": QuerySpec(
             q_events_upsert_replay,
             _EVENTS_UPSERT_REPLAY_ORACLE,

@@ -1,0 +1,404 @@
+"""Unit/property tests for the round-10 operator batch beyond the oracle
+gate: invariants the DuckDB hash can't state directly (the MK gate fires
+on a real trend, the OOV curve is a brute-force match and monotone, the
+staged scan reads exactly the staged rows through the custom format)."""
+
+import itertools
+import math
+
+from pyspark.sql import functions as F
+
+from floatchat_datapipeline_spark.queries import (
+    _mann_kendall_report,
+    q_vocab_oov_rate,
+)
+
+
+def _mk_brute(xs):
+    """Brute-force Mann-Kendall: S, Var18, significance — the textbook
+    O(n²) definition."""
+    s = sum(
+        (0 if a == b else (1 if b > a else -1))
+        for a, b in itertools.combinations(xs, 2)
+    )
+    n = len(xs)
+    ties = {}
+    for x in xs:
+        ties[x] = ties.get(x, 0) + 1
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    sig = s != 0 and 180000 * (abs(s) - 1) ** 2 > 38416 * var18
+    return s, var18, sig
+
+
+def _mk_spark(spark, xs):
+    daily = spark.createDataFrame(
+        [("t", d, x) for d, x in enumerate(xs)],
+        "event_type string, day long, x long",
+    )
+    return _mann_kendall_report(daily).collect()[0]
+
+
+def test_mann_kendall_fires_on_monotone_trend(spark):
+    """A strictly increasing series must be flagged up + significant —
+    the gate the stationary synthetic events honestly never trip."""
+    row = _mk_spark(spark, list(range(12)))
+    n = 12
+    assert row.s_stat == n * (n - 1) // 2  # every pair concordant
+    assert row.direction == "up"
+    assert row.significant is True
+
+
+def test_mann_kendall_flat_and_noise_match_brute_force(spark):
+    """Constant, alternating, and pseudo-random series match the
+    textbook O(n²) computation exactly (S, Var18, significance)."""
+    cases = [
+        [5] * 10,
+        [1, 2] * 8,
+        [(7 * i * i + 3 * i) % 23 for i in range(20)],
+        list(range(10, 0, -1)),
+    ]
+    for xs in cases:
+        s, var18, sig = _mk_brute(xs)
+        row = _mk_spark(spark, xs)
+        assert (row.s_stat, row.var18, row.significant) == (s, var18, sig)
+        want_dir = "up" if s > 0 else ("down" if s < 0 else "flat")
+        assert row.direction == want_dir
+
+
+def test_oov_rate_brute_force_and_monotone(spark, sf_dir):
+    """The OOV curve equals a pure-Python bigram count replay at
+    sf0.001, binds at k=64 (oov > 0), is monotone non-increasing in k,
+    and saturates honestly at k=1024 (vocab smaller than k)."""
+    from floatchat_datapipeline_spark.catalog import load_table
+
+    texts = [
+        r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("text")
+        .collect()
+    ]
+    counts = {}
+    total = 0
+    for t in texts:
+        toks = t.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            bg = f"{a} {b}"
+            counts[bg] = counts.get(bg, 0) + 1
+            total += 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    rows = {
+        r.vocab_k: r for r in q_vocab_oov_rate(spark, sf_dir).collect()
+    }
+    assert set(rows) == {64, 256, 1024}
+    prev = None
+    for k in (64, 256, 1024):
+        top = ranked[:k]
+        in_occ = sum(c for _, c in top)
+        r = rows[k]
+        assert (r.vocab_tokens, r.in_occ, r.total) == (
+            len(top),
+            in_occ,
+            total,
+        )
+        assert r.oov_occ == total - in_occ
+        assert math.isclose(r.oov_rate, (total - in_occ) / total)
+        if prev is not None:
+            assert r.oov_rate <= prev
+        prev = r.oov_rate
+    assert rows[64].oov_occ > 0  # the curve binds
+    assert rows[1024].vocab_tokens < 1024  # honest saturation
+
+
+def test_staged_scan_partitions_and_rows(spark, sf_dir):
+    """The S12 gate query's staged directory reads back through the
+    custom format with one partition per staged file and exactly the
+    sliced row count — the scale contract of the DataSource."""
+    import glob
+    import os
+
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.queries import q_erddap_staged_scan
+    from floatchat_datapipeline_spark.sinks.bucketed import _layout_tag
+    from floatchat_datapipeline_spark.sources.pyds import (
+        ErddapStagedDataSource,
+    )
+
+    n_slice = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 13 == 0)
+        .count()
+    )
+    total = (
+        q_erddap_staged_scan(spark, sf_dir).agg(F.sum("n_rows")).first()[0]
+    )
+    assert total == n_slice
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = os.path.join(warehouse, f"erddap_staged_{_layout_tag(sf_dir)}")
+    files = glob.glob(os.path.join(path, "*.csv"))
+    spark.dataSource.register(ErddapStagedDataSource)
+    df = (
+        spark.read.format("erddap_staged")
+        .option("path", path)
+        .option(
+            "ddl",
+            "event_id bigint, user_id bigint, "
+            "event_type string, value double",
+        )
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == len(files) > 1
+    assert df.count() == n_slice
+
+
+def test_schema_evolution_null_fill_pattern(spark, sf_dir):
+    """Gen 0 parts predate p_size and retail_cents, gen 1 predates only
+    retail_cents — the NULL-fill shape mergeSchema must produce."""
+    from floatchat_datapipeline_spark.queries import (
+        q_parts_schema_evolution,
+    )
+
+    rows = {r.gen: r for r in q_parts_schema_evolution(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0].n_size == 0 and rows[0].n_cents == 0
+    assert rows[1].n_size == rows[1].n_rows and rows[1].n_cents == 0
+    assert rows[2].n_size == rows[2].n_rows
+    assert rows[2].n_cents == rows[2].n_rows > 0
+
+
+def test_version_diff_partitions_by_change_algebra(spark, sf_dir):
+    """The four diff classes partition both snapshots: removed+changed+
+    unchanged == |v1|, added+changed+unchanged == |v2|; and cents move
+    only in the changed class (changed new−old == 100·n_changed by
+    construction)."""
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.queries import q_events_version_diff
+
+    rows = {r.change: r for r in q_events_version_diff(spark, sf_dir).collect()}
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+    ev = load_table(spark, sf_dir, "events")
+    n_v1 = ev.filter(F.col("event_id") % 2 == 0).count()
+    n_v2 = (
+        ev.filter(
+            (F.col("event_id") % 2 == 0) & (F.col("event_id") % 10 != 0)
+        ).count()
+        + ev.filter(
+            (F.col("event_id") % 2 == 1) & (F.col("event_id") % 9 == 0)
+        ).count()
+    )
+    assert (
+        rows["removed"].n_keys
+        + rows["changed"].n_keys
+        + rows["unchanged"].n_keys
+        == n_v1
+    )
+    assert (
+        rows["added"].n_keys
+        + rows["changed"].n_keys
+        + rows["unchanged"].n_keys
+        == n_v2
+    )
+    ch = rows["changed"]
+    assert ch.new_cents - ch.old_cents == 100 * ch.n_keys
+    un = rows["unchanged"]
+    assert un.new_cents == un.old_cents
+
+
+def test_blocking_audit_bounds_and_caught_subset(spark, sf_dir):
+    """caught ≤ gt (blocks can only LOSE true pairs), caught ≤
+    candidates (caught pairs are candidates), ratios in [0, 1], and the
+    audit binds: completeness strictly below 1 somewhere (cross-day
+    true pairs exist) and reduction strictly above 0 everywhere."""
+    from floatchat_datapipeline_spark.queries import q_events_blocking_audit
+
+    rows = q_events_blocking_audit(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert any(r.pair_completeness < 1.0 for r in rows)
+    for r in rows:
+        assert 0 <= r.caught_pairs <= r.gt_pairs
+        assert r.caught_pairs <= r.candidate_pairs
+        assert 0.0 <= r.pair_completeness <= 1.0
+        assert 0.0 < r.reduction_ratio < 1.0
+
+
+def test_quality_funnel_is_a_funnel(spark, sf_dir):
+    """Stage k's n_in equals stage k−1's n_out (the cascade chains),
+    every rule kills at least one doc at every SF (the binding
+    discipline), and survivors are positive."""
+    from floatchat_datapipeline_spark.queries import q_doc_quality_funnel
+
+    rows = sorted(
+        q_doc_quality_funnel(spark, sf_dir).collect(),
+        key=lambda r: r.stage,
+    )
+    assert [r.rule for r in rows] == [
+        "min_length",
+        "min_tokens",
+        "word_shape",
+        "repetition",
+    ]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_in == prev.n_out
+    for r in rows:
+        assert r.n_killed >= 1
+        assert r.n_in - r.n_killed == r.n_out
+    assert rows[-1].n_out > 0
+
+
+def _runs_brute(xs):
+    """Textbook Wald–Wolfowitz over one series: median split (above =
+    x > med, R-7 median), runs count, cross-multiplied z² decision."""
+    import statistics
+
+    med = statistics.median(xs)  # R-7 on even n == quantile_cont
+    sides = [1 if x > med else 0 for x in xs]
+    runs = 1 + sum(a != b for a, b in zip(sides, sides[1:]))
+    n, n1 = len(xs), sum(sides)
+    n2 = n - n1
+    a = runs * n - 2 * n1 * n2 - n
+    b = 2 * n1 * n2 * (2 * n1 * n2 - n)
+    sig = n1 > 0 and n2 > 0 and b > 0 and 10000 * a * a * (n - 1) > 38416 * b
+    return n, n1, n2, runs, sig
+
+
+def test_runs_test_brute_force_and_extremes(spark):
+    """A strictly alternating series (max runs) and a clustered
+    low-then-high series (2 runs) must both reject randomness; noise
+    cases match the textbook computation exactly."""
+    from floatchat_datapipeline_spark.queries import _runs_test_report
+
+    cases = [
+        [10, 90] * 10,                     # alternation → non_random
+        [10] * 10 + [90] * 10,             # clustering → non_random
+        [(11 * i * i + 5 * i) % 37 for i in range(24)],
+        [3, 7, 5],
+    ]
+    for xs in cases:
+        daily = spark.createDataFrame(
+            [("t", d, x) for d, x in enumerate(xs)],
+            "event_type string, day long, x long",
+        )
+        row = _runs_test_report(daily).collect()[0]
+        n, n1, n2, runs, sig = _runs_brute(xs)
+        assert (
+            row.n_days,
+            row.n_above,
+            row.n_below,
+            row.runs,
+            row.non_random,
+        ) == (n, n1, n2, runs, sig)
+    # the two extremes both fire, in opposite directions
+    assert _runs_brute([10, 90] * 10)[4] is True
+    assert _runs_brute([10] * 10 + [90] * 10)[4] is True
+
+
+def test_trade_reciprocity_invariants(spark, sf_dir):
+    """Reciprocated-edge count is EVEN (both directions of a mutual
+    pair count), weighted mass never exceeds total, ratios in [0,1]."""
+    from floatchat_datapipeline_spark.queries import q_trade_reciprocity
+
+    r = q_trade_reciprocity(spark, sf_dir).collect()[0]
+    assert r.n_edges > 0
+    assert r.n_reciprocated % 2 == 0
+    assert 0 <= r.n_reciprocated <= r.n_edges
+    assert 0 <= r.w_reciprocated <= r.w_total
+    assert 0.0 <= r.edge_reciprocity <= 1.0
+    assert 0.0 <= r.weighted_reciprocity <= 1.0
+    # weighted reciprocity cannot exceed edge reciprocity's support:
+    # min(w, w_rev) is zero exactly on non-reciprocated edges
+    if r.n_reciprocated == 0:
+        assert r.w_reciprocated == 0
+
+
+def test_formats_roundtrip_all_formats_agree(spark, sf_dir):
+    """CSV, JSON, and ORC legs must produce identical rollups — any
+    format-specific precision loss would split them."""
+    from floatchat_datapipeline_spark.queries import q_formats_roundtrip
+
+    rows = q_formats_roundtrip(spark, sf_dir).collect()
+    assert {r.fmt for r in rows} == {"csv", "json", "orc"}
+    vals = {
+        (r.n_rows, r.cents, r.id_sum, r.ts_micros_sum) for r in rows
+    }
+    assert len(vals) == 1
+
+
+def test_report_roundtrip_manifest_accounts_every_row(spark, sf_dir):
+    """The commit-protocol manifest's TOTAL equals the slice count and
+    _SUCCESS exists — the all-or-nothing visibility contract."""
+    import os
+
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.queries import (
+        q_erddap_report_roundtrip,
+    )
+    from floatchat_datapipeline_spark.sinks.bucketed import _layout_tag
+
+    total = (
+        q_erddap_report_roundtrip(spark, sf_dir)
+        .agg(F.sum("n_rows"))
+        .first()[0]
+    )
+    n_slice = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 19 == 0)
+        .count()
+    )
+    assert total == n_slice
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = os.path.join(warehouse, f"erddap_report_{_layout_tag(sf_dir)}")
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    manifest = (
+        open(os.path.join(path, "_MANIFEST.txt")).read().strip().splitlines()
+    )
+    assert manifest[-1] == f"TOTAL\t{n_slice}"
+
+
+def test_minhash_recall_audit_invariants(spark, sf_dir):
+    """caught ≤ min(true, candidates); ratios in (0, 1]; the candidate
+    set is a real superset-attempt (nonzero both sides)."""
+    from floatchat_datapipeline_spark.queries import q_minhash_recall_audit
+
+    r = q_minhash_recall_audit(spark, sf_dir).collect()[0]
+    assert r.n_true > 0 and r.n_candidates > 0
+    assert 0 <= r.n_caught <= r.n_true
+    assert r.n_caught <= r.n_candidates
+    assert 0.0 <= r.recall <= 1.0
+    assert 0.0 <= r.bucket_precision <= 1.0
+
+
+def test_stream_scan_matches_staged_scan_semantics(spark, sf_dir):
+    """The streaming source drains the full staged backlog: its row
+    total equals the slice count (same contract the batch format's
+    partition test pins)."""
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.queries import q_erddap_stream_scan
+
+    total = (
+        q_erddap_stream_scan(spark, sf_dir).agg(F.sum("n_rows")).first()[0]
+    )
+    n_slice = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 23 == 0)
+        .count()
+    )
+    assert total == n_slice
+
+
+def test_nation_hhi_bounds(spark, sf_dir):
+    """HHI invariants: single-supplier nations would hit 10¹²; every
+    nation's HHI lies in (0, 10¹²], top share ≤ 10⁶, and HHI ≥
+    top_share² (the largest term of the sum)."""
+    from floatchat_datapipeline_spark.queries import q_nation_hhi
+
+    for r in q_nation_hhi(spark, sf_dir).collect():
+        assert 0 < r.hhi_ppm2 <= 10**12
+        assert 0 < r.top_share_ppm <= 10**6
+        assert r.hhi_ppm2 >= r.top_share_ppm**2
+        # n equal suppliers would give ~1e12/n; concentration can only
+        # push the index ABOVE that floor.
+        assert r.hhi_ppm2 >= (10**12) // r.n_suppliers - r.n_suppliers

@@ -316,6 +316,24 @@ SURVEY_IDS = [
     "L30",
     # CDC log apply (latest-op-wins + tombstones, one hash agg)
     "K14",
+    # Mann-Kendall trend test (integer S/Var18, cross-multiplied z gate)
+    "TS27",
+    # HHI market concentration (ppm-quantized exact integer shares)
+    "A56",
+    # OOV-rate curve over the bigram vocabulary (TakeOrdered top-k)
+    "L31",
+    # versioned snapshots + time-travel diff (atomic pointer publish)
+    "K15",
+    # blocking-scheme quality audit (pair counts from group sizes)
+    "D13",
+    # quality-filter funnel (ordered integer rule cascade)
+    "L32",
+    # directed-graph reciprocity (reversed-key edge-list self-join)
+    "G10",
+    # Wald-Wolfowitz runs test (cross-multiplied z² decision)
+    "A57",
+    # LSH blocking recall certificate (exact PPJoin truth vs bands)
+    "D14",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
