@@ -2513,10 +2513,34 @@ ORDER BY n_match DESC, source_a, source_b
 """
 
 
-def q_doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from floatchat_datapipeline_spark.operators.dedup import minhash_lsh_pairs
+# Near-dup PAIR FRAMES are corpus state shared by their consumers (the
+# standalone L22/LSH queries and the D14 recall certificate) — memoized
+# per (session, corpus) like the D5 component index and the ANN model
+# caches, so each is computed once and every consumer reads the
+# materialized (output-sized) pair list.
+_PAIR_FRAME_CACHE: dict = {}
 
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), spark)
+
+def _cached_pair_frame(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    from floatchat_datapipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ppjoin_pairs,
+    )
+
+    key = (id(spark), sf_dir, kind)
+    if key not in _PAIR_FRAME_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        df = (
+            ppjoin_pairs(docs)
+            if kind == "ppjoin"
+            else minhash_lsh_pairs(docs, spark)
+        )
+        _PAIR_FRAME_CACHE[key] = df.localCheckpoint(eager=True)
+    return _PAIR_FRAME_CACHE[key]
+
+
+def q_doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached_pair_frame(spark, sf_dir, "lsh")
 
 
 _DOC_MINHASH_LSH_ORACLE = f"""
@@ -7192,10 +7216,9 @@ def q_doc_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n - ceil(n/2) + 1 shingles enter the candidate join, yet the output
     is IDENTICAL to the full O(n²) exact join — which is exactly what
     the oracle computes, so the driver hash certifies losslessness
-    (operators/dedup.ppjoin_pairs)."""
-    from floatchat_datapipeline_spark.operators.dedup import ppjoin_pairs
-
-    return ppjoin_pairs(load_table(spark, sf_dir, "documents"))
+    (operators/dedup.ppjoin_pairs; pair frame memoized as shared
+    corpus state — _cached_pair_frame — for the D14 consumer)."""
+    return _cached_pair_frame(spark, sf_dir, "ppjoin")
 
 
 # The oracle is the UNFILTERED exact join at the same threshold — prefix
@@ -14518,17 +14541,11 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each leg is its own bounded/banded design (capped posting
     lists, banded buckets — never all-pairs); the audit joins the two
-    PAIR LISTS (output-sized, not corpus-sized)."""
-    from floatchat_datapipeline_spark.operators.dedup import (
-        minhash_lsh_pairs,
-        ppjoin_pairs,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    gt = ppjoin_pairs(docs).select("id_a", "id_b")
-    cand = minhash_lsh_pairs(docs, spark).select(
-        "id_a", "id_b"
-    ).localCheckpoint(eager=True)
+    PAIR LISTS (output-sized, not corpus-sized), both memoized as
+    shared corpus state with their standalone queries
+    (_cached_pair_frame — the D5-component/ANN-model accounting)."""
+    gt = _cached_pair_frame(spark, sf_dir, "ppjoin").select("id_a", "id_b")
+    cand = _cached_pair_frame(spark, sf_dir, "lsh").select("id_a", "id_b")
     hit = gt.join(
         cand.withColumn("hit", F.lit(1)), ["id_a", "id_b"], "left"
     )
@@ -14588,6 +14605,289 @@ SELECT n_true, n_candidates, n_caught,
        CAST(n_caught AS DOUBLE) / n_true AS recall,
        CAST(n_caught AS DOUBLE) / n_candidates AS bucket_precision
 FROM c
+"""
+
+
+def q_ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V17 — the IVF TUNING LOOP as a hash-checked certificate:
+    aggregate exact recall@10 of the trained IVF index (O6's coarse
+    quantizer, memoized per corpus) at nprobe ∈ {1, 2, 4} over FIVE
+    query vectors, against the brute-force exact top-10 under the SAME
+    6dp-rounded cosine and (score DESC, vec_id) tie rule. Five queries
+    rather than one so the curve DISCRIMINATES at every SF (a single
+    query's whole top-10 can land in one cluster and saturate the
+    curve); recall rises strictly with the probe budget at all three
+    test SFs. V15 certifies one operating point; this sweeps the knob
+    every ANN deployment tunes before pinning nprobe.
+
+    Scale: ONE memoized quantizer training feeds everything; the ann
+    leg reads the assigned table once for all 15 (query, nprobe)
+    combinations (the probe-cluster join replicates only matching
+    inverted lists); the exact leg is one corpus scan against the
+    5-vector broadcast. Windows partition by (nprobe, qid) — bounded,
+    never global."""
+    from pyspark.sql import Window
+
+    from floatchat_datapipeline_spark.embeddings.search import (
+        kmeans_centroids,
+        nearest_centroid,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cache_key = f"{sf_dir}/embeddings.parquet"
+    cents = kmeans_centroids(emb, 8, 2, "embedding", "vec_id", cache_key)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    qs = (
+        base.filter(F.col("vec_id").isin(1, 2, 3, 4, 5))
+        .select(F.col("vec_id").alias("qid"), F.col("vec").alias("qvec"))
+        .localCheckpoint(eager=True)
+    )
+    sim = F.round(cosine(F.col("vec"), F.col("qvec")), 6)
+    wq = Window.partitionBy("qid").orderBy(F.desc("_s"), "vec_id")
+    exact = (
+        base.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", sim.alias("_s"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    cents_df = spark.createDataFrame(cents, "_cid int, _cvec array<double>")
+    rc = (
+        cents_df.crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            "_cid",
+            F.round(cosine(F.col("_cvec"), F.col("qvec")), 6).alias("_s"),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("_s"), "_cid")
+            ),
+        )
+        .filter(F.col("r") <= 4)
+        .select("qid", F.col("_cid").alias("probe_cluster"), "r")
+    )
+    nps = spark.range(0).sparkSession.createDataFrame(
+        [(1,), (2,), (4,)], "nprobe long"
+    )
+    probes = rc.crossJoin(F.broadcast(nps)).filter(
+        F.col("r") <= F.col("nprobe")
+    )
+    assigned = base.withColumn(
+        "cluster", nearest_centroid("vec", cents)
+    )
+    wnq = Window.partitionBy("nprobe", "qid").orderBy(
+        F.desc("_s"), "vec_id"
+    )
+    ann = (
+        assigned.join(
+            F.broadcast(probes),
+            F.col("cluster") == F.col("probe_cluster"),
+        )
+        .join(F.broadcast(qs), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("nprobe", "qid", "vec_id", sim.alias("_s"))
+        .withColumn("rk", F.row_number().over(wnq))
+        .filter(F.col("rk") <= 10)
+        .select("nprobe", "qid", "vec_id")
+    )
+    return (
+        ann.join(
+            exact.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left"
+        )
+        .groupBy("nprobe")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            "nprobe",
+            "n_hits",
+            "n_total",
+            (F.col("n_hits").cast("double") / F.col("n_total")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def _ann_nprobe_recall_oracle(k: int = 8, iters: int = 2) -> str:
+    """k-means replay prefix + per-(query, nprobe) probe/re-rank,
+    intersected with the exact brute-force top-10 per query (same
+    rounding + tie rules as _ann_ivf_oracle)."""
+    return (
+        "WITH "
+        + _kmeans_replay_sql(k, iters)
+        + f""", qs AS (
+  SELECT vec_id AS qid, vec AS qvec FROM v
+  WHERE vec_id IN (1, 2, 3, 4, 5)
+), exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, a.vec_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY {_COS_SQL.format(a='a.vec', b='q.qvec')} DESC,
+                      a.vec_id
+           ) AS rk
+    FROM v a JOIN qs q ON a.vec_id <> q.qid)
+  WHERE rk <= 10
+), rc AS (
+  SELECT q.qid, c.cid,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY {_COS_SQL.format(a='q.qvec', b='c.cvec')} DESC, c.cid
+         ) AS r
+  FROM c{iters} c, qs q
+), nps AS (
+  SELECT unnest([1, 2, 4]) AS nprobe
+), ann AS (
+  SELECT n.nprobe, rc.qid, a.vec_id,
+         row_number() OVER (
+           PARTITION BY n.nprobe, rc.qid
+           ORDER BY {_COS_SQL.format(a='a.vec', b='q.qvec')} DESC,
+                    a.vec_id
+         ) AS rk
+  FROM nps n
+  JOIN rc ON rc.r <= n.nprobe
+  JOIN af a ON a.cluster = rc.cid
+  JOIN qs q ON q.qid = rc.qid AND a.vec_id <> q.qid
+), topk AS (
+  SELECT nprobe, qid, vec_id FROM ann WHERE rk <= 10
+)
+SELECT CAST(t.nprobe AS BIGINT) AS nprobe,
+       CAST(count(e.vec_id) AS BIGINT) AS n_hits,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(e.vec_id) AS DOUBLE) / count(*) AS recall
+FROM topk t LEFT JOIN exact e USING (qid, vec_id)
+GROUP BY t.nprobe
+"""
+    )
+
+
+_ANN_NPROBE_RECALL_ORACLE = _ann_nprobe_recall_oracle()
+
+
+def q_join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z5 — shuffle-skew diagnostic report, the operational "explain my
+    join" every 100 TB pipeline runs before picking a strategy: per
+    candidate join key (events.user_id, lineitem.l_orderkey), the key
+    cardinality, hottest-key frequency, R-7 median frequency, how many
+    keys run hotter than 2× the mean (exact cross-multiplied
+    integers — 2× binds on lineitem's order sizes at every SF while
+    events stays an honest 0, the uniform-traffic contrast), the
+    max/mean skew ratio, and the SALT FACTOR a Z2-style
+    salted aggregation would need so the hottest key fits one of 32
+    reducer partitions: ceil(max_freq · 32 / n_rows) in pure integer
+    math. The advisory twin of the engine's skew machinery (Z2 salting,
+    AQE skew joins, _cap_key_frequency).
+
+    Scale: one partial-aggregable frequency rollup per audited key —
+    the histogram is keys-sized, never rows-sized; the totals ride back
+    onto it as a 1-row broadcast (never a second fact pass)."""
+
+    def audit(df: DataFrame, table: str, key: str) -> DataFrame:
+        # keys-sized; checkpointed because totals + final agg both read it
+        freq = (
+            df.groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        tot = freq.agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        agg = (
+            freq.crossJoin(F.broadcast(tot))
+            .agg(
+                F.lit(table).alias("table_name"),
+                F.lit(key).alias("join_key"),
+                F.max("n_rows").alias("n_rows"),
+                F.max("n_keys").alias("n_keys"),
+                F.max("cnt").alias("max_freq"),
+                F.expr("percentile(cnt, 0.5e0)").alias("median_freq"),
+                F.sum(
+                    F.when(
+                        F.col("cnt") * F.col("n_keys")
+                        > 2 * F.col("n_rows"),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("heavy_keys"),
+            )
+        )
+        return agg.select(
+            "table_name",
+            "join_key",
+            "n_rows",
+            "n_keys",
+            "max_freq",
+            "median_freq",
+            "heavy_keys",
+            (
+                (F.col("max_freq") * F.col("n_keys")).cast("double")
+                / F.col("n_rows")
+            ).alias("skew_ratio"),
+            F.expr(
+                "(max_freq * 32 + n_rows - 1) div n_rows"
+            ).alias("recommended_salt"),
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return audit(ev, "events", "user_id").unionByName(
+        audit(li, "lineitem", "l_orderkey")
+    )
+
+
+_JOIN_SKEW_ADVISOR_ORACLE = """
+WITH fe AS (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), fl AS (
+  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+), ae AS (
+  SELECT 'events' AS table_name, 'user_id' AS join_key,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_freq,
+         quantile_cont(cnt, 0.5e0) AS median_freq
+  FROM fe
+), he AS (
+  SELECT CAST(count(*) FILTER (
+           WHERE cnt * (SELECT n_keys FROM ae)
+                 > 2 * (SELECT n_rows FROM ae)) AS BIGINT) AS heavy_keys
+  FROM fe
+), al AS (
+  SELECT 'lineitem' AS table_name, 'l_orderkey' AS join_key,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_freq,
+         quantile_cont(cnt, 0.5e0) AS median_freq
+  FROM fl
+), hl AS (
+  SELECT CAST(count(*) FILTER (
+           WHERE cnt * (SELECT n_keys FROM al)
+                 > 2 * (SELECT n_rows FROM al)) AS BIGINT) AS heavy_keys
+  FROM fl
+)
+SELECT table_name, join_key, n_rows, n_keys, max_freq, median_freq,
+       heavy_keys,
+       CAST(max_freq * n_keys AS DOUBLE) / n_rows AS skew_ratio,
+       (max_freq * 32 + n_rows - 1) // n_rows AS recommended_salt
+FROM ae CROSS JOIN he
+UNION ALL
+SELECT table_name, join_key, n_rows, n_keys, max_freq, median_freq,
+       heavy_keys,
+       CAST(max_freq * n_keys AS DOUBLE) / n_rows AS skew_ratio,
+       (max_freq * 32 + n_rows - 1) // n_rows AS recommended_salt
+FROM al CROSS JOIN hl
 """
 
 
@@ -14782,6 +15082,16 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "ann_nprobe_recall_curve": QuerySpec(
+            q_ann_nprobe_recall_curve,
+            _ANN_NPROBE_RECALL_ORACLE,
+            ("V17",),
+        ),
+        "join_skew_advisor": QuerySpec(
+            q_join_skew_advisor,
+            _JOIN_SKEW_ADVISOR_ORACLE,
+            ("Z5",),
+        ),
         "erddap_stream_scan": QuerySpec(
             q_erddap_stream_scan,
             _ERDDAP_STREAM_SCAN_ORACLE,

@@ -389,6 +389,44 @@ def test_stream_scan_matches_staged_scan_semantics(spark, sf_dir):
     assert total == n_slice
 
 
+def test_nprobe_recall_curve_monotone(spark, sf_dir):
+    """Recall must be non-decreasing in nprobe (more probed clusters
+    can only ADD candidates), totals fixed at 5 queries × 10, and the
+    nprobe=4 point dominates the single-probe point strictly at this
+    SF (the curve discriminates)."""
+    from floatchat_datapipeline_spark.queries import (
+        q_ann_nprobe_recall_curve,
+    )
+
+    rows = {
+        r.nprobe: r for r in q_ann_nprobe_recall_curve(spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    for r in rows.values():
+        assert r.n_total == 50
+        assert 0 <= r.n_hits <= r.n_total
+    assert rows[1].n_hits <= rows[2].n_hits <= rows[4].n_hits
+    assert rows[1].n_hits < rows[4].n_hits
+
+
+def test_join_skew_advisor_contrast_and_salt(spark, sf_dir):
+    """lineitem's order-size distribution is skewed (heavy keys bind at
+    2× mean) while events' user traffic is honestly uniform (0 heavy);
+    the salt factor is exactly ceil(max_freq·32/n_rows)."""
+    from floatchat_datapipeline_spark.queries import q_join_skew_advisor
+
+    rows = {r.table_name: r for r in q_join_skew_advisor(spark, sf_dir).collect()}
+    assert set(rows) == {"events", "lineitem"}
+    assert rows["lineitem"].heavy_keys > 0
+    assert rows["events"].heavy_keys == 0
+    for r in rows.values():
+        assert r.n_keys <= r.n_rows
+        assert r.median_freq <= r.max_freq
+        want_salt = -(-r.max_freq * 32 // r.n_rows)  # ceil div
+        assert r.recommended_salt == want_salt
+        assert r.skew_ratio >= 1.0
+
+
 def test_nation_hhi_bounds(spark, sf_dir):
     """HHI invariants: single-supplier nations would hit 10¹²; every
     nation's HHI lies in (0, 10¹²], top share ≤ 10⁶, and HHI ≥

@@ -334,6 +334,10 @@ SURVEY_IDS = [
     "A57",
     # LSH blocking recall certificate (exact PPJoin truth vs bands)
     "D14",
+    # IVF nprobe recall curve (memoized quantizer, one-plan sweep)
+    "V17",
+    # shuffle-skew advisor (keys-sized histogram, integer salt factor)
+    "Z5",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
