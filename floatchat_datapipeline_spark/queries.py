@@ -14891,6 +14891,131 @@ FROM al CROSS JOIN hl
 """
 
 
+def q_events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A58 — Kruskal–Wallis H test per event type: do THREE variants
+    (user_id % 3) draw from the same value distribution? The k-group
+    extension of A55's Mann–Whitney, built on the same DOUBLED-midrank
+    machinery (2R_j = Σ t_j·(2·cum_less + t + 1) keeps every rank sum
+    a BIGINT through ties), with the tie-corrected H as ONE fixed
+    double tree over integer scalars (rounded 1e-9, the derived-float
+    convention; r2² squares in double — exact BIGINT squaring would
+    overflow past ~200k rows/group). Significance at α = 0.05 compares
+    H to the χ²(2) critical value 5.9915; the identical synthetic
+    variants honestly never fire (H ranges 0.3–3.6 across SFs) and the
+    property test proves a shifted group trips the gate.
+
+    Plan: one partial-agg to the (type, cents) domain, one window
+    PARTITIONED by type, one per-type rollup — the A55 shape with a
+    third tally column."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    ).agg(
+        *[
+            F.sum(
+                F.when(F.col("user_id") % 3 == j, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"t{j}")
+            for j in (0, 1, 2)
+        ]
+    )
+    return _kruskal_wallis_report(g)
+
+
+def _kruskal_wallis_report(g: DataFrame) -> DataFrame:
+    """KW core over a (event_type, v, t0, t1, t2) tally frame —
+    factored so property tests can feed synthetic shifted groups
+    (tests/test_round10_ops.py). See q_events_kruskal_wallis."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.col("t0") + F.col("t1") + F.col("t2")
+    cum = g.withColumn(
+        "cless", F.coalesce(F.sum(t).over(w), F.lit(0))
+    )
+    stats = cum.groupBy("event_type").agg(
+        F.sum("t0").alias("n0"),
+        F.sum("t1").alias("n1"),
+        F.sum("t2").alias("n2"),
+        *[
+            F.sum(
+                F.col(f"t{j}") * (F.lit(2) * F.col("cless") + t + F.lit(1))
+            ).alias(f"r2{j}")
+            for j in (0, 1, 2)
+        ],
+        F.sum(t * t * t - t).alias("tie3"),
+    )
+    n = F.col("n0") + F.col("n1") + F.col("n2")
+    term = sum(
+        (F.col(f"r2{j}").cast("double") * F.col(f"r2{j}"))
+        / (F.lit(4.0) * F.col(f"n{j}"))
+        for j in (0, 1, 2)
+    )
+    h0 = (F.lit(12.0) / (n * (n + 1))) * term - F.lit(3.0) * (n + 1)
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / (n * n * n - n)
+    h = F.round(h0 / corr, 9)
+    return stats.select(
+        "event_type",
+        "n0",
+        "n1",
+        "n2",
+        "tie3",
+        h.alias("h"),
+        (h > F.lit(5.9915)).alias("significant"),
+    )
+
+
+_EVENTS_KRUSKAL_WALLIS_ORACLE = """
+WITH g AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS t0,
+         CAST(sum(CASE WHEN user_id % 3 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS t1,
+         CAST(sum(CASE WHEN user_id % 3 = 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS t2
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT *, t0 + t1 + t2 AS t,
+         CAST(coalesce(sum(t0 + t1 + t2) OVER (
+           PARTITION BY event_type ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cless
+  FROM g
+), s AS (
+  SELECT event_type,
+         CAST(sum(t0) AS BIGINT) AS n0,
+         CAST(sum(t1) AS BIGINT) AS n1,
+         CAST(sum(t2) AS BIGINT) AS n2,
+         CAST(sum(t0 * (2 * cless + t + 1)) AS BIGINT) AS r20,
+         CAST(sum(t1 * (2 * cless + t + 1)) AS BIGINT) AS r21,
+         CAST(sum(t2 * (2 * cless + t + 1)) AS BIGINT) AS r22,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+  FROM c GROUP BY 1
+), o AS (
+  SELECT event_type, n0, n1, n2, tie3,
+         round(
+           ((12e0 / ((n0 + n1 + n2) * (n0 + n1 + n2 + 1)))
+            * ((CAST(r20 AS DOUBLE) * r20) / (4e0 * n0)
+               + (CAST(r21 AS DOUBLE) * r21) / (4e0 * n1)
+               + (CAST(r22 AS DOUBLE) * r22) / (4e0 * n2))
+            - 3e0 * (n0 + n1 + n2 + 1))
+           / (1e0 - CAST(tie3 AS DOUBLE)
+                    / ((n0 + n1 + n2) * (n0 + n1 + n2) * (n0 + n1 + n2)
+                       - (n0 + n1 + n2))), 9) AS h
+  FROM s
+)
+SELECT event_type, n0, n1, n2, tie3, h, (h > 5.9915e0) AS significant
+FROM o
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -15082,6 +15207,11 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "events_kruskal_wallis": QuerySpec(
+            q_events_kruskal_wallis,
+            _EVENTS_KRUSKAL_WALLIS_ORACLE,
+            ("A58",),
+        ),
         "ann_nprobe_recall_curve": QuerySpec(
             q_ann_nprobe_recall_curve,
             _ANN_NPROBE_RECALL_ORACLE,

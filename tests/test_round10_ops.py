@@ -427,6 +427,57 @@ def test_join_skew_advisor_contrast_and_salt(spark, sf_dir):
         assert r.skew_ratio >= 1.0
 
 
+def _kw_brute(groups):
+    """Textbook Kruskal-Wallis with tie correction via scipy-free
+    midranks."""
+    allv = sorted(v for g in groups for v in g)
+    n = len(allv)
+    # midrank of value v over the pooled sample
+    first = {}
+    cnt = {}
+    for i, v in enumerate(allv, 1):
+        first.setdefault(v, i)
+        cnt[v] = cnt.get(v, 0) + 1
+    rank = {v: first[v] + (cnt[v] - 1) / 2 for v in cnt}
+    hsum = sum(
+        (sum(rank[v] for v in g)) ** 2 / len(g) for g in groups
+    )
+    h0 = 12.0 / (n * (n + 1)) * hsum - 3 * (n + 1)
+    tie3 = sum(t**3 - t for t in cnt.values())
+    return h0 / (1 - tie3 / (n**3 - n))
+
+
+def test_kruskal_wallis_brute_force_and_shifted_group(spark):
+    """A shifted third group must fire significance; unshifted noise
+    matches the textbook H within 1e-9 (same fold, rounded)."""
+    from floatchat_datapipeline_spark.queries import _kruskal_wallis_report
+
+    def run(groups):
+        tallies = {}
+        for j, g in enumerate(groups):
+            for v in g:
+                key = v
+                tallies.setdefault(key, [0, 0, 0])[j] += 1
+        rows = [
+            ("t", v, c[0], c[1], c[2]) for v, c in sorted(tallies.items())
+        ]
+        df = spark.createDataFrame(
+            rows, "event_type string, v long, t0 long, t1 long, t2 long"
+        )
+        return _kruskal_wallis_report(df).collect()[0]
+
+    noise = [
+        [(7 * i * i + j) % 40 for i in range(25)] for j in (0, 1, 2)
+    ]
+    row = run(noise)
+    assert abs(row.h - _kw_brute(noise)) < 1e-6
+    assert row.significant is False
+    shifted = [list(range(30)), list(range(30)), [v + 100 for v in range(30)]]
+    row2 = run(shifted)
+    assert row2.significant is True
+    assert abs(row2.h - _kw_brute(shifted)) < 1e-6
+
+
 def test_nation_hhi_bounds(spark, sf_dir):
     """HHI invariants: single-supplier nations would hit 10¹²; every
     nation's HHI lies in (0, 10¹²], top share ≤ 10⁶, and HHI ≥

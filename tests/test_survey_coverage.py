@@ -334,6 +334,8 @@ SURVEY_IDS = [
     "A57",
     # LSH blocking recall certificate (exact PPJoin truth vs bands)
     "D14",
+    # Kruskal-Wallis H test (doubled midranks, chi-square gate)
+    "A58",
     # IVF nprobe recall curve (memoized quantizer, one-plan sweep)
     "V17",
     # shuffle-skew advisor (keys-sized histogram, integer salt factor)
