@@ -190,6 +190,23 @@ def main() -> None:
                     min(run_once(name), run_once(name)), 3
                 )
                 continue
+            if name in ("doc_ppjoin_pairs", "doc_minhash_lsh_pairs"):
+                # The near-dup PAIR FRAMES are memoized corpus state
+                # shared with the D14 recall certificate
+                # (_PAIR_FRAME_CACHE): split cold build from warm read
+                # like the other model caches, or min-of-2 hides the
+                # one-time build from every row.
+                from floatchat_datapipeline_spark import queries as _q  # noqa: PLC0415
+
+                kind = "ppjoin" if name == "doc_ppjoin_pairs" else "lsh"
+                _q._PAIR_FRAME_CACHE.pop(
+                    (id(spark), sf_dir, kind), None
+                )
+                timings[f"{name}_train"] = round(run_once(name), 3)
+                timings[f"{name}_warm"] = round(
+                    min(run_once(name), run_once(name)), 3
+                )
+                continue
             if name == "ann_lsh_topk":
                 # No trained state, but the 8-plane signature expression
                 # pays a one-time Janino/codegen compile measured at
