@@ -15016,6 +15016,97 @@ FROM o
 """
 
 
+def q_events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS28 — seasonality STRENGTH per event type: the fraction of
+    value variance explained by the hour-of-day profile (the R² of
+    TS10's seasonal-baseline decomposition; the STL-features
+    "strength of seasonality" statistic). Exact until one final IEEE
+    division: with per-hour sums s_h and counts c_h, the
+    between-groups sum of squares quantizes to
+    SSB_q = Σ_h (s_h² div c_h) — truncating integer div, so the
+    24-term sum is ORDER-FREE exact (a float Σ s_h²/c_h would hash
+    differently per engine's summation order) — and
+    strength = (SSB_q − sx² div n) / (Σx² − sx² div n). The synthetic
+    traffic is honestly non-seasonal (strength ≈ 23/n, shrinking with
+    scale exactly as noise should); the property test plants a strong
+    hourly signal and the metric reads > 0.9.
+
+    Plan: two partial-aggregable hash aggs (per (type, hour) and per
+    type) joined on the 5-row type grain — no windows, no second fact
+    scan beyond the rollups. s_h² stays in BIGINT through ~1e9-cent
+    hour-buckets (≈ sf10); beyond that the quantization unit would
+    move to decicents."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr("(unix_micros(ts) div 1000000 div 3600) % 24")).alias(
+            "hod"
+        ),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    return _seasonal_strength_report(ev)
+
+
+def _seasonal_strength_report(ev: DataFrame) -> DataFrame:
+    """Seasonal-strength core over a (event_type, hod, x) frame —
+    factored so property tests can plant synthetic seasonal signals
+    (tests/test_round10_ops.py). See q_events_seasonal_strength."""
+    h = ev.groupBy("event_type", "hod").agg(
+        F.sum("x").alias("sh"), F.count(F.lit(1)).alias("ch")
+    )
+    ssb = h.groupBy("event_type").agg(
+        F.sum(F.expr("sh * sh div ch")).alias("ssb_q"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = tot.join(ssb, "event_type")
+    mean_sq = F.expr("sx * sx div n")
+    sst = F.col("sxx") - mean_sq
+    return j.select(
+        "event_type",
+        "n",
+        "n_hours",
+        (F.col("ssb_q") - mean_sq).alias("ssb"),
+        sst.alias("sst"),
+        (
+            (F.col("ssb_q") - mean_sq).cast("double")
+            / F.nullif(sst, F.lit(0))
+        ).alias("strength"),
+    )
+
+
+_EVENTS_SEASONAL_STRENGTH_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1000000 // 3600) % 24 AS hod,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+), h AS (
+  SELECT event_type, hod, CAST(sum(x) AS BIGINT) AS sh,
+         CAST(count(*) AS BIGINT) AS ch
+  FROM ev GROUP BY 1, 2
+), ssb AS (
+  SELECT event_type, CAST(sum(sh * sh // ch) AS BIGINT) AS ssb_q,
+         CAST(count(*) AS BIGINT) AS n_hours
+  FROM h GROUP BY 1
+), tot AS (
+  SELECT event_type, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1
+)
+SELECT event_type, n, n_hours,
+       CAST(ssb_q - (sx * sx // n) AS BIGINT) AS ssb,
+       CAST(sxx - (sx * sx // n) AS BIGINT) AS sst,
+       CAST(ssb_q - (sx * sx // n) AS DOUBLE)
+         / nullif(sxx - (sx * sx // n), 0) AS strength
+FROM tot JOIN ssb USING (event_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -15207,6 +15298,11 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "events_seasonal_strength": QuerySpec(
+            q_events_seasonal_strength,
+            _EVENTS_SEASONAL_STRENGTH_ORACLE,
+            ("TS28",),
+        ),
         "events_kruskal_wallis": QuerySpec(
             q_events_kruskal_wallis,
             _EVENTS_KRUSKAL_WALLIS_ORACLE,

@@ -478,6 +478,36 @@ def test_kruskal_wallis_brute_force_and_shifted_group(spark):
     assert abs(row2.h - _kw_brute(shifted)) < 1e-6
 
 
+def test_seasonal_strength_reads_planted_signal(spark, sf_dir):
+    """A planted strong hour-of-day signal reads strength > 0.9; pure
+    flat data reads NULL (zero total variance, guarded); and the real
+    corpus reads small-but-positive, shrinking with n like noise."""
+    from floatchat_datapipeline_spark.queries import (
+        _seasonal_strength_report,
+        q_events_seasonal_strength,
+    )
+
+    seasonal = [
+        ("t", h % 24, 1000 * (h % 24) + (h * 7) % 3)
+        for h in range(240)
+    ]
+    row = _seasonal_strength_report(
+        spark.createDataFrame(
+            seasonal, "event_type string, hod long, x long"
+        )
+    ).collect()[0]
+    assert row.strength > 0.9
+    flat = spark.createDataFrame(
+        [("t", h % 24, 5) for h in range(48)],
+        "event_type string, hod long, x long",
+    )
+    assert _seasonal_strength_report(flat).collect()[0].strength is None
+    for r in q_events_seasonal_strength(spark, sf_dir).collect():
+        assert r.sst > 0
+        assert 0.0 <= r.strength < 0.5
+        assert 0 <= r.ssb <= r.sst
+
+
 def test_nation_hhi_bounds(spark, sf_dir):
     """HHI invariants: single-supplier nations would hit 10¹²; every
     nation's HHI lies in (0, 10¹²], top share ≤ 10⁶, and HHI ≥

@@ -336,6 +336,8 @@ SURVEY_IDS = [
     "D14",
     # Kruskal-Wallis H test (doubled midranks, chi-square gate)
     "A58",
+    # seasonality strength (order-free quantized variance decomposition)
+    "TS28",
     # IVF nprobe recall curve (memoized quantizer, one-plan sweep)
     "V17",
     # shuffle-skew advisor (keys-sized histogram, integer salt factor)
