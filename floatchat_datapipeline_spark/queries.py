@@ -15107,6 +15107,61 @@ FROM tot JOIN ssb USING (event_type)
 """
 
 
+def q_part_qty_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 — top-k WITH TIES (ANSI FETCH FIRST 10 ROWS WITH TIES): the
+    parts with the 10 broadest supplier coverage (distinct suppliers
+    shipping the part), INCLUDING every part tied with the 10th —
+    small-integer distinct counts make boundary ties real at EVERY SF
+    (124/13/15 rows at sf 0.001/0.01/0.1), so the result honestly
+    differs from a bare LIMIT 10. The scalable form avoids the global
+    rank window entirely: TakeOrdered finds the 10th-largest value,
+    that 1-row threshold broadcasts back as a semi-filter, and
+    dense_rank runs only on the tiny surviving set.
+
+    Scale: one partial-aggregable distinct rollup to part grain, a
+    TakeOrdered top-10 (driver cost O(10)), a broadcast scalar filter —
+    no unpartitioned window over the part domain."""
+    cov = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    ).localCheckpoint(eager=True)
+    kth = (
+        cov.orderBy(F.desc("n_suppliers"), "l_partkey")
+        .limit(10)
+        .agg(F.min("n_suppliers").alias("cut"))
+    )
+    from pyspark.sql import Window
+
+    survivors = cov.join(
+        F.broadcast(kth), F.col("n_suppliers") >= F.col("cut")
+    ).drop("cut")
+    w = Window.orderBy(F.desc("n_suppliers"))
+    # dense_rank over the bounded survivor set only (10 + ties rows)
+    return survivors.select(
+        "l_partkey",
+        "n_suppliers",
+        F.dense_rank().over(w).cast("long").alias("cov_rank"),
+    )
+
+
+_PART_QTY_TOPK_TIES_ORACLE = """
+WITH cov AS (
+  SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT)
+           AS n_suppliers
+  FROM lineitem GROUP BY 1
+), cut AS (
+  SELECT min(n_suppliers) AS c FROM (
+    SELECT n_suppliers FROM cov
+    ORDER BY n_suppliers DESC, l_partkey LIMIT 10)
+)
+SELECT l_partkey, n_suppliers,
+       CAST(dense_rank() OVER (ORDER BY n_suppliers DESC) AS BIGINT)
+         AS cov_rank
+FROM cov, cut WHERE n_suppliers >= c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -15298,6 +15353,11 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "part_qty_topk_ties": QuerySpec(
+            q_part_qty_topk_ties,
+            _PART_QTY_TOPK_TIES_ORACLE,
+            ("O10",),
+        ),
         "events_seasonal_strength": QuerySpec(
             q_events_seasonal_strength,
             _EVENTS_SEASONAL_STRENGTH_ORACLE,

@@ -508,6 +508,22 @@ def test_seasonal_strength_reads_planted_signal(spark, sf_dir):
         assert 0 <= r.ssb <= r.sst
 
 
+def test_topk_with_ties_semantics(spark, sf_dir):
+    """At least 10 rows come back, every row's coverage ≥ the 10th
+    value, exactly the WITH TIES contract: dropping the tie filter to
+    a bare LIMIT 10 must lose the boundary ties this SF has."""
+    from floatchat_datapipeline_spark.queries import q_part_qty_topk_ties
+
+    rows = q_part_qty_topk_ties(spark, sf_dir).collect()
+    assert len(rows) > 10  # ties bind at every test SF
+    cut = sorted((r.n_suppliers for r in rows), reverse=True)[9]
+    assert all(r.n_suppliers >= cut for r in rows)
+    n_at_cut = sum(1 for r in rows if r.n_suppliers == cut)
+    assert n_at_cut >= len(rows) - 9  # the surplus rows ARE the ties
+    ranks = {r.cov_rank for r in rows}
+    assert min(ranks) == 1 and max(ranks) <= 10
+
+
 def test_nation_hhi_bounds(spark, sf_dir):
     """HHI invariants: single-supplier nations would hit 10¹²; every
     nation's HHI lies in (0, 10¹²], top share ≤ 10⁶, and HHI ≥

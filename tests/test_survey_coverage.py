@@ -338,6 +338,8 @@ SURVEY_IDS = [
     "A58",
     # seasonality strength (order-free quantized variance decomposition)
     "TS28",
+    # top-k WITH TIES (broadcast threshold, no global rank window)
+    "O10",
     # IVF nprobe recall curve (memoized quantizer, one-plan sweep)
     "V17",
     # shuffle-skew advisor (keys-sized histogram, integer salt factor)
