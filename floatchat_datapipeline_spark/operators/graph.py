@@ -607,3 +607,88 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
             F.lit(changed == 0).alias("converged"),
         )
     )
+
+
+# Working scale for HITS score vectors: after each renormalization the
+# score sum lands in [HITS_SCALE, 2·HITS_SCALE). 10^12 leaves headroom
+# for the next gather (sum ≤ 2e12 · maxdeg ≤ ~2e17 at a 100k-degree
+# skew cap) while keeping ~6 significant digits per node at |V| = 10^6.
+HITS_SCALE = 10**12
+
+
+def hits_fixed_point(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """G11 — HITS hubs & authorities over a DIRECTED edge list, in the
+    PageRank fixed-point idiom (graph.py module docstring): scores are
+    BIGINT units, each gather is an exact integer sum, and the
+    renormalization that text-book HITS does with an L2 norm is an
+    integer rescale ``x div greatest(1, Σx div HITS_SCALE)`` — scale-
+    invariant ranking is all the norm provides, and the integer form
+    makes every iteration bit-identical across engines and shuffle
+    orders, so the oracle replays the iterations as chained CTEs.
+
+    h₀(u)  = HITS_SCALE div |hubs|                 (u ∈ distinct src)
+    aᵢ(v)  = rescale( Σ_{u→v} hᵢ₋₁(u) )           (gather to dst)
+    hᵢ(u)  = rescale( Σ_{u→v} aᵢ(v) )             (gather to src)
+
+    Returns one row per node per side: (side 'hub'|'auth', node, units).
+
+    Scale: the score vectors are |V|-row frames that BROADCAST into the
+    edge scan each half-iteration (the pagerank_fixed_point plan shape
+    — no edge shuffle, partial-aggregable gathers). The edge list is
+    localCheckpointed once up front; past broadcast size, pre-bucket
+    edges on src and dst (two bucketed copies) for co-located gathers.
+    """
+    # edges must be pre-deduplicated by the caller (a duplicate edge
+    # would act as an integer weight — deterministic, but not the HITS
+    # the oracle replays); no second distinct here, it would re-shuffle
+    # the full edge list per call.
+    ed = edges.select("src", "dst").localCheckpoint(eager=True)
+    hubs = ed.select(F.col("src").alias("node")).distinct()
+    nh = hubs.agg(F.count(F.lit(1)).alias("n"))
+    h = hubs.crossJoin(F.broadcast(nh)).select(
+        "node", F.expr(f"{HITS_SCALE} div n").alias("u")
+    )
+
+    def _rescale(scores: DataFrame) -> DataFrame:
+        # persist (lazy, not an eager checkpoint job): the gather feeds
+        # BOTH the Σu total and the rescaled rows — uncached, every
+        # rescale would duplicate its input subplan and the chain would
+        # re-evaluate exponentially (the same trap the oracle's
+        # MATERIALIZED CTEs avoid on the DuckDB side).
+        scores = scores.persist()
+        tot = scores.agg(F.sum("u").alias("s"))
+        return scores.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.expr(f"u div greatest(1L, s div {HITS_SCALE})").alias("u"),
+        )
+
+    # checkpoint cadence: every 2 full iterations (the pagerank rule) —
+    # each eager checkpoint is a scheduled job, and a 4-join lineage
+    # re-plan is cheaper than 8 extra jobs on a |V|-row vector.
+    a = None
+    for i in range(iters):
+        a = _rescale(
+            ed.join(
+                F.broadcast(h.withColumnRenamed("node", "src")), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("u").alias("u"))
+            .withColumnRenamed("dst", "node")
+        )
+        h = _rescale(
+            ed.join(
+                F.broadcast(a.withColumnRenamed("node", "dst")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.sum("u").alias("u"))
+            .withColumnRenamed("src", "node")
+        )
+        if (i + 1) % 2 == 0 and i + 1 < iters:
+            h = h.localCheckpoint(eager=True)
+    return a.select(
+        F.lit("auth").alias("side"), "node", F.col("u").alias("units")
+    ).unionByName(
+        h.select(
+            F.lit("hub").alias("side"), "node", F.col("u").alias("units")
+        )
+    )

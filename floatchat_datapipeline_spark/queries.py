@@ -15162,6 +15162,345 @@ FROM cov, cut WHERE n_suppliers >= c
 """
 
 
+def q_purchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11 — HITS hubs & authorities on the bipartite purchase graph
+    (customer --buys-from--> supplier, one distinct edge per pair from
+    orders ⋈ lineitem): hub customers are those buying from
+    authoritative suppliers and vice versa — the classic mutually-
+    recursive centrality, here as a supplier-importance /
+    whale-customer signal. Four iterations of the BIGINT fixed-point
+    machinery (operators/graph.hits_fixed_point, the pagerank idiom:
+    integer gathers + `div`-rescale instead of an L2 norm) make every
+    score bit-identical across engines; the oracle replays the same
+    eight gathers as chained CTEs. Top-20 per side, deterministic
+    tie-break on node id.
+
+    Scale: the edge build is one distinct rollup off the orders ⋈
+    lineitem join (partial-aggregable); each half-iteration broadcasts
+    the |V|-row score vector into the checkpointed edge list — no edge
+    shuffle. See graph.py for the past-broadcast-threshold plan."""
+    from floatchat_datapipeline_spark.operators.graph import (
+        hits_fixed_point,
+    )
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            F.col("l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    scores = hits_fixed_point(edges, iters=4)
+    w = Window.partitionBy("side").orderBy(F.desc("units"), "node")
+    return (
+        scores.withColumn(
+            "rnk", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("rnk") <= 20)
+        .select("side", "node", "units", "rnk")
+        .orderBy("side", "rnk")
+    )
+
+
+def _hits_oracle(iters: int = 4, scale: int = 10**12) -> str:
+    # every chained CTE is MATERIALIZED: each level is referenced twice
+    # (once for its rows, once for its Σu rescale total), and DuckDB's
+    # default CTE inlining would re-evaluate the whole chain per
+    # reference — exponential in the iteration count.
+    head = f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), hubs AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM edges
+), h0 AS MATERIALIZED (
+  SELECT node,
+         CAST({scale} // (SELECT count(*) FROM hubs) AS BIGINT) AS u
+  FROM hubs
+)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""", a{i}r AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum(h.u) AS BIGINT) AS u
+  FROM edges e JOIN h{i - 1} h ON h.node = e.src GROUP BY 1
+), a{i} AS MATERIALIZED (
+  SELECT node, CAST(u // greatest(1, (SELECT CAST(sum(u) AS BIGINT)
+    FROM a{i}r) // {scale}) AS BIGINT) AS u
+  FROM a{i}r
+), h{i}r AS MATERIALIZED (
+  SELECT e.src AS node, CAST(sum(a.u) AS BIGINT) AS u
+  FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY 1
+), h{i} AS MATERIALIZED (
+  SELECT node, CAST(u // greatest(1, (SELECT CAST(sum(u) AS BIGINT)
+    FROM h{i}r) // {scale}) AS BIGINT) AS u
+  FROM h{i}r
+)""")
+    tail = f"""
+SELECT side, node, units, rnk FROM (
+  SELECT side, node, units,
+         CAST(row_number() OVER (
+           PARTITION BY side ORDER BY units DESC, node) AS BIGINT) AS rnk
+  FROM (
+    SELECT 'auth' AS side, node, u AS units FROM a{iters}
+    UNION ALL
+    SELECT 'hub' AS side, node, u AS units FROM h{iters})
+) WHERE rnk <= 20
+ORDER BY side, rnk
+"""
+    return head + "".join(steps) + tail
+
+
+_PURCHASE_HITS_ORACLE = _hits_oracle()
+
+
+def q_events_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A59 — one-way ANOVA F test per event type: the PARAMETRIC twin
+    of A58's Kruskal–Wallis, over the same three synthetic variants
+    (user_id % 3). All moment sums are exact BIGINTs on the 1-cent
+    grid (Σv per group ≤ ~3.3e8 at sf0.1, Σv² ≤ ~4e14 — 2^63-safe to
+    ~10^5× this scale; past that, widen the sums to decimal(38,0));
+    the F statistic is ONE fixed double tree over those integer
+    scalars, rounded 1e-9, mirrored verbatim in the oracle.
+    Significance gates at the χ²-limit F(2, ∞) 95th-percentile 2.9957
+    — the identical variants honestly never fire, and the property
+    test (tests/test_round10_ops.py) proves a shifted group does,
+    matching a numpy brute force within 1e-6.
+
+    Plan: one partial-aggregable hash agg over the fact table — no
+    window, no second shuffle (the A58 shape minus its rank window)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    g = ev.groupBy("event_type").agg(
+        *[
+            F.sum(
+                F.when(F.col("user_id") % 3 == j, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"n{j}")
+            for j in (0, 1, 2)
+        ],
+        *[
+            F.sum(
+                F.when(F.col("user_id") % 3 == j, v).otherwise(F.lit(0))
+            ).alias(f"s{j}")
+            for j in (0, 1, 2)
+        ],
+        F.sum(v * v).alias("q"),
+    )
+    return _anova_f_report(g)
+
+
+def _anova_f_report(g: DataFrame) -> DataFrame:
+    """ANOVA F core over a (event_type, n0..n2, s0..s2, q) moment
+    frame — factored so property tests can feed synthetic shifted
+    groups. See q_events_anova_f."""
+    n = F.col("n0") + F.col("n1") + F.col("n2")
+    t = F.col("s0") + F.col("s1") + F.col("s2")
+    between = sum(
+        (F.col(f"s{j}").cast("double") * F.col(f"s{j}")) / F.col(f"n{j}")
+        for j in (0, 1, 2)
+    )
+    ssb = between - (t.cast("double") * t) / n
+    ssw = F.col("q").cast("double") - between
+    f_stat = F.round((ssb / F.lit(2.0)) / (ssw / (n - F.lit(3))), 9)
+    return g.select(
+        "event_type",
+        "n0",
+        "n1",
+        "n2",
+        f_stat.alias("f_stat"),
+        (f_stat > F.lit(2.9957)).alias("significant"),
+    ).orderBy("event_type")
+
+
+_EVENTS_ANOVA_F_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN user_id % 3 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN user_id % 3 = 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN user_id % 3 = 0
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN user_id % 3 = 1
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN user_id % 3 = 2
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS s2,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+              * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+  FROM events GROUP BY 1
+), o AS (
+  SELECT event_type, n0, n1, n2,
+         round(
+           (((CAST(s0 AS DOUBLE) * s0) / n0
+             + (CAST(s1 AS DOUBLE) * s1) / n1
+             + (CAST(s2 AS DOUBLE) * s2) / n2
+             - (CAST(s0 + s1 + s2 AS DOUBLE) * (s0 + s1 + s2))
+               / (n0 + n1 + n2)) / 2e0)
+           / ((CAST(q AS DOUBLE)
+               - ((CAST(s0 AS DOUBLE) * s0) / n0
+                  + (CAST(s1 AS DOUBLE) * s1) / n1
+                  + (CAST(s2 AS DOUBLE) * s2) / n2))
+              / (n0 + n1 + n2 - 3)), 9) AS f_stat
+  FROM g
+)
+SELECT event_type, n0, n1, n2, f_stat,
+       (f_stat > 2.9957e0) AS significant
+FROM o ORDER BY event_type
+"""
+
+
+def q_events_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS29 — time-series discord discovery (matrix-profile style) on
+    the densified hourly count series: per event type, every 24-hour
+    window's nearest-neighbor squared Euclidean distance among
+    non-overlapping windows (|Δstart| ≥ 24, the trivial-match
+    exclusion), top-3 windows by that distance = the subsequences LEAST
+    like anything else in the month — the canonical shape-anomaly
+    primitive. Everything is exact BIGINT (integer counts on a
+    zero-filled spine; dist² = Σ(aₖ−bₖ)² folded in index order), so the
+    brute-force oracle matches bit-for-bit with zero float parity risk.
+
+    Scale: the only fact shuffle is the hourly rollup; the all-pairs
+    self-join runs on the WALL-CLOCK-BOUNDED window spine (720 anchors/
+    month regardless of row volume — ~240k pairs/type·month), the same
+    spine argument as TS25. For multi-year spines, band the join on
+    coarse time blocks and keep per-band top-k candidates (the SNM
+    pattern); the per-pair fold is 24 integer ops, JVM-side."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        long_div(epoch_micros(F.col("ts")), 3_600_000_000).alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1")).alias("h"),
+        )
+    )
+    dense = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    return _discord_report(dense)
+
+
+def _discord_report(
+    dense: DataFrame, window: int = 24, k: int = 3
+) -> DataFrame:
+    """Discord core over a dense (event_type, h, c) hourly series —
+    factored so property tests can feed a planted-anomaly series.
+    See q_events_discord."""
+    from pyspark.sql import Window
+
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, window - 1)
+    )
+    win = (
+        dense.withColumn("v", F.collect_list("c").over(wf))
+        .filter(F.size("v") == window)
+        .select("event_type", "h", "v")
+        .localCheckpoint(eager=True)  # two self-join consumers
+    )
+    b = win.select(
+        F.col("event_type").alias("et2"),
+        F.col("h").alias("h2"),
+        F.col("v").alias("v2"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with("v", "v2", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nn = (
+        win.join(
+            b,
+            (F.col("event_type") == F.col("et2"))
+            & (F.abs(F.col("h") - F.col("h2")) >= window),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.min(dist2).alias("nn_dist2"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("nn_dist2"), "h"
+    )
+    return (
+        nn.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "event_type",
+            F.col("h").alias("window_h"),
+            "nn_dist2",
+            "rnk",
+        )
+        .orderBy("event_type", "rnk")
+    )
+
+
+_EVENTS_DISCORD_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(min(epoch_us(ts) // 3600000000) AS BIGINT) AS h0,
+         CAST(max(epoch_us(ts) // 3600000000) AS BIGINT) AS h1
+  FROM events
+), spine AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds) g
+), hc AS (
+  SELECT s.event_type, s.h, CAST(coalesce(e.c, 0) AS BIGINT) AS c
+  FROM spine s LEFT JOIN (
+    SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS c
+    FROM events GROUP BY 1, 2) e
+  ON s.event_type = e.event_type AND s.h = e.h
+), win AS (
+  SELECT event_type, h,
+         list(c) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS v
+  FROM hc
+  QUALIFY len(v) = 24
+), nn AS (
+  SELECT a.event_type, a.h,
+         CAST(min(list_sum(list_transform(range(1, 25),
+             i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])))) AS BIGINT)
+           AS nn_dist2
+  FROM win a JOIN win b
+    ON a.event_type = b.event_type AND abs(a.h - b.h) >= 24
+  GROUP BY 1, 2
+)
+SELECT event_type, window_h, nn_dist2, rnk FROM (
+  SELECT event_type, h AS window_h, nn_dist2,
+         CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY nn_dist2 DESC, h)
+           AS BIGINT) AS rnk
+  FROM nn)
+WHERE rnk <= 3
+ORDER BY event_type, rnk
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -15353,6 +15692,15 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "purchase_hits": QuerySpec(
+            q_purchase_hits, _PURCHASE_HITS_ORACLE, ("G11",)
+        ),
+        "events_anova_f": QuerySpec(
+            q_events_anova_f, _EVENTS_ANOVA_F_ORACLE, ("A59",)
+        ),
+        "events_discord": QuerySpec(
+            q_events_discord, _EVENTS_DISCORD_ORACLE, ("TS29",)
+        ),
         "part_qty_topk_ties": QuerySpec(
             q_part_qty_topk_ties,
             _PART_QTY_TOPK_TIES_ORACLE,

@@ -537,3 +537,128 @@ def test_nation_hhi_bounds(spark, sf_dir):
         # n equal suppliers would give ~1e12/n; concentration can only
         # push the index ABOVE that floor.
         assert r.hhi_ppm2 >= (10**12) // r.n_suppliers - r.n_suppliers
+
+
+def _anova_brute(groups):
+    """Textbook one-way ANOVA F over integer-valued groups."""
+    import numpy as np
+
+    allv = np.concatenate(groups).astype(float)
+    gm = allv.mean()
+    ssb = sum(len(g) * (np.mean(g) - gm) ** 2 for g in groups)
+    ssw = sum(((np.asarray(g, dtype=float) - np.mean(g)) ** 2).sum() for g in groups)
+    k, n = len(groups), len(allv)
+    return (ssb / (k - 1)) / (ssw / (n - k))
+
+
+def _anova_spark(spark, groups):
+    from floatchat_datapipeline_spark.queries import _anova_f_report
+
+    row = {"event_type": "t"}
+    for j, g in enumerate(groups):
+        row[f"n{j}"] = len(g)
+        row[f"s{j}"] = sum(g)
+    row["q"] = sum(x * x for g in groups for x in g)
+    g = spark.createDataFrame(
+        [tuple(row[c] for c in
+               ("event_type", "n0", "n1", "n2", "s0", "s1", "s2", "q"))],
+        "event_type string, n0 long, n1 long, n2 long, "
+        "s0 long, s1 long, s2 long, q long",
+    )
+    return _anova_f_report(g).collect()[0]
+
+
+def test_anova_f_fires_on_shifted_group(spark):
+    """A group shifted by +50 against two equal groups must produce a
+    large significant F — the gate the identical synthetic variants
+    honestly never trip — matching the numpy brute force to 1e-6."""
+    groups = [
+        [100 + (i % 7) for i in range(40)],
+        [100 + ((i * 3) % 7) for i in range(40)],
+        [150 + (i % 7) for i in range(40)],
+    ]
+    row = _anova_spark(spark, groups)
+    assert row.significant is True
+    assert abs(row.f_stat - _anova_brute(groups)) < 1e-6
+
+
+def test_anova_f_identical_groups_near_zero(spark):
+    """Three identical groups give F == 0 exactly (SSB == 0 on the
+    integer grid) and no significance."""
+    g = [7, 9, 11, 13, 15] * 8
+    row = _anova_spark(spark, [list(g), list(g), list(g)])
+    assert row.significant is False
+    assert row.f_stat == 0.0
+
+
+def test_anova_f_noise_matches_brute_force(spark):
+    """Pseudo-random same-distribution groups match numpy to 1e-6 and
+    stay under the F(2, inf) gate."""
+    groups = [
+        [(17 * i * i + 5 * i + j) % 40 for i in range(60)]
+        for j in (0, 13, 27)
+    ]
+    row = _anova_spark(spark, groups)
+    assert abs(row.f_stat - _anova_brute(groups)) < 1e-6
+    assert row.significant is False
+
+
+def test_hits_ranks_star_suppliers(spark):
+    """Hand bipartite graph: supplier 100 is bought by all four
+    customers, supplier 200 by two, supplier 300 by one — authority
+    order must be 100 > 200 > 300, and the best hub is a customer
+    pointing at the most authoritative basket. Scores stay exact
+    BIGINTs that sum to ~HITS_SCALE after the rescale."""
+    from floatchat_datapipeline_spark.operators.graph import (
+        HITS_SCALE,
+        hits_fixed_point,
+    )
+
+    edges = spark.createDataFrame(
+        [(c, 100) for c in (1, 2, 3, 4)]
+        + [(c, 200) for c in (1, 2)]
+        + [(3, 300)],
+        "src long, dst long",
+    )
+    rows = hits_fixed_point(edges, iters=4).collect()
+    auth = {r.node: r.units for r in rows if r.side == "auth"}
+    hub = {r.node: r.units for r in rows if r.side == "hub"}
+    assert auth[100] > auth[200] > auth[300] > 0
+    # customers 1,2 (two strong suppliers) out-hub 4 (one supplier)
+    assert hub[1] == hub[2] > hub[4]
+    for side in (auth, hub):
+        total = sum(side.values())
+        assert HITS_SCALE // 2 <= total < 2 * HITS_SCALE
+
+
+def test_discord_finds_planted_anomaly(spark):
+    """A 12-periodic series with one flattened window: the top discord
+    must anchor inside the planted disturbance, with the exact integer
+    nn_dist2 of the brute-force python replay."""
+    from floatchat_datapipeline_spark.queries import _discord_report
+
+    period = [0, 2, 5, 9, 5, 2] * 2  # 12-hour cycle
+    series = [period[h % 12] for h in range(240)]
+    for h in range(120, 132):
+        series[h] = 9  # planted plateau
+    dense = spark.createDataFrame(
+        [("t", h, c) for h, c in enumerate(series)],
+        "event_type string, h long, c long",
+    )
+    got = {r.rnk: r for r in _discord_report(dense, window=12, k=1).collect()}
+    top = got[1]
+    # brute force NN distance per window
+    wins = [series[i : i + 12] for i in range(len(series) - 11)]
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+    nn = [
+        min(
+            d2(wins[i], wins[j])
+            for j in range(len(wins))
+            if abs(i - j) >= 12
+        )
+        for i in range(len(wins))
+    ]
+    best = max(range(len(nn)), key=lambda i: (nn[i], -i))
+    assert (top.window_h, top.nn_dist2) == (best, nn[best])
+    assert 109 <= top.window_h <= 131  # overlaps the planted plateau

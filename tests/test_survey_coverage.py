@@ -344,6 +344,12 @@ SURVEY_IDS = [
     "V17",
     # shuffle-skew advisor (keys-sized histogram, integer salt factor)
     "Z5",
+    # HITS hubs & authorities (BIGINT fixed-point, div-rescale norm)
+    "G11",
+    # one-way ANOVA F test (exact moment sums, F(2, inf) gate)
+    "A59",
+    # time-series discord discovery (all-integer matrix-profile NN)
+    "TS29",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
