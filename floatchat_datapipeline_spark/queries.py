@@ -15501,6 +15501,387 @@ ORDER BY event_type, rnk
 """
 
 
+def q_events_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A60 — Jensen–Shannon divergence between the first and second
+    half of the month per event type, on a fixed 50-unit cent-grid
+    binning: the symmetric, bounded ([0, ln 2]) drift statistic that
+    complements A29's TVD/PSI and A39's KS. Parity machinery: bin
+    counts are exact BIGINTs; each bin's JSD contribution is ONE fixed
+    double tree over those integers (p·ln(2p/(p+q)) form, CASE-guarded
+    so ln never sees 0), quantized to 1e-9 BEFORE the cross-bin sum —
+    so the only cross-row float reduction is an exact integer sum,
+    order-free under any shuffle (the L27 quantize-before-aggregate
+    rule; engine ln()s agree far below the 1e-9 grid).
+
+    Plan: one partial-aggregable hash agg to the (type, bin) domain
+    (bins ≤ ~12 per type), one per-type rollup — no window, no second
+    fact pass."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    h = long_div(epoch_micros(F.col("ts")), 3_600_000_000)
+    binned = ev.select(
+        "event_type",
+        h.alias("h"),
+        F.expr(
+            "CAST(round(value * 100) AS BIGINT) div 5000"
+        ).alias("bin"),
+    )
+    bounds = binned.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    g = (
+        binned.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "late",
+            (
+                F.col("h")
+                >= (F.col("h0") + F.col("h1") + 1) / F.lit(2)
+            ).cast("long"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.lit(1) - F.col("late")).alias("c1"),
+            F.sum("late").alias("c2"),
+        )
+    )
+    tot = g.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    p = F.col("c1").cast("double") / F.col("n1")
+    q = F.col("c2").cast("double") / F.col("n2")
+    term = lambda a, b, c: F.when(  # noqa: E731
+        c > 0, a * F.log(F.lit(2.0) * a / (a + b))
+    ).otherwise(F.lit(0.0))
+    contrib = F.lit(0.5) * term(p, q, F.col("c1")) + F.lit(0.5) * term(
+        q, p, F.col("c2")
+    )
+    per_bin = g.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "n1",
+        "n2",
+        F.round(contrib * 1e9, 0).cast("long").alias("cn"),
+        ((F.col("c1") + F.col("c2")) > 0).cast("long").alias("nb"),
+    )
+    return (
+        per_bin.groupBy("event_type", "n1", "n2")
+        .agg(
+            F.sum("nb").alias("n_bins"),
+            F.sum("cn").alias("jsd_nanos"),
+        )
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            "n_bins",
+            "jsd_nanos",
+            (F.col("jsd_nanos") / F.lit(1e9)).alias("jsd"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_JS_DIVERGENCE_ORACLE = """
+WITH binned AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS h,
+         CAST(round(value * 100) AS BIGINT) // 5000 AS bin
+  FROM events
+), bounds AS (
+  SELECT min(h) AS h0, max(h) AS h1 FROM binned
+), g AS (
+  SELECT event_type, bin,
+         CAST(sum(CASE WHEN h >= (h0 + h1 + 1) / 2 THEN 0 ELSE 1 END)
+              AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN h >= (h0 + h1 + 1) / 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM binned, bounds GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2
+  FROM g GROUP BY 1
+), per_bin AS (
+  SELECT g.event_type, n1, n2,
+         CAST(round(
+           (0.5e0 * (CASE WHEN c1 > 0 THEN
+              (CAST(c1 AS DOUBLE) / n1)
+              * ln(2e0 * (CAST(c1 AS DOUBLE) / n1)
+                   / ((CAST(c1 AS DOUBLE) / n1)
+                      + (CAST(c2 AS DOUBLE) / n2)))
+              ELSE 0e0 END)
+            + 0.5e0 * (CASE WHEN c2 > 0 THEN
+              (CAST(c2 AS DOUBLE) / n2)
+              * ln(2e0 * (CAST(c2 AS DOUBLE) / n2)
+                   / ((CAST(c2 AS DOUBLE) / n2)
+                      + (CAST(c1 AS DOUBLE) / n1)))
+              ELSE 0e0 END)) * 1e9, 0) AS BIGINT) AS cn,
+         CASE WHEN c1 + c2 > 0 THEN 1 ELSE 0 END AS nb
+  FROM g JOIN tot ON g.event_type = tot.event_type
+)
+SELECT event_type, n1, n2,
+       CAST(sum(nb) AS BIGINT) AS n_bins,
+       CAST(sum(cn) AS BIGINT) AS jsd_nanos,
+       CAST(sum(cn) AS BIGINT) / 1e9 AS jsd
+FROM per_bin GROUP BY 1, 2, 3 ORDER BY event_type
+"""
+
+
+def q_events_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A61 — delete-one-group jackknife CI for the mean event value
+    per event type, over G = 20 user-hash buckets (user_id % 20 — the
+    resampling unit is the USER bucket, respecting within-user
+    correlation the way a grouped bootstrap would). Machinery: bucket
+    moment sums are exact BIGINTs; each leave-one-out mean θ_j is one
+    double division quantized to 1e-9 BIGINT "nanos"; the jackknife
+    variance (G−1)·(G·Σt² − (Σt)²)/(G²·10¹⁸) keeps Σt² exact in
+    DECIMAL(38,0) (t ≤ ~2e13 → t² ≤ 4e26, 2^63-unsafe but 38-digit-
+    safe; DuckDB mirrors in HUGEINT), so the only float ops are the
+    final sqrt/± trees, rounded 1e-9. The 1.96 CI is the textbook
+    normal approximation; bias_jack = (G−1)(θ̄₍·₎ − θ̂).
+
+    Plan: one partial-aggregable hash agg to (type, bucket) [≤ 20 rows
+    per type], a broadcast join of per-type totals, one 20-row rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    byb = ev.groupBy(
+        "event_type", (F.col("user_id") % 20).alias("j")
+    ).agg(F.count(F.lit(1)).alias("nj"), F.sum(v).alias("sj"))
+    tot = byb.groupBy("event_type").agg(
+        F.sum("nj").alias("n"), F.sum("sj").alias("s")
+    )
+    theta_j = (F.col("s") - F.col("sj")).cast("double") / F.greatest(
+        F.col("n") - F.col("nj"), F.lit(1)
+    )
+    t = F.round(theta_j * 1e9, 0).cast("long")
+    per = byb.join(F.broadcast(tot), "event_type").select(
+        "event_type", "n", "s", t.alias("t")
+    )
+    td = F.col("t").cast("decimal(20,0)")
+    agg = per.groupBy("event_type", "n", "s").agg(
+        F.count(F.lit(1)).alias("g"),
+        F.sum(td).alias("st"),
+        F.sum(td * td).alias("st2"),
+    )
+    gc = F.col("g").cast("decimal(20,0)")
+    num = (gc * F.col("st2") - F.col("st") * F.col("st")).cast("double")
+    var = (
+        (F.col("g") - F.lit(1)).cast("double")
+        * num
+        / (F.col("g") * F.col("g"))
+        / F.lit(1e18)
+    )
+    se = F.sqrt(var)
+    theta_hat = F.col("s").cast("double") / F.col("n")
+    bias = (F.col("g") - F.lit(1)).cast("double") * (
+        F.col("st").cast("double") / (F.col("g") * F.lit(1e9))
+        - theta_hat
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "g",
+        F.round(theta_hat, 9).alias("theta_hat"),
+        F.round(se, 9).alias("se_jack"),
+        F.round(theta_hat - F.lit(1.96) * se, 9).alias("ci_lo"),
+        F.round(theta_hat + F.lit(1.96) * se, 9).alias("ci_hi"),
+        F.round(bias, 9).alias("bias_jack"),
+    ).orderBy("event_type")
+
+
+_EVENTS_JACKKNIFE_CI_ORACLE = """
+WITH byb AS (
+  SELECT event_type, user_id % 20 AS j,
+         CAST(count(*) AS BIGINT) AS nj,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sj
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(sum(nj) AS BIGINT) AS n,
+         CAST(sum(sj) AS BIGINT) AS s
+  FROM byb GROUP BY 1
+), per AS (
+  SELECT b.event_type, n, s,
+         CAST(round((CAST(s - sj AS DOUBLE)
+                     / greatest(n - nj, 1)) * 1e9, 0) AS BIGINT) AS t
+  FROM byb b JOIN tot USING (event_type)
+), agg AS (
+  SELECT event_type, n, s,
+         CAST(count(*) AS BIGINT) AS g,
+         CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS st,
+         CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS st2
+  FROM per GROUP BY 1, 2, 3
+), o AS (
+  SELECT event_type, n, g,
+         CAST(s AS DOUBLE) / n AS theta_hat,
+         sqrt(CAST(g - 1 AS DOUBLE)
+              * CAST(g * st2 - st * st AS DOUBLE)
+              / (g * g) / 1e18) AS se,
+         CAST(g - 1 AS DOUBLE)
+           * (CAST(st AS DOUBLE) / (g * 1e9)
+              - CAST(s AS DOUBLE) / n) AS bias
+  FROM agg
+)
+SELECT event_type, n, g,
+       round(theta_hat, 9) AS theta_hat,
+       round(se, 9) AS se_jack,
+       round(theta_hat - 1.96e0 * se, 9) AS ci_lo,
+       round(theta_hat + 1.96e0 * se, 9) AS ci_hi,
+       round(bias, 9) AS bias_jack
+FROM o ORDER BY event_type
+"""
+
+
+def q_events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS30 — Hurst exponent per event type by the aggregated-variance
+    method: variance of block means of the zero-filled hourly count
+    series at block sizes m ∈ {1, 2, 4, 8, 16}, OLS slope of
+    ln Var(m) on ln m, H = 1 + slope/2. White/Poisson traffic gives
+    slope ≈ −1 → H ≈ 0.5 (this generator's honest reading — the
+    property test plants a long-range trend and reads H → 1). Parity:
+    block sums and the variance numerator (nb·Σs² − (Σs)²) are exact
+    BIGINTs; ln() outputs quantize to 1e-6 BIGINT units BEFORE the
+    five-point OLS (the L27 zipf rule), whose normal equations stay
+    integral; only the final slope division and H tree are doubles.
+    Zero-variance scales are filtered before ln on both engines
+    (DuckDB errors on ln(0)).
+
+    Plan: one hourly rollup is the only fact shuffle; blocks, scales
+    and the OLS all live on the wall-clock-bounded spine (720 × 5
+    rows/month), re-aggregated per scale without a second fact pass."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        long_div(epoch_micros(F.col("ts")), 3_600_000_000).alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1")).alias("h"),
+            "h0",
+        )
+    )
+    dense = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        (F.col("h") - F.col("h0")).alias("hx"),
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    return _hurst_from_dense(spark, dense)
+
+
+def _hurst_from_dense(spark: SparkSession, dense: DataFrame) -> DataFrame:
+    """Aggregated-variance Hurst over a dense (event_type, hx, c)
+    series — factored so property tests can feed planted-trend and
+    white-noise series. See q_events_hurst."""
+    scales = spark.range(5).select(
+        F.expr("shiftleft(1L, CAST(id AS INT))").alias("m")
+    )
+    blocks = (
+        dense.crossJoin(F.broadcast(scales))
+        .groupBy(
+            "event_type", "m", F.expr("hx div m").alias("blk")
+        )
+        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") == F.col("m"))  # complete blocks only
+    )
+    per_scale = blocks.groupBy("event_type", "m").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("s").alias("ss"),
+        F.sum(F.col("s") * F.col("s")).alias("ss2"),
+    )
+    vm = (
+        F.col("nb") * F.col("ss2") - F.col("ss") * F.col("ss")
+    ).cast("double") / (
+        F.col("nb") * F.col("nb") * F.col("m") * F.col("m")
+    )
+    pts = per_scale.filter(
+        (F.col("nb") * F.col("ss2") - F.col("ss") * F.col("ss")) > 0
+    ).select(
+        "event_type",
+        F.round(F.log(F.col("m").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(vm) * 1_000_000).cast("long").alias("y"),
+    )
+    return _hurst_ols(pts)
+
+
+def _hurst_ols(pts: DataFrame) -> DataFrame:
+    """Five-point quantized-log OLS → Hurst — factored so property
+    tests can feed planted-trend series. See q_events_hurst."""
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    agg = pts.groupBy("event_type").agg(
+        n.alias("n_scales"),
+        (n * sxy - sx * sy).alias("num"),
+        (n * sxx - sx * sx).alias("d1"),
+    )
+    slope = F.col("num").cast("double") / F.col("d1")
+    return agg.select(
+        "event_type",
+        "n_scales",
+        F.round(slope, 9).alias("var_slope"),
+        F.round(F.lit(1.0) + slope / F.lit(2.0), 9).alias("hurst"),
+    ).orderBy("event_type")
+
+
+_EVENTS_HURST_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(h) AS h0, max(h) AS h1 FROM hourly
+), dense AS (
+  SELECT t.event_type, g.h - b.h0 AS hx,
+         CAST(coalesce(e.c, 0) AS BIGINT) AS c
+  FROM (SELECT DISTINCT event_type FROM hourly) t
+  CROSS JOIN bounds b
+  CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds) g
+  LEFT JOIN hourly e ON t.event_type = e.event_type AND g.h = e.h
+), blocks AS (
+  SELECT event_type, m, hx // m AS blk,
+         CAST(sum(c) AS BIGINT) AS s, count(*) AS cnt
+  FROM dense CROSS JOIN (
+    SELECT unnest([1, 2, 4, 8, 16]) AS m)
+  GROUP BY 1, 2, 3
+  HAVING count(*) = m
+), per_scale AS (
+  SELECT event_type, m, CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(s) AS BIGINT) AS ss,
+         CAST(sum(s * s) AS BIGINT) AS ss2
+  FROM blocks GROUP BY 1, 2
+), pts AS (
+  SELECT event_type,
+         CAST(round(ln(CAST(m AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(CAST(nb * ss2 - ss * ss AS DOUBLE)
+                       / (nb * nb * m * m)) * 1000000) AS BIGINT) AS y
+  FROM per_scale WHERE nb * ss2 - ss * ss > 0
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_scales,
+         CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS num,
+         CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS d1
+  FROM pts GROUP BY 1
+)
+SELECT event_type, n_scales,
+       round(CAST(num AS DOUBLE) / d1, 9) AS var_slope,
+       round(1e0 + (CAST(num AS DOUBLE) / d1) / 2e0, 9) AS hurst
+FROM agg ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -15694,6 +16075,19 @@ def _base_registry() -> dict[str, QuerySpec]:
     return {
         "purchase_hits": QuerySpec(
             q_purchase_hits, _PURCHASE_HITS_ORACLE, ("G11",)
+        ),
+        "events_js_divergence": QuerySpec(
+            q_events_js_divergence,
+            _EVENTS_JS_DIVERGENCE_ORACLE,
+            ("A60",),
+        ),
+        "events_jackknife_ci": QuerySpec(
+            q_events_jackknife_ci,
+            _EVENTS_JACKKNIFE_CI_ORACLE,
+            ("A61",),
+        ),
+        "events_hurst": QuerySpec(
+            q_events_hurst, _EVENTS_HURST_ORACLE, ("TS30",)
         ),
         "events_anova_f": QuerySpec(
             q_events_anova_f, _EVENTS_ANOVA_F_ORACLE, ("A59",)

@@ -662,3 +662,151 @@ def test_discord_finds_planted_anomaly(spark):
     best = max(range(len(nn)), key=lambda i: (nn[i], -i))
     assert (top.window_h, top.nn_dist2) == (best, nn[best])
     assert 109 <= top.window_h <= 131  # overlaps the planted plateau
+
+
+def test_js_divergence_brute_force_and_bounds(spark, sf_dir):
+    """The per-type JSD equals a pure-python replay of the binned
+    half-vs-half counts at sf0.001 (same 1e-9 quantization), and every
+    reading sits in [0, ln 2]."""
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.queries import (
+        q_events_js_divergence,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(ts) div 3600000000 AS h",
+            "CAST(round(value * 100) AS BIGINT) div 5000 AS bin",
+        )
+        .collect()
+    )
+    h0 = min(r.h for r in rows)
+    h1 = max(r.h for r in rows)
+    mid = (h0 + h1 + 1) / 2
+    counts = {}
+    for r in rows:
+        key = (r.event_type, r.bin)
+        c = counts.setdefault(key, [0, 0])
+        c[1 if r.h >= mid else 0] += 1
+    got = {r.event_type: r for r in q_events_js_divergence(spark, sf_dir).collect()}
+    types = {et for et, _ in counts}
+    for et in types:
+        bins = {b: c for (e, b), c in counts.items() if e == et}
+        n1 = sum(c[0] for c in bins.values())
+        n2 = sum(c[1] for c in bins.values())
+        nanos = 0
+        for c1, c2 in bins.values():
+            p, q = c1 / n1, c2 / n2
+            contrib = 0.0
+            if c1 > 0:
+                contrib += 0.5 * (p * math.log(2.0 * p / (p + q)))
+            if c2 > 0:
+                contrib += 0.5 * (q * math.log(2.0 * q / (q + p)))
+            nanos += round(contrib * 1e9)
+        r = got[et]
+        assert (r.n1, r.n2, r.jsd_nanos) == (n1, n2, nanos)
+        assert 0 <= r.jsd <= math.log(2.0) + 1e-9
+
+
+def test_jackknife_ci_brute_force(spark, sf_dir):
+    """theta_hat/se/CI equal a numpy delete-one-bucket replay at
+    sf0.001 (same nano quantization), and the CI brackets theta_hat."""
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.queries import (
+        q_events_jackknife_ci,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "user_id % 20 AS j",
+            "CAST(round(value * 100) AS BIGINT) AS v",
+        )
+        .collect()
+    )
+    buckets = {}
+    for r in rows:
+        b = buckets.setdefault(r.event_type, {}).setdefault(r.j, [0, 0])
+        b[0] += 1
+        b[1] += r.v
+    got = {r.event_type: r for r in q_events_jackknife_ci(spark, sf_dir).collect()}
+    for et, bs in buckets.items():
+        n = sum(c for c, _ in bs.values())
+        s = sum(v for _, v in bs.values())
+        ts = [
+            round((s - sj) / max(n - nj, 1) * 1e9)
+            for nj, sj in bs.values()
+        ]
+        g = len(ts)
+        st, st2 = sum(ts), sum(t * t for t in ts)
+        var = (g - 1) * float(g * st2 - st * st) / (g * g) / 1e18
+        se = math.sqrt(var)
+        r = got[et]
+        assert r.g == g
+        assert r.theta_hat == round(s / n, 9)
+        assert r.se_jack == round(se, 9)
+        assert r.ci_lo <= r.theta_hat <= r.ci_hi
+
+
+def _hurst_of(spark, series):
+    from floatchat_datapipeline_spark.queries import _hurst_from_dense
+
+    dense = spark.createDataFrame(
+        [("t", h, c) for h, c in enumerate(series)],
+        "event_type string, hx long, c long",
+    )
+    return _hurst_from_dense(spark, dense).collect()[0]
+
+
+def test_hurst_trend_vs_noise(spark):
+    """A linear ramp (maximal long-range structure) must read H near 1
+    while bounded pseudo-random noise reads H near 1/2 — the
+    discriminating contrast of the aggregated-variance method."""
+    import hashlib
+
+    trend = _hurst_of(spark, list(range(320)))
+    assert trend.n_scales == 5
+    assert trend.hurst > 0.9
+    noise = _hurst_of(
+        spark,
+        [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 32
+            for i in range(320)
+        ],
+    )
+    assert 0.3 < noise.hurst < 0.7
+
+
+def test_hurst_matches_numpy_replay(spark):
+    """var_slope equals the numpy aggregated-variance replay (same
+    1e-6 log quantization and integer normal equations) exactly."""
+    import numpy as np
+
+    series = [(13 * i * i * i + 7 * i) % 23 for i in range(160)]
+    pts = []
+    for m in (1, 2, 4, 8, 16):
+        nb = len(series) // m
+        s = np.add.reduceat(
+            np.asarray(series[: nb * m], dtype=np.int64),
+            range(0, nb * m, m),
+        )
+        ss, ss2 = int(s.sum()), int((s * s).sum())
+        numv = nb * ss2 - ss * ss
+        if numv > 0:
+            pts.append(
+                (
+                    round(math.log(m) * 1e6),
+                    round(math.log(numv / (nb * nb * m * m)) * 1e6),
+                )
+            )
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    want = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+    got = _hurst_of(spark, series)
+    assert got.var_slope == want

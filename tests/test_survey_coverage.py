@@ -350,6 +350,12 @@ SURVEY_IDS = [
     "A59",
     # time-series discord discovery (all-integer matrix-profile NN)
     "TS29",
+    # Jensen-Shannon divergence drift (quantize-before-sum integer JSD)
+    "A60",
+    # delete-one-group jackknife CI (exact decimal normal sums)
+    "A61",
+    # Hurst exponent via aggregated variance (quantized-log OLS)
+    "TS30",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
