@@ -15882,6 +15882,260 @@ FROM agg ORDER BY event_type
 """
 
 
+def q_emb_centroid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V18 — per-label embedding centroid audit: each label's vector
+    count, the cosine of its centroid to the GLOBAL centroid (a
+    cluster-drift / label-collapse signal: labels whose centroid hugs
+    the global mean carry little contrastive signal), and the mean
+    squared distance to the label centroid (within-label dispersion,
+    E|x|² − |c|²). The exact-distributed-centroid-algebra pattern:
+    components quantize to 1e-6 BIGINT micros at the scan, per-(label,
+    dim) sums are exact integers, and the dot/norm reductions over the
+    64-dim axis run in DECIMAL(38,0) (DuckDB HUGEINT) so every input
+    to the final cosine/sqrt tree is exact — no cross-row float sum
+    anywhere. Cosine is scale-invariant, so sums stand in for means.
+
+    Scale: one map-side expand (posexplode) + partial-aggregable hash
+    agg to the (label, dim) domain — labels×dims rows, not corpus
+    rows; the global-dim frame (64 rows) broadcasts back. Dispersion's
+    per-row |x|² folds JVM-side in the same scan."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") == 64))
+        .select(
+            "label",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1e6, 0).cast(
+                    "long"
+                ),
+            ).alias("mic"),
+        )
+        .withColumn(
+            "rowsq",
+            F.aggregate(
+                "mic",
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x * x,
+            ),
+        )
+    )
+    per_row = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("rowsq").alias("q")
+    )
+    ld = (
+        emb.select("label", F.posexplode("mic").alias("dim", "m"))
+        .groupBy("label", "dim")
+        .agg(F.sum("m").alias("s"))
+    )
+    gd = ld.groupBy("dim").agg(F.sum("s").alias("gs"))
+    dec = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    lab = (
+        ld.join(F.broadcast(gd), "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(dec("s") * dec("gs")).alias("dot"),
+            F.sum(dec("s") * dec("s")).alias("nl"),
+            F.sum(dec("gs") * dec("gs")).alias("ng"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nl").cast("double"))
+        * F.sqrt(F.col("ng").cast("double"))
+    )
+    disp = (
+        F.col("q").cast("double") / F.col("n_vecs")
+        - F.col("nl").cast("double")
+        / (F.col("n_vecs") * F.col("n_vecs"))
+    ) / F.lit(1e12)
+    return (
+        lab.join(per_row, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(cos, 9).alias("cos_to_global"),
+            F.round(disp, 9).alias("dispersion"),
+        )
+        .orderBy("label")
+    )
+
+
+_EMB_CENTROID_AUDIT_ORACLE = """
+WITH base AS (
+  SELECT label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS mic
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+), per_row AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(list_sum(list_transform(mic, x -> x * x)))
+              AS BIGINT) AS q
+  FROM base GROUP BY 1
+), ld AS (
+  SELECT label, g.i AS dim,
+         CAST(sum(mic[g.i]) AS BIGINT) AS s
+  FROM base, (SELECT unnest(range(1, 65)) AS i) g
+  GROUP BY 1, 2
+), gd AS (
+  SELECT dim, CAST(sum(s) AS BIGINT) AS gs FROM ld GROUP BY 1
+), lab AS (
+  SELECT label,
+         CAST(sum(CAST(s AS HUGEINT) * gs) AS HUGEINT) AS dot,
+         CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS nl,
+         CAST(sum(CAST(gs AS HUGEINT) * gs) AS HUGEINT) AS ng
+  FROM ld JOIN gd USING (dim) GROUP BY 1
+)
+SELECT label, n_vecs,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(nl AS DOUBLE)) * sqrt(CAST(ng AS DOUBLE))),
+             9) AS cos_to_global,
+       round((CAST(q AS DOUBLE) / n_vecs
+              - CAST(nl AS DOUBLE) / (n_vecs * n_vecs)) / 1e12,
+             9) AS dispersion
+FROM lab JOIN per_row USING (label) ORDER BY label
+"""
+
+
+def q_events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS31 — SAX symbolization + motif mining on the densified hourly
+    count series: per event type, z-score each hour against the
+    series mean/std, map to a 3-symbol Gaussian-breakpoint alphabet
+    (a < −0.4307 < b < +0.4307 < c), slide a 4-symbol word over the
+    series, and report the top-5 most frequent words — the classic
+    symbolic-aggregate motif primitive (recurring daily shapes rise to
+    the top; rare words are the discord complement of TS29). Parity:
+    μ and σ² derive from exact BIGINT spine sums, every z comparison
+    evaluates the SAME two doubles on both engines, and everything
+    after symbolization is exact string/count algebra.
+
+    Scale: one hourly rollup is the only fact shuffle; z-scores,
+    words, and motif counts all live on the wall-clock-bounded spine
+    (the TS29 argument); the word window is an ordered 4-row frame per
+    type."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        long_div(epoch_micros(F.col("ts")), 3_600_000_000).alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1")).alias("h"),
+        )
+    )
+    dense = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    return _sax_from_dense(dense)
+
+
+def _sax_from_dense(dense: DataFrame) -> DataFrame:
+    """SAX symbolize + motif count over a dense (event_type, h, c)
+    series — factored so property tests can feed planted-period
+    series. See q_events_sax_motifs."""
+    from pyspark.sql import Window
+
+    stats = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    mu = F.col("sc").cast("double") / F.col("nb")
+    sig = F.sqrt(
+        (F.col("nb") * F.col("sc2") - F.col("sc") * F.col("sc")).cast(
+            "double"
+        )
+        / (F.col("nb") * F.col("nb"))
+    )
+    z = (F.col("c").cast("double") - mu) / sig
+    sym = F.when(z < F.lit(-0.4307), F.lit("a")).otherwise(
+        F.when(z > F.lit(0.4307), F.lit("c")).otherwise(F.lit("b"))
+    )
+    symbols = dense.join(F.broadcast(stats), "event_type").select(
+        "event_type", "h", sym.alias("s")
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, 3)
+    )
+    words = symbols.withColumn(
+        "w", F.concat_ws("", F.collect_list("s").over(wf))
+    ).filter(F.length("w") == 4)
+    counts = words.groupBy("event_type", "w").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.desc("n_occ"), "w"
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("event_type", F.col("w").alias("motif"), "n_occ", "rnk")
+        .orderBy("event_type", "rnk")
+    )
+
+
+_EVENTS_SAX_MOTIFS_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(h) AS h0, max(h) AS h1 FROM hourly
+), dense AS (
+  SELECT t.event_type, g.h, CAST(coalesce(e.c, 0) AS BIGINT) AS c
+  FROM (SELECT DISTINCT event_type FROM hourly) t
+  CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds) g
+  LEFT JOIN hourly e ON t.event_type = e.event_type AND g.h = e.h
+), stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(c * c) AS BIGINT) AS sc2
+  FROM dense GROUP BY 1
+), symbols AS (
+  SELECT d.event_type, d.h,
+         CASE WHEN (CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / nb)
+                   / sqrt(CAST(nb * sc2 - sc * sc AS DOUBLE)
+                          / (nb * nb)) < -0.4307e0 THEN 'a'
+              WHEN (CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / nb)
+                   / sqrt(CAST(nb * sc2 - sc * sc AS DOUBLE)
+                          / (nb * nb)) > 0.4307e0 THEN 'c'
+              ELSE 'b' END AS s
+  FROM dense d JOIN stats USING (event_type)
+), words AS (
+  SELECT event_type, h,
+         string_agg(s, '') OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS w
+  FROM symbols
+  QUALIFY len(w) = 4
+), counts AS (
+  SELECT event_type, w, CAST(count(*) AS BIGINT) AS n_occ
+  FROM words GROUP BY 1, 2
+)
+SELECT event_type, motif, n_occ, rnk FROM (
+  SELECT event_type, w AS motif, n_occ,
+         CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY n_occ DESC, w)
+           AS BIGINT) AS rnk
+  FROM counts)
+WHERE rnk <= 5
+ORDER BY event_type, rnk
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -16088,6 +16342,16 @@ def _base_registry() -> dict[str, QuerySpec]:
         ),
         "events_hurst": QuerySpec(
             q_events_hurst, _EVENTS_HURST_ORACLE, ("TS30",)
+        ),
+        "emb_centroid_audit": QuerySpec(
+            q_emb_centroid_audit,
+            _EMB_CENTROID_AUDIT_ORACLE,
+            ("V18",),
+        ),
+        "events_sax_motifs": QuerySpec(
+            q_events_sax_motifs,
+            _EVENTS_SAX_MOTIFS_ORACLE,
+            ("TS31",),
         ),
         "events_anova_f": QuerySpec(
             q_events_anova_f, _EVENTS_ANOVA_F_ORACLE, ("A59",)

@@ -810,3 +810,77 @@ def test_hurst_matches_numpy_replay(spark):
     want = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
     got = _hurst_of(spark, series)
     assert got.var_slope == want
+
+
+def test_centroid_audit_numpy_replay(spark, sf_dir):
+    """cos_to_global and dispersion equal the numpy replay over the
+    same 1e-6 micro quantization at sf0.001, and a label's centroid
+    cosine lives in [-1, 1] while dispersion is non-negative."""
+    import numpy as np
+
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.queries import q_emb_centroid_audit
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") == 64))
+        .collect()
+    )
+    mics = {}
+    for r in rows:
+        mics.setdefault(r.label, []).append(
+            np.array([round(float(x) * 1e6) for x in r.embedding], dtype=np.int64)
+        )
+    gsum = sum(np.sum(v, axis=0) for v in mics.values())
+    got = {r.label: r for r in q_emb_centroid_audit(spark, sf_dir).collect()}
+    assert set(got) == set(mics)
+    for lab, vecs in mics.items():
+        s = np.sum(vecs, axis=0)
+        dot = float(np.dot(s.astype(object), gsum.astype(object)))
+        nl = float(np.dot(s.astype(object), s.astype(object)))
+        ng = float(np.dot(gsum.astype(object), gsum.astype(object)))
+        q = sum(int(np.dot(v, v)) for v in vecs)
+        n = len(vecs)
+        cos = dot / (math.sqrt(nl) * math.sqrt(ng))
+        disp = (q / n - nl / (n * n)) / 1e12
+        r = got[lab]
+        assert r.n_vecs == n
+        assert abs(r.cos_to_global - cos) < 1e-8
+        assert abs(r.dispersion - disp) < 1e-8
+        assert -1 - 1e-9 <= r.cos_to_global <= 1 + 1e-9
+        assert r.dispersion >= 0
+
+
+def test_sax_motifs_periodic_plant(spark):
+    """A clean 12-periodic series must surface its own repeating words
+    at the top, with counts matching the exact python replay of the
+    same z-score symbolization."""
+    from floatchat_datapipeline_spark.queries import _sax_from_dense
+
+    series = [(0, 1, 3, 8, 3, 1) * 2][0] * 30  # 12-periodic, 360 hours
+    series = list(series)
+    dense = spark.createDataFrame(
+        [("t", h, c) for h, c in enumerate(series)],
+        "event_type string, h long, c long",
+    )
+    got = _sax_from_dense(dense).collect()
+    # python replay
+    nb = len(series)
+    sc = sum(series)
+    sc2 = sum(c * c for c in series)
+    mu = sc / nb
+    sig = math.sqrt((nb * sc2 - sc * sc) / (nb * nb))
+    syms = [
+        "a" if (c - mu) / sig < -0.4307 else
+        ("c" if (c - mu) / sig > 0.4307 else "b")
+        for c in series
+    ]
+    words = {}
+    for i in range(nb - 3):
+        w = "".join(syms[i : i + 4])
+        words[w] = words.get(w, 0) + 1
+    ranked = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r.motif, r.n_occ) for r in got] == ranked
+    # a 12-periodic series has at most 12 distinct words; the top one
+    # must recur ~nb/12 times (real motif structure, not noise)
+    assert got[0].n_occ >= nb // 12 - 1

@@ -356,6 +356,10 @@ SURVEY_IDS = [
     "A61",
     # Hurst exponent via aggregated variance (quantized-log OLS)
     "TS30",
+    # embedding centroid audit (exact distributed centroid algebra)
+    "V18",
+    # SAX motif mining (z-score symbolization, sliding-word counts)
+    "TS31",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
