@@ -16136,6 +16136,298 @@ ORDER BY event_type, rnk
 """
 
 
+def q_doc_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15 — survivorship / golden-record construction over the D5
+    near-dup clusters (the MDM step AFTER dedup detection: each
+    duplicate group elects ONE canonical record by explicit field
+    rules). Rules here: canonical = the member with the longest text
+    (max n_chars), doc_id ascending as the tiebreak; the group also
+    reports its size and distinct-source count (a cross-source dup is
+    a provenance red flag). Election runs as ONE max(struct) partial
+    agg — no window, no second pass; the struct's (n_chars, −doc_id,
+    lang, source) field order IS the precedence order, mirrored by
+    DuckDB's lexicographic max(ROW(...)).
+
+    Reuses the memoized D5 component index
+    (operators/dedup.dup_components — this is its sixth consumer, one
+    closure build per corpus per session); the oracle replays
+    connectivity with the shared recursive CTE."""
+    from floatchat_datapipeline_spark.operators.dedup import (
+        dup_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dup_components(docs, spark, cache_key=sf_dir)
+    members = comp.join(docs, "doc_id")
+    elected = members.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct("source").alias("n_sources"),
+        F.max(
+            F.struct(
+                F.col("n_chars"),
+                (-F.col("doc_id")).alias("neg_id"),
+                F.col("lang"),
+                F.col("source"),
+            )
+        ).alias("win"),
+    )
+    return elected.select(
+        "component",
+        "n_members",
+        "n_sources",
+        (-F.col("win.neg_id")).alias("canonical_doc_id"),
+        F.col("win.n_chars").alias("canonical_n_chars"),
+        F.col("win.lang").alias("canonical_lang"),
+        F.col("win.source").alias("canonical_source"),
+    ).orderBy("component")
+
+
+_DOC_GOLDEN_RECORDS_ORACLE = f"""
+WITH RECURSIVE {_DUP_COMPONENTS_SQL},
+members AS (
+  SELECT c.component, d.doc_id, d.n_chars, d.lang, d.source
+  FROM comp c JOIN documents d USING (doc_id)
+), elected AS (
+  SELECT component,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         max(ROW(n_chars, -doc_id, lang, source)) AS win
+  FROM members GROUP BY 1
+)
+SELECT component, n_members, n_sources,
+       -(win[2]) AS canonical_doc_id,
+       win[1] AS canonical_n_chars,
+       win[3] AS canonical_lang,
+       win[4] AS canonical_source
+FROM elected ORDER BY component
+"""
+
+
+def q_events_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS32 — seasonal-naive forecast backtest per event type: score
+    the 24-hour seasonal-naive forecast (ĉ_t = c_{t−24}) against the
+    1-hour naive baseline on the densified hourly series, reporting
+    MAE for both and MASE = MAE_seasonal / MAE_naive (< 1 ⇒ daily
+    seasonality carries real predictive signal — the standard
+    forecastability screen BEFORE fitting any model). Everything up to
+    the final quotients is exact BIGINT (absolute-error sums of
+    integer counts); `beats_naive` compares cross-multiplied integers,
+    so the flag is exact even when the MASE double rounds.
+
+    Plan: one hourly rollup is the only fact shuffle; both lag columns
+    come from ONE ordered window pass over the wall-clock-bounded
+    spine."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        long_div(epoch_micros(F.col("ts")), 3_600_000_000).alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1")).alias("h"),
+        )
+    )
+    dense = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    return _mase_from_dense(dense)
+
+
+def _mase_from_dense(dense: DataFrame, season: int = 24) -> DataFrame:
+    """MASE backtest over a dense (event_type, h, c) series — factored
+    so property tests can feed planted-period series. See
+    q_events_seasonal_mase."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = dense.select(
+        "event_type",
+        "c",
+        F.lag("c", 1).over(w).alias("l1"),
+        F.lag("c", season).over(w).alias("l24"),
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.abs(F.col("c") - F.col("l1"))).alias("s1"),
+        F.count("l1").alias("n1"),
+        F.sum(F.abs(F.col("c") - F.col("l24"))).alias("s24"),
+        F.count("l24").alias("n24"),
+    )
+    return agg.select(
+        "event_type",
+        "n_hours",
+        F.round(F.col("s24").cast("double") / F.col("n24"), 9).alias(
+            "mae_seasonal"
+        ),
+        F.round(F.col("s1").cast("double") / F.col("n1"), 9).alias(
+            "mae_naive"
+        ),
+        F.round(
+            (F.col("s24").cast("double") * F.col("n1"))
+            / (F.col("s1").cast("double") * F.col("n24")),
+            9,
+        ).alias("mase"),
+        (
+            F.col("s24") * F.col("n1") < F.col("s1") * F.col("n24")
+        ).alias("beats_naive"),
+    ).orderBy("event_type")
+
+
+_EVENTS_SEASONAL_MASE_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(h) AS h0, max(h) AS h1 FROM hourly
+), dense AS (
+  SELECT t.event_type, g.h, CAST(coalesce(e.c, 0) AS BIGINT) AS c
+  FROM (SELECT DISTINCT event_type FROM hourly) t
+  CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds) g
+  LEFT JOIN hourly e ON t.event_type = e.event_type AND g.h = e.h
+), lagged AS (
+  SELECT event_type, c,
+         lag(c, 1) OVER (PARTITION BY event_type ORDER BY h) AS l1,
+         lag(c, 24) OVER (PARTITION BY event_type ORDER BY h) AS l24
+  FROM dense
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(abs(c - l1)) AS BIGINT) AS s1,
+         CAST(count(l1) AS BIGINT) AS n1,
+         CAST(sum(abs(c - l24)) AS BIGINT) AS s24,
+         CAST(count(l24) AS BIGINT) AS n24
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, n_hours,
+       round(CAST(s24 AS DOUBLE) / n24, 9) AS mae_seasonal,
+       round(CAST(s1 AS DOUBLE) / n1, 9) AS mae_naive,
+       round((CAST(s24 AS DOUBLE) * n1) / (CAST(s1 AS DOUBLE) * n24),
+             9) AS mase,
+       (s24 * n1 < s1 * n24) AS beats_naive
+FROM agg ORDER BY event_type
+"""
+
+
+def q_doc_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L33 — interpolated Kneser–Ney BIGRAM log-probability per
+    document (the serious upgrade of L11's add-one unigram scorer —
+    the standard pre-neural LM quality filter):
+    p(w2|w1) = (c(w1w2) − 0.75)/c(w1•) + 0.75·(N1+(w1•)/c(w1•))·
+    (N1+(•w2)/B), with continuation counts N1+ and total distinct
+    bigrams B. Every count is an exact BIGINT; each distinct doc-
+    bigram's ln p quantizes to 1e-9 BIGINT units and multiplies its
+    in-doc frequency, so the per-doc reduction is an exact integer sum
+    (order-free — tighter than L11's 4dp-rounded double sum). The
+    discount never clips because only in-corpus bigrams (c ≥ 1) are
+    scored.
+
+    Plan: corpus stats are three partial-aggregable rollups on the
+    (w1, w2) / (w1) / (w2) domains (vocabulary-bounded, not corpus-
+    bounded) that BROADCAST into the doc-bigram frame; one per-doc
+    rollup ends the plan. No windows, no self-joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("l")
+    ).filter(F.size("l") >= 2)
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(l, 1, size(l) - 1),"
+                " (x, i) -> struct(x AS w1, l[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    docbi = bi.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    c12 = docbi.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+    c12 = c12.localCheckpoint(eager=True)  # four stat consumers
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    btot = c12.agg(F.count(F.lit(1)).alias("b"))
+    p = (F.col("c12") - F.lit(0.75)) / F.col("c1") + (
+        F.lit(0.75) * F.col("n1f") / F.col("c1")
+    ) * (F.col("n1b").cast("double") / F.col("b"))
+    scored = (
+        docbi.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "doc_id",
+            "m",
+            F.round(F.log(p) * 1e9, 0).cast("long").alias("lp"),
+        )
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        F.sum(F.col("m") * F.col("lp")).alias("kn_nanos"),
+    )
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "kn_nanos",
+        (
+            F.col("kn_nanos")
+            / (F.lit(1e9) * F.col("n_bigrams"))
+        ).alias("kn_avg_logprob"),
+    ).orderBy("doc_id")
+
+
+_DOC_KN_LOGPROB_ORACLE = """
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), bi AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+  FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM tk)
+), docbi AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+  FROM bi GROUP BY 1, 2, 3
+), c12 AS (
+  SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c12
+  FROM docbi GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1f
+  FROM c12 GROUP BY 1
+), cont AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c12 GROUP BY 1
+), btot AS (
+  SELECT CAST(count(*) AS BIGINT) AS b FROM c12
+), scored AS (
+  SELECT doc_id, m,
+         CAST(round(ln((c12 - 0.75e0) / c1
+                       + (0.75e0 * n1f / c1)
+                         * (CAST(n1b AS DOUBLE) / b)) * 1e9, 0)
+              AS BIGINT) AS lp
+  FROM docbi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+       JOIN cont USING (w2), btot
+)
+SELECT doc_id,
+       CAST(sum(m) AS BIGINT) AS n_bigrams,
+       CAST(sum(m * lp) AS BIGINT) AS kn_nanos,
+       CAST(sum(m * lp) AS BIGINT)
+         / (1e9 * CAST(sum(m) AS BIGINT)) AS kn_avg_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -16352,6 +16644,21 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_events_sax_motifs,
             _EVENTS_SAX_MOTIFS_ORACLE,
             ("TS31",),
+        ),
+        "doc_golden_records": QuerySpec(
+            q_doc_golden_records,
+            _DOC_GOLDEN_RECORDS_ORACLE,
+            ("D15", "D5"),
+        ),
+        "events_seasonal_mase": QuerySpec(
+            q_events_seasonal_mase,
+            _EVENTS_SEASONAL_MASE_ORACLE,
+            ("TS32",),
+        ),
+        "doc_kn_logprob": QuerySpec(
+            q_doc_kn_logprob,
+            _DOC_KN_LOGPROB_ORACLE,
+            ("L33", "lang-model"),
         ),
         "events_anova_f": QuerySpec(
             q_events_anova_f, _EVENTS_ANOVA_F_ORACLE, ("A59",)

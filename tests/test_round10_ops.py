@@ -884,3 +884,106 @@ def test_sax_motifs_periodic_plant(spark):
     # a 12-periodic series has at most 12 distinct words; the top one
     # must recur ~nb/12 times (real motif structure, not noise)
     assert got[0].n_occ >= nb // 12 - 1
+
+
+def test_golden_records_survivorship_rules(spark, sf_dir):
+    """Every golden record's canonical member really belongs to its
+    cluster, carries the cluster-max n_chars (doc_id-ascending
+    tiebreak), and clusters have >= 2 members — replayed against the
+    D5 cluster map itself."""
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.queries import (
+        q_doc_dup_clusters,
+        q_doc_golden_records,
+    )
+
+    comp = {
+        r.doc_id: r.component
+        for r in q_doc_dup_clusters(spark, sf_dir).collect()
+    }
+    chars = {
+        r.doc_id: (r.n_chars, r.lang, r.source)
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    members = {}
+    for doc, c in comp.items():
+        members.setdefault(c, []).append(doc)
+    rows = q_doc_golden_records(spark, sf_dir).collect()
+    assert {r.component for r in rows} == set(members)
+    for r in rows:
+        docs = members[r.component]
+        assert r.n_members == len(docs) >= 2
+        best = max(docs, key=lambda d: (chars[d][0], -d))
+        assert r.canonical_doc_id == best
+        assert r.canonical_n_chars == chars[best][0]
+        assert (r.canonical_lang, r.canonical_source) == chars[best][1:]
+        assert r.n_sources == len({chars[d][2] for d in docs})
+
+
+def test_mase_planted_seasonality(spark):
+    """A perfectly 24-periodic series scores MASE 0 (seasonal-naive is
+    exact) and beats_naive; a hash-mixed series scores MASE around 1
+    and does not beat the 1-hour naive decisively."""
+    import hashlib
+
+    from floatchat_datapipeline_spark.queries import _mase_from_dense
+
+    periodic = [(h % 24) for h in range(240)]
+    dense = spark.createDataFrame(
+        [("t", h, c) for h, c in enumerate(periodic)],
+        "event_type string, h long, c long",
+    )
+    row = _mase_from_dense(dense).collect()[0]
+    assert row.mase == 0.0 and row.mae_seasonal == 0.0
+    assert row.beats_naive is True
+    noise = [
+        int(hashlib.md5(str(h).encode()).hexdigest()[:4], 16) % 9
+        for h in range(240)
+    ]
+    dense2 = spark.createDataFrame(
+        [("t", h, c) for h, c in enumerate(noise)],
+        "event_type string, h long, c long",
+    )
+    row2 = _mase_from_dense(dense2).collect()[0]
+    assert 0.7 < row2.mase < 1.3
+
+
+def test_kn_logprob_python_replay(spark, sf_dir):
+    """Per-doc KN nanos equal an exact pure-python replay of the
+    interpolated bigram model at sf0.001, and every average logprob is
+    negative (probabilities < 1)."""
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.queries import q_doc_kn_logprob
+
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    c12, docbi = {}, {}
+    for d, toks in texts.items():
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+            db = docbi.setdefault(d, {})
+            db[(a, b)] = db.get((a, b), 0) + 1
+    c1, n1f, n1b = {}, {}, {}
+    for (a, b), c in c12.items():
+        c1[a] = c1.get(a, 0) + c
+        n1f[a] = n1f.get(a, 0) + 1
+        n1b[b] = n1b.get(b, 0) + 1
+    B = len(c12)
+    got = {r.doc_id: r for r in q_doc_kn_logprob(spark, sf_dir).collect()}
+    for d, bis in docbi.items():
+        nanos = sum(
+            m
+            * round(
+                math.log(
+                    (c12[k] - 0.75) / c1[k[0]]
+                    + (0.75 * n1f[k[0]] / c1[k[0]]) * (n1b[k[1]] / B)
+                )
+                * 1e9
+            )
+            for k, m in bis.items()
+        )
+        r = got[d]
+        assert (r.n_bigrams, r.kn_nanos) == (sum(bis.values()), nanos)
+        assert r.kn_avg_logprob < 0

@@ -360,6 +360,12 @@ SURVEY_IDS = [
     "V18",
     # SAX motif mining (z-score symbolization, sliding-word counts)
     "TS31",
+    # golden-record survivorship (max-struct election over D5 clusters)
+    "D15",
+    # seasonal-naive MASE backtest (all-integer error sums)
+    "TS32",
+    # Kneser-Ney bigram scoring (continuation counts, quantized ln p)
+    "L33",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
