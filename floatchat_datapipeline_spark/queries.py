@@ -16428,6 +16428,325 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_media_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 / multimodal-shots — shot-boundary detection over BINARY
+    media: split each blob into its frame chunks (the media_frames
+    fan-out count, len % 7 + 1), build a 16-bucket byte histogram per
+    chunk (the D12 feature shape), and flag a boundary wherever the
+    consecutive-frame L1 histogram distance moves more than a quarter
+    of the two frames' combined mass (4·L1 > massₐ + massᵦ — exact
+    cross-multiplied integers). On real video the histogram is
+    replaced by decoded frame features (operators/multimodal.
+    decode_image, env-gated); the Spark plumbing — byte explode JVM-
+    side, dense bucket spine, consecutive-frame equi-join, integer
+    threshold — is exactly what ships.
+
+    Scale: one byte-explode pass (map-side, prunes to the media slice)
+    + partial-agg histograms on the (doc, frame, bucket) domain; the
+    consecutive-frame join is per-doc bounded (≤ 7 frames), never a
+    self-join over the corpus."""
+    from floatchat_datapipeline_spark.operators.multimodal import (
+        synth_media,
+    )
+
+    media = synth_media(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return _shot_boundaries_from_media(spark, media)
+
+
+def _shot_boundaries_from_media(
+    spark: SparkSession, media: DataFrame
+) -> DataFrame:
+    """Shot-boundary core over a (doc_id, content BINARY) frame —
+    factored so property tests can feed hand-crafted blobs. See
+    q_media_shot_boundaries."""
+    hexed = media.select(
+        "doc_id",
+        F.hex("content").alias("hx"),
+        F.length("content").alias("nb"),
+        (F.length("content") % 7 + 1).alias("nf"),
+    )
+    bytes_ = hexed.select(
+        "doc_id",
+        "nf",
+        F.explode(F.sequence(F.lit(1), F.col("nb"))).alias("i"),
+        "hx",
+        "nb",
+    ).select(
+        "doc_id",
+        "nf",
+        F.expr("((i - 1) * nf) div nb").alias("frame"),
+        (
+            F.conv(
+                F.expr("substring(hx, cast(2 * i - 1 as int), 2)"),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(16)
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    hist = bytes_.groupBy("doc_id", "nf", "frame", "bucket").agg(
+        F.count(F.lit(1)).alias("mass")
+    )
+    spine = (
+        hist.select("doc_id", "nf").distinct()
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("nf") - 1)
+            ).alias("frame"),
+        )
+        .crossJoin(
+            F.broadcast(
+                spark.range(16).select(F.col("id").alias("bucket"))
+            )
+        )
+    )
+    dense = spine.join(
+        hist.drop("nf"), ["doc_id", "frame", "bucket"], "left"
+    ).select(
+        "doc_id",
+        "frame",
+        "bucket",
+        F.coalesce("mass", F.lit(0)).alias("mass"),
+    )
+    nxt = dense.select(
+        "doc_id",
+        (F.col("frame") - 1).alias("frame"),
+        "bucket",
+        F.col("mass").alias("mass2"),
+    )
+    steps = (
+        dense.join(nxt, ["doc_id", "frame", "bucket"])
+        .groupBy("doc_id", "frame")
+        .agg(
+            F.sum(F.abs(F.col("mass") - F.col("mass2"))).alias("l1"),
+            F.sum(F.col("mass") + F.col("mass2")).alias("tm"),
+        )
+    )
+    return (
+        steps.groupBy("doc_id")
+        .agg(
+            (F.max("frame") + 2).alias("n_frames"),
+            F.sum(
+                (F.lit(4) * F.col("l1") > F.col("tm")).cast("long")
+            ).alias("n_boundaries"),
+            F.max("l1").alias("max_l1"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_MEDIA_SHOT_BOUNDARIES_ORACLE = f"""
+WITH {_SYNTH_MEDIA_SQL.strip()}, sized AS (
+  SELECT doc_id, hex(content) AS hx, octet_length(content) AS nb,
+         octet_length(content) % 7 + 1 AS nf
+  FROM media
+), bytes AS (
+  SELECT doc_id, nf, ((i - 1) * nf) // nb AS frame,
+         CAST('0x' || substr(hx, CAST(2 * i - 1 AS INT), 2) AS BIGINT)
+           // 16 AS bucket
+  FROM sized,
+       LATERAL (SELECT unnest(range(1, nb + 1)) AS i)
+), hist AS (
+  SELECT doc_id, nf, frame, bucket, CAST(count(*) AS BIGINT) AS mass
+  FROM bytes GROUP BY 1, 2, 3, 4
+), spine AS (
+  SELECT doc_id, f.frame, b.bucket
+  FROM (SELECT DISTINCT doc_id, nf FROM hist),
+       LATERAL (SELECT unnest(range(0, nf)) AS frame) f,
+       (SELECT unnest(range(0, 16)) AS bucket) b
+), dense AS (
+  SELECT s.doc_id, s.frame, s.bucket,
+         CAST(coalesce(h.mass, 0) AS BIGINT) AS mass
+  FROM spine s LEFT JOIN hist h
+    ON s.doc_id = h.doc_id AND s.frame = h.frame
+   AND s.bucket = h.bucket
+), steps AS (
+  SELECT a.doc_id, a.frame,
+         CAST(sum(abs(a.mass - b.mass)) AS BIGINT) AS l1,
+         CAST(sum(a.mass + b.mass) AS BIGINT) AS tm
+  FROM dense a JOIN dense b
+    ON a.doc_id = b.doc_id AND a.bucket = b.bucket
+   AND b.frame = a.frame + 1
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(max(frame) + 2 AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN 4 * l1 > tm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boundaries,
+       CAST(max(l1) AS BIGINT) AS max_l1
+FROM steps GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_nation_spend_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A62 — Theil T inequality index of customer lifetime spend per
+    nation (the decomposable complement of A37's Gini: T = (1/N)·
+    Σ (xᵢ/μ)·ln(xᵢ/μ), zero at perfect equality, ln N at total
+    concentration). Parity: spend is exact order-cents; each
+    customer's term is one fixed double tree over (xᵢ·N)/S exact-
+    integer ratios, quantized to 1e-9 BEFORE the per-nation sum (the
+    A60 rule — the only cross-row float reduction is an order-free
+    integer sum). Customers with no orders are absent from the join
+    and excluded (spend-0 terms are 0·ln 0 = 0 anyway).
+
+    Plan: one orders rollup to customers, one broadcast of per-nation
+    totals, one per-nation rollup — partial-aggregable end to end."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("x")
+        )
+        .join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            ),
+            "o_custkey",
+        )
+    )
+    tot = spend.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    ratio = (F.col("x").cast("double") * F.col("n")) / F.col("s")
+    term = F.round(ratio * F.log(ratio) * 1e9, 0).cast("long")
+    per = spend.join(F.broadcast(tot), "c_nationkey").select(
+        "c_nationkey", "n", term.alias("tn")
+    )
+    return (
+        per.groupBy("c_nationkey", "n")
+        .agg(F.sum("tn").alias("theil_sum_nanos"))
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("n").alias("n_customers"),
+            (
+                F.col("theil_sum_nanos")
+                / (F.lit(1e9) * F.col("n"))
+            ).alias("theil"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_NATION_SPEND_THEIL_ORACLE = """
+WITH spend AS (
+  SELECT o.o_custkey, c.c_nationkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s
+  FROM spend GROUP BY 1
+), per AS (
+  SELECT sp.c_nationkey, n,
+         CAST(round(((CAST(x AS DOUBLE) * n) / s)
+                    * ln((CAST(x AS DOUBLE) * n) / s) * 1e9, 0)
+              AS BIGINT) AS tn
+  FROM spend sp JOIN tot USING (c_nationkey)
+)
+SELECT c_nationkey AS nationkey, n AS n_customers,
+       CAST(sum(tn) AS BIGINT) / (1e9 * n) AS theil
+FROM per GROUP BY 1, 2 ORDER BY nationkey
+"""
+
+
+def q_orders_keyset_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 — keyset (seek-method) pagination: pages 2 and 3 of orders
+    ordered by (price DESC, orderkey ASC), 10 rows each, WITHOUT a
+    global OFFSET sort — each page filters strictly-beyond the
+    previous page's last (price, key) tuple and TakeOrders only its
+    own 10 rows. The at-scale pagination contract: OFFSET N scans and
+    discards N rows per page (O(N²) across a crawl), the seek
+    predicate prunes to the tail and is pushdown-friendly. Boundaries
+    come from min(struct(price, −key)) over the previous page — a
+    1-row broadcast, the O10 threshold idiom — and the price/key
+    tuple order is total, so pages are deterministic. The oracle is
+    the OFFSET/LIMIT form (row_number 11..30) — proving seek ≡ offset.
+
+    Plan: three chained TakeOrdered(10)s + two 1-row broadcast
+    thresholds; no global rank window, no offset scan."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+
+    def page_after(df: DataFrame, boundary: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(boundary))
+            .filter(
+                (F.col("price_cents") < F.col("bp"))
+                | (
+                    (F.col("price_cents") == F.col("bp"))
+                    & (F.col("o_orderkey") > F.col("bk"))
+                )
+            )
+            .select("o_orderkey", "price_cents")
+            .orderBy(F.desc("price_cents"), "o_orderkey")
+            .limit(10)
+        )
+
+    def boundary_of(page: DataFrame) -> DataFrame:
+        return page.agg(
+            F.min(
+                F.struct(
+                    F.col("price_cents"), (-F.col("o_orderkey")).alias("nk")
+                )
+            ).alias("b")
+        ).select(
+            F.col("b.price_cents").alias("bp"), (-F.col("b.nk")).alias("bk")
+        )
+
+    page1 = orders.orderBy(F.desc("price_cents"), "o_orderkey").limit(10)
+    page2 = page_after(orders, boundary_of(page1))
+    page3 = page_after(orders, boundary_of(page2))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("page").orderBy(
+        F.desc("price_cents"), "o_orderkey"
+    )
+    out = page2.withColumn("page", F.lit(2)).unionByName(
+        page3.withColumn("page", F.lit(3))
+    )
+    return (
+        out.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("page").cast("long").alias("page"),
+            "rnk",
+            "o_orderkey",
+            "price_cents",
+        )
+        .orderBy("page", "rnk")
+    )
+
+
+_ORDERS_KEYSET_PAGES_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         row_number() OVER (
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                    o_orderkey) AS rn
+  FROM orders
+)
+SELECT CAST((rn - 1) // 10 + 1 AS BIGINT) AS page,
+       CAST(rn - 10 * ((rn - 1) // 10) AS BIGINT) AS rnk,
+       o_orderkey, price_cents
+FROM ranked WHERE rn BETWEEN 11 AND 30
+ORDER BY page, rnk
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -16659,6 +16978,21 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_doc_kn_logprob,
             _DOC_KN_LOGPROB_ORACLE,
             ("L33", "lang-model"),
+        ),
+        "media_shot_boundaries": QuerySpec(
+            q_media_shot_boundaries,
+            _MEDIA_SHOT_BOUNDARIES_ORACLE,
+            ("M1", "multimodal-shots"),
+        ),
+        "nation_spend_theil": QuerySpec(
+            q_nation_spend_theil,
+            _NATION_SPEND_THEIL_ORACLE,
+            ("A62",),
+        ),
+        "orders_keyset_pages": QuerySpec(
+            q_orders_keyset_pages,
+            _ORDERS_KEYSET_PAGES_ORACLE,
+            ("O11",),
         ),
         "events_anova_f": QuerySpec(
             q_events_anova_f, _EVENTS_ANOVA_F_ORACLE, ("A59",)

@@ -987,3 +987,103 @@ def test_kn_logprob_python_replay(spark, sf_dir):
         r = got[d]
         assert (r.n_bigrams, r.kn_nanos) == (sum(bis.values()), nanos)
         assert r.kn_avg_logprob < 0
+
+
+def test_shot_boundaries_planted_cut(spark):
+    """A blob built as 70 'a' bytes then 70 'z' bytes splits into
+    frames that are pure-'a' then pure-'z': exactly one boundary, at
+    the cut, with the exact L1 of two disjoint histograms; a uniform
+    blob yields zero boundaries."""
+    from floatchat_datapipeline_spark.queries import (
+        _shot_boundaries_from_media,
+    )
+
+    # 141 bytes -> 141 % 7 + 1 = 2 frames of 71/70 bytes; the a/z cut
+    # lands exactly on the frame edge, so the two histograms are
+    # disjoint and exactly one boundary exists
+    cut = ("a" * 71 + "z" * 70).encode()
+    flat = b"q" * 141
+    media = spark.createDataFrame(
+        [(1, bytearray(cut)), (2, bytearray(flat))],
+        "doc_id long, content binary",
+    )
+    rows = {r.doc_id: r for r in _shot_boundaries_from_media(spark, media).collect()}
+    # python replay
+    def replay(blob):
+        n = len(blob)
+        nf = n % 7 + 1
+        frames = [[0] * 16 for _ in range(nf)]
+        for i, b in enumerate(blob):
+            frames[(i * nf) // n][b // 16] += 1
+        nb, mx = 0, 0
+        for f in range(nf - 1):
+            l1 = sum(abs(a - b) for a, b in zip(frames[f], frames[f + 1]))
+            tm = sum(frames[f]) + sum(frames[f + 1])
+            mx = max(mx, l1)
+            if 4 * l1 > tm:
+                nb += 1
+        return nf, nb, mx
+    for doc, blob in ((1, cut), (2, flat)):
+        nf, nb, mx = replay(blob)
+        r = rows[doc]
+        assert (r.n_frames, r.n_boundaries, r.max_l1) == (nf, nb, mx)
+    assert rows[1].n_boundaries == 1   # exactly the planted cut
+    assert rows[2].n_boundaries == 0   # uniform blob never fires
+
+
+def test_theil_replay_and_bounds(spark, sf_dir):
+    """Per-nation Theil equals the python replay of the quantized term
+    sum at sf0.001 and respects 0 <= T <= ln(N)."""
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.queries import q_nation_spend_theil
+
+    orders = {
+        (r.o_custkey): r.spend
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("spend")
+        )
+        .collect()
+    }
+    nat = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    by_nation = {}
+    for ck, x in orders.items():
+        by_nation.setdefault(nat[ck], []).append(x)
+    got = {r.nationkey: r for r in q_nation_spend_theil(spark, sf_dir).collect()}
+    assert set(got) == set(by_nation)
+    for nk, xs in by_nation.items():
+        n, s = len(xs), sum(xs)
+        nanos = sum(
+            round((x * n / s) * math.log(x * n / s) * 1e9) for x in xs
+        )
+        r = got[nk]
+        assert r.n_customers == n
+        assert math.isclose(r.theil, nanos / (1e9 * n), rel_tol=1e-12)
+        assert -1e-9 <= r.theil <= math.log(n) + 1e-9
+
+
+def test_keyset_pages_equal_offset(spark, sf_dir):
+    """Keyset pages 2-3 must equal the OFFSET 10..30 slice of the
+    global (price DESC, key ASC) order — seek == offset."""
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.queries import q_orders_keyset_pages
+
+    allrows = sorted(
+        (
+            (round(r.o_totalprice * 100), r.o_orderkey)
+            for r in load_table(spark, sf_dir, "orders").collect()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = allrows[10:30]
+    got = q_orders_keyset_pages(spark, sf_dir).collect()
+    assert [(r.price_cents, r.o_orderkey) for r in got] == want
+    assert [(r.page, r.rnk) for r in got] == [
+        (p, k) for p in (2, 3) for k in range(1, 11)
+    ]

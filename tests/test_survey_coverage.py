@@ -366,6 +366,12 @@ SURVEY_IDS = [
     "TS32",
     # Kneser-Ney bigram scoring (continuation counts, quantized ln p)
     "L33",
+    # shot-boundary detection (frame-chunk histograms, L1 threshold)
+    "M1",
+    # Theil T inequality index (quantize-before-sum entropy terms)
+    "A62",
+    # keyset pagination (seek-method, broadcast tuple boundaries)
+    "O11",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
