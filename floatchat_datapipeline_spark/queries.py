@@ -16747,6 +16747,297 @@ ORDER BY page, rnk
 """
 
 
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D16 — dedup threshold sweep: pair and doc counts at Jaccard
+    cutoffs θ ∈ {0.5 … 0.9} from ONE exact PPJoin pair frame (the
+    memoized L22 corpus state — this is its third consumer; no new
+    fact pass, the sweep is a 5-way rollup of an already-checkpointed
+    pair list). The operating-point curve a dedup rollout needs:
+    how many pairs/docs does each candidate threshold implicate?
+    Comparisons run on the 6dp-rounded jaccard both engines already
+    agree on (the L22 hash pins it), so bucket membership is exact.
+
+    Scale: the expensive part (prefix-filtered pair generation) is
+    amortized corpus state; the sweep itself is pairs × 5 rows."""
+    pairs = _cached_pair_frame(spark, sf_dir, "ppjoin")
+    thetas = spark.range(5).select(
+        (F.lit(0.5) + F.col("id") * F.lit(0.1)).alias("theta")
+    )
+    hits = pairs.crossJoin(F.broadcast(thetas)).filter(
+        F.col("jaccard") >= F.col("theta")
+    )
+    docs = hits.select(
+        "theta", F.explode(F.array("id_a", "id_b")).alias("d")
+    )
+    n_pairs = hits.groupBy("theta").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    n_docs = docs.groupBy("theta").agg(
+        F.countDistinct("d").alias("n_docs")
+    )
+    return (
+        thetas.join(n_pairs, "theta", "left")
+        .join(n_docs, "theta", "left")
+        .select(
+            F.round(F.col("theta"), 1).alias("theta"),
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        )
+        .orderBy("theta")
+    )
+
+
+_DEDUP_THRESHOLD_SWEEP_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform({_SHINGLES_3_SQL},
+                               s -> {_MD5_LONG_SQL.format(x='s')})) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b,
+         round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE n_inter * 2 >= 1 * (sa.n + sb.n - n_inter)
+), thetas AS (
+  SELECT 0.5e0 + i * 0.1e0 AS theta
+  FROM (SELECT unnest(range(0, 5)) AS i)
+), hits AS (
+  SELECT theta, id_a, id_b FROM pairs, thetas
+  WHERE jaccard >= theta
+)
+SELECT round(t.theta, 1) AS theta,
+       CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs
+FROM thetas t
+LEFT JOIN (SELECT theta, count(*) AS n_pairs FROM hits GROUP BY 1) p
+  USING (theta)
+LEFT JOIN (SELECT theta, count(DISTINCT d) AS n_docs FROM (
+    SELECT theta, id_a AS d FROM hits
+    UNION ALL SELECT theta, id_b FROM hits) GROUP BY 1) d
+  USING (theta)
+ORDER BY theta
+"""
+
+
+def q_emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V19 — embedding-space anisotropy report: the distribution of
+    pairwise cosines over a deterministic pseudo-random pair sample
+    (id-offset pairs at strides 1, 17, 131 — 3N pairs, no random state,
+    no quadratic join). Isotropic spaces concentrate near 0; a high
+    mean cosine is the anisotropy / hubness pathology that silently
+    degrades top-k retrieval (the space-health complement of V15/V16's
+    recall certificates). Cosines come from exact 1e-6-quantized
+    integer dots (the V18 algebra: BIGINT zip_with fold per pair), so
+    both engines bucket the SAME doubles; the mean is quantized to
+    1e-9 before summing (the A60 rule).
+
+    Scale: three self-equi-joins on shifted ids (no shuffle beyond the
+    id hash), per-pair fold JVM-side, one 20-bucket rollup."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") == 64))
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1e6, 0).cast(
+                    "long"
+                ),
+            ).alias("mic"),
+        )
+    )
+    strides = spark.range(3).select(
+        F.expr("element_at(array(1L, 17L, 131L), CAST(id + 1 AS INT))")
+        .alias("o")
+    )
+    a = emb.crossJoin(F.broadcast(strides)).select(
+        (F.col("vec_id") + F.col("o")).alias("bid"),
+        F.col("mic").alias("ma"),
+    )
+    b = emb.select(F.col("vec_id").alias("bid"), F.col("mic").alias("mb"))
+    dot = F.aggregate(
+        F.zip_with("ma", "mb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(sq("ma").cast("double")) * F.sqrt(sq("mb").cast("double"))
+    )
+    pairs = a.join(b, "bid").select(
+        F.floor(cos * 10).cast("long").alias("bucket"),
+        F.round(cos * 1e9, 0).cast("long").alias("cn"),
+    )
+    return (
+        pairs.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("cn").alias("cos_nanos"),
+        )
+        .select(
+            "bucket",
+            "n_pairs",
+            (
+                F.col("cos_nanos") / (F.lit(1e9) * F.col("n_pairs"))
+            ).alias("mean_cos"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_EMB_COSINE_HISTOGRAM_ORACLE = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS mic
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+), pairs AS (
+  SELECT a.mic AS ma, b.mic AS mb
+  FROM base a
+  JOIN (SELECT unnest([1, 17, 131]) AS o) s ON true
+  JOIN base b ON b.vec_id = a.vec_id + s.o
+), scored AS (
+  SELECT CAST(list_sum(list_transform(range(1, 65),
+              i -> ma[i] * mb[i])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(ma, x -> x * x))
+                      AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(mb, x -> x * x))
+                        AS DOUBLE))) AS cos
+  FROM pairs
+)
+SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(round(cos * 1e9, 0) AS BIGINT)) AS BIGINT)
+         / (1e9 * count(*)) AS mean_cos
+FROM scored GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_events_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS33 — peak detection with prominence on the densified hourly
+    series: an hour is a peak when it strictly exceeds ALL four ±2 h
+    neighbors; its prominence is the margin over the tallest neighbor
+    (c − max of the four). Top-5 peaks per event type by (prominence,
+    count, hour) — the alerting primitive that, unlike A20's global
+    MAD outliers, keys on LOCAL shape, so a busy-but-flat day stays
+    quiet. All-integer on the wall-clock-bounded spine; edge hours
+    (missing a neighbor) are excluded on both engines.
+
+    Plan: the hourly rollup is the only fact shuffle; four lag/lead
+    columns come from ONE ordered window pass per type."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        long_div(epoch_micros(F.col("ts")), 3_600_000_000).alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1")).alias("h"),
+        )
+    )
+    dense = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    nb = dense.select(
+        "event_type",
+        "h",
+        "c",
+        F.lag("c", 2).over(w).alias("m2"),
+        F.lag("c", 1).over(w).alias("m1"),
+        F.lead("c", 1).over(w).alias("p1"),
+        F.lead("c", 2).over(w).alias("p2"),
+    ).filter(
+        F.col("m2").isNotNull()
+        & F.col("m1").isNotNull()
+        & F.col("p1").isNotNull()
+        & F.col("p2").isNotNull()
+    )
+    tallest = F.greatest("m2", "m1", "p1", "p2")
+    peaks = nb.filter(F.col("c") > tallest).select(
+        "event_type",
+        "h",
+        "c",
+        (F.col("c") - tallest).alias("prominence"),
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.desc("prominence"), F.desc("c"), "h"
+    )
+    return (
+        peaks.withColumn("rnk", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "event_type",
+            F.col("h").alias("peak_h"),
+            "c",
+            "prominence",
+            "rnk",
+        )
+        .orderBy("event_type", "rnk")
+    )
+
+
+_EVENTS_PEAK_HOURS_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(h) AS h0, max(h) AS h1 FROM hourly
+), dense AS (
+  SELECT t.event_type, g.h, CAST(coalesce(e.c, 0) AS BIGINT) AS c
+  FROM (SELECT DISTINCT event_type FROM hourly) t
+  CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds) g
+  LEFT JOIN hourly e ON t.event_type = e.event_type AND g.h = e.h
+), nb AS (
+  SELECT event_type, h, c,
+         lag(c, 2) OVER (PARTITION BY event_type ORDER BY h) AS m2,
+         lag(c, 1) OVER (PARTITION BY event_type ORDER BY h) AS m1,
+         lead(c, 1) OVER (PARTITION BY event_type ORDER BY h) AS p1,
+         lead(c, 2) OVER (PARTITION BY event_type ORDER BY h) AS p2
+  FROM dense
+  QUALIFY m2 IS NOT NULL AND m1 IS NOT NULL
+      AND p1 IS NOT NULL AND p2 IS NOT NULL
+), peaks AS (
+  SELECT event_type, h, c,
+         c - greatest(m2, m1, p1, p2) AS prominence
+  FROM nb WHERE c > greatest(m2, m1, p1, p2)
+)
+SELECT event_type, peak_h, c, prominence, rnk FROM (
+  SELECT event_type, h AS peak_h, c, prominence,
+         CAST(row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY prominence DESC, c DESC, h) AS BIGINT) AS rnk
+  FROM peaks)
+WHERE rnk <= 5
+ORDER BY event_type, rnk
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -16993,6 +17284,21 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_orders_keyset_pages,
             _ORDERS_KEYSET_PAGES_ORACLE,
             ("O11",),
+        ),
+        "dedup_threshold_sweep": QuerySpec(
+            q_dedup_threshold_sweep,
+            _DEDUP_THRESHOLD_SWEEP_ORACLE,
+            ("D16", "L22", "dedup-jaccard"),
+        ),
+        "emb_cosine_histogram": QuerySpec(
+            q_emb_cosine_histogram,
+            _EMB_COSINE_HISTOGRAM_ORACLE,
+            ("V19",),
+        ),
+        "events_peak_hours": QuerySpec(
+            q_events_peak_hours,
+            _EVENTS_PEAK_HOURS_ORACLE,
+            ("TS33",),
         ),
         "events_anova_f": QuerySpec(
             q_events_anova_f, _EVENTS_ANOVA_F_ORACLE, ("A59",)

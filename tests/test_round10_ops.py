@@ -1087,3 +1087,114 @@ def test_keyset_pages_equal_offset(spark, sf_dir):
     assert [(r.page, r.rnk) for r in got] == [
         (p, k) for p in (2, 3) for k in range(1, 11)
     ]
+
+
+def test_threshold_sweep_monotone_and_consistent(spark, sf_dir):
+    """Pair/doc counts are non-increasing in theta, the 0.5 row equals
+    the full PPJoin pair frame, and doc counts match a python replay
+    of the pair list."""
+    from floatchat_datapipeline_spark.queries import (
+        q_dedup_threshold_sweep,
+        q_doc_ppjoin_pairs,
+    )
+
+    pairs = [
+        (r.id_a, r.id_b, r.jaccard)
+        for r in q_doc_ppjoin_pairs(spark, sf_dir).collect()
+    ]
+    rows = q_dedup_threshold_sweep(spark, sf_dir).collect()
+    assert [r.theta for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    prev_p, prev_d = None, None
+    for r in rows:
+        hit = [(a, b) for a, b, j in pairs if j >= r.theta - 1e-12]
+        assert r.n_pairs == len(hit)
+        assert r.n_docs == len({d for ab in hit for d in ab})
+        if prev_p is not None:
+            assert r.n_pairs <= prev_p and r.n_docs <= prev_d
+        prev_p, prev_d = r.n_pairs, r.n_docs
+    assert rows[0].n_pairs == len(pairs)
+    assert rows[0].n_pairs > 0  # the sweep binds
+
+
+def test_cosine_histogram_replay(spark, sf_dir):
+    """Bucket counts and quantized means equal a numpy replay of the
+    stride-pair cosines at sf0.001, buckets stay within [-10, 9], and
+    the total pair count matches the stride construction."""
+    import numpy as np
+
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.queries import q_emb_cosine_histogram
+
+    vecs = {
+        r.vec_id: np.array(
+            [round(float(x) * 1e6) for x in r.embedding], dtype=np.int64
+        )
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") == 64))
+        .collect()
+    }
+    buckets = {}
+    n_total = 0
+    for o in (1, 17, 131):
+        for vid, va in vecs.items():
+            vb = vecs.get(vid + o)
+            if vb is None:
+                continue
+            n_total += 1
+            cos = float(np.dot(va, vb)) / (
+                math.sqrt(float(np.dot(va, va)))
+                * math.sqrt(float(np.dot(vb, vb)))
+            )
+            b = math.floor(cos * 10)
+            cnt, nan = buckets.get(b, (0, 0))
+            buckets[b] = (cnt + 1, nan + round(cos * 1e9))
+    got = {r.bucket: r for r in q_emb_cosine_histogram(spark, sf_dir).collect()}
+    assert set(got) == set(buckets)
+    assert sum(r.n_pairs for r in got.values()) == n_total > 0
+    for b, (cnt, nan) in buckets.items():
+        r = got[b]
+        assert r.n_pairs == cnt
+        assert math.isclose(r.mean_cos, nan / (1e9 * cnt), rel_tol=1e-12)
+        assert -10 <= b <= 9
+
+
+def test_peak_hours_planted_spike(spark, sf_dir):
+    """Every reported peak strictly exceeds its ±2 neighbors in the
+    dense series replay, prominence equals the margin over the tallest
+    neighbor, and the per-type ranking is (prominence, count, hour)."""
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.queries import q_events_peak_hours
+
+    hours = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type", "unix_micros(ts) div 3600000000 AS h"
+        )
+        .collect()
+    )
+    h0 = min(r.h for r in hours)
+    h1 = max(r.h for r in hours)
+    series = {}
+    for r in hours:
+        s = series.setdefault(r.event_type, [0] * (h1 - h0 + 1))
+        s[r.h - h0] += 1
+    got = q_events_peak_hours(spark, sf_dir).collect()
+    assert got, "no peaks found at all"
+    for r in got:
+        s = series[r.event_type]
+        i = r.peak_h - h0
+        nbs = [s[i - 2], s[i - 1], s[i + 1], s[i + 2]]
+        assert s[i] == r.c > max(nbs)
+        assert r.prominence == r.c - max(nbs)
+    # full replay of the per-type top-5 ordering
+    for et, s in series.items():
+        peaks = [
+            (s[i] - max(s[i - 2], s[i - 1], s[i + 1], s[i + 2]), s[i], i + h0)
+            for i in range(2, len(s) - 2)
+            if s[i] > max(s[i - 2], s[i - 1], s[i + 1], s[i + 2])
+        ]
+        want = sorted(peaks, key=lambda t: (-t[0], -t[1], t[2]))[:5]
+        mine = [
+            (r.prominence, r.c, r.peak_h) for r in got if r.event_type == et
+        ]
+        assert mine == want

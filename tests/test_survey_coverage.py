@@ -372,6 +372,12 @@ SURVEY_IDS = [
     "A62",
     # keyset pagination (seek-method, broadcast tuple boundaries)
     "O11",
+    # dedup threshold sweep (memoized PPJoin pair-frame rollup)
+    "D16",
+    # embedding anisotropy report (stride-pair cosine histogram)
+    "V19",
+    # peak detection with prominence (strict local maxima, one window)
+    "TS33",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
