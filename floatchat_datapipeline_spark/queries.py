@@ -17038,6 +17038,352 @@ ORDER BY event_type, rnk
 """
 
 
+def q_events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A63 — Cramér's V effect size for the event_type × day-of-week
+    contingency (the EFFECT-SIZE companion the A42 test family lacks:
+    a chi² p-value says "dependent", V ∈ [0, 1] says "by how much",
+    robust to N). Margins and N are exact BIGINTs on the densified
+    type × 7-day grid; each cell's ((O·N − r·c)²)/(N·r·c) contribution
+    quantizes to 1e-9 BEFORE the cross-cell sum (the A60 order-free
+    rule — simpler than A42's sorted-array fold and just as exact);
+    V = sqrt((χ²/N)/min(r−1, c−1)) is one final double tree. The
+    conventional strength label thresholds at 0.1/0.3/0.5.
+
+    Plan: one partial-aggregable hash agg to the (type, dow) cell
+    domain, margin rollups on that bounded grid, one 1-row rollup."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (long_div(epoch_micros(F.col("ts")), 86_400_000_000) % 7).alias(
+            "dow"
+        ),
+    )
+    cells = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    return _cramers_v_report(cells)
+
+
+def _cramers_v_report(cells: DataFrame) -> DataFrame:
+    """Cramér's V core over an (event_type, dow, o) contingency tally —
+    factored so property tests can feed perfect-dependence and uniform
+    grids. See q_events_cramers_v."""
+    rows_m = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    total = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("dow").alias("nc"),
+    )
+    grid = (
+        rows_m.crossJoin(F.broadcast(cols_m))
+        .join(cells, ["event_type", "dow"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            "r",
+            "c",
+            "n",
+            "nr",
+            "nc",
+        )
+    )
+    diff = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("r") * F.col("c")).cast("double")
+    cn = F.round((diff * diff) / den * 1e9, 0).cast("long")
+    agg = grid.groupBy("n", "nr", "nc").agg(
+        F.sum(cn).alias("chi2_nanos")
+    )
+    chi2 = F.col("chi2_nanos") / F.lit(1e9)
+    v = F.sqrt(
+        (chi2 / F.col("n"))
+        / F.least(F.col("nr") - 1, F.col("nc") - 1)
+    )
+    return agg.select(
+        "n",
+        F.round(chi2, 9).alias("chi2"),
+        F.round(v, 9).alias("cramers_v"),
+        F.when(v < 0.1, F.lit("negligible"))
+        .when(v < 0.3, F.lit("small"))
+        .when(v < 0.5, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("strength"),
+    )
+
+
+_EVENTS_CRAMERS_V_ORACLE = """
+WITH ev AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow
+  FROM events
+), cells AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+  FROM ev GROUP BY 1, 2
+), rows_m AS (
+  SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1
+), cols_m AS (
+  SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1
+), total AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+         CAST(count(DISTINCT dow) AS BIGINT) AS nc
+  FROM cells
+), grid AS (
+  SELECT CAST(coalesce(ce.o, 0) AS BIGINT) AS o, r, c, n, nr, nc
+  FROM rows_m CROSS JOIN cols_m
+  LEFT JOIN cells ce USING (event_type, dow)
+  CROSS JOIN total
+), agg AS (
+  SELECT n, nr, nc,
+         CAST(sum(CAST(round(
+           (CAST(o * n - r * c AS DOUBLE)
+            * CAST(o * n - r * c AS DOUBLE))
+           / CAST(n * r * c AS DOUBLE) * 1e9, 0) AS BIGINT))
+           AS BIGINT) AS chi2_nanos
+  FROM grid GROUP BY 1, 2, 3
+)
+SELECT n,
+       round(chi2_nanos / 1e9, 9) AS chi2,
+       round(sqrt(((chi2_nanos / 1e9) / n) / least(nr - 1, nc - 1)),
+             9) AS cramers_v,
+       CASE WHEN sqrt(((chi2_nanos / 1e9) / n)
+                      / least(nr - 1, nc - 1)) < 0.1e0
+              THEN 'negligible'
+            WHEN sqrt(((chi2_nanos / 1e9) / n)
+                      / least(nr - 1, nc - 1)) < 0.3e0
+              THEN 'small'
+            WHEN sqrt(((chi2_nanos / 1e9) / n)
+                      / least(nr - 1, nc - 1)) < 0.5e0
+              THEN 'medium'
+            ELSE 'large' END AS strength
+FROM agg
+"""
+
+
+def q_vocab_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L34 — token burstiness (Church–Gale overdispersion): per token,
+    the variance-to-mean ratio of its per-document count over ALL
+    documents (zeros included) — ≈ 1 for Poisson "function words",
+    ≫ 1 for topical words that cluster in few docs. The zero docs
+    never materialize: with T = Σc and Q = Σc² over the docs that DO
+    contain the token, var/mean = (N·Q − T²)/(N·T) exactly. Top-20
+    tokens by burstiness (df ≥ 5 to kill one-doc flukes); ordering
+    compares the SAME 1e-9-rounded double on both engines with the
+    token string as total tiebreak.
+
+    Plan: one (doc, token) rollup, one token rollup (both partial-
+    aggregable, vocabulary-bounded output), one 1-row doc count
+    broadcast, TakeOrdered 20."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    dtok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok = dtok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("t"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    scored = (
+        tok.filter(F.col("df") >= 5)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "df",
+            F.col("t").alias("total_occ"),
+            F.round(
+                (F.col("nd") * F.col("q") - F.col("t") * F.col("t"))
+                .cast("double")
+                / (F.col("nd") * F.col("t")),
+                9,
+            ).alias("burstiness"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("burstiness"), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .orderBy("rnk")
+    )
+
+
+_VOCAB_BURSTINESS_ORACLE = """
+WITH dtok AS (
+  SELECT doc_id, tok AS token, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY 1, 2
+), tok AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c) AS BIGINT) AS t,
+         CAST(sum(c * c) AS BIGINT) AS q
+  FROM dtok GROUP BY 1
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd FROM documents
+), scored AS (
+  SELECT token, df, t AS total_occ,
+         round(CAST(nd * q - t * t AS DOUBLE) / (nd * t), 9)
+           AS burstiness
+  FROM tok, nd WHERE df >= 5
+)
+SELECT token, df, total_occ, burstiness, rnk FROM (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY burstiness DESC, token) AS BIGINT) AS rnk
+  FROM scored)
+WHERE rnk <= 20 ORDER BY rnk
+"""
+
+
+def q_incident_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5 — Allen's interval-algebra census over the I3 interval sets:
+    classify every per-user (daily activity span × merged error
+    incident) pair into the 13 mutually-exclusive Allen relations
+    (before/meets/overlaps/starts/during/finishes, their inverses,
+    equals) and report the corpus histogram — the temporal-reasoning
+    primitive behind "did the incident interrupt, bracket, or merely
+    touch the session?". All endpoints are exact epoch seconds, so
+    every relation is an integer comparison chain, identical on both
+    engines.
+
+    Plan: the same bounded per-user equi-join as I3 (days × incidents
+    per user, never a cross join); the CASE ladder is JVM-side; one
+    13-row rollup ends the plan."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_seconds,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        epoch_seconds(F.col("ts")).alias("es"),
+    )
+    act = (
+        ev.groupBy("user_id", F.expr("es div 86400").alias("day"))
+        .agg(F.min("es").alias("a1"), F.max("es").alias("a2"))
+        .filter(F.col("a2") > F.col("a1"))
+        .select("user_id", "a1", "a2")
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "es"
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "user_id")
+    prev_end = F.max(F.col("es") + 3600).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = err.select(
+        "user_id",
+        "es",
+        F.when(
+            prev_end.isNull() | (F.col("es") > prev_end), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    )
+    island = flagged.withColumn(
+        "isl",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    inc = island.groupBy("user_id", "isl").agg(
+        F.min("es").alias("b1"),
+        (F.max("es") + 3600).alias("b2"),
+    )
+    pairs = act.join(inc, "user_id")
+    a1, a2 = F.col("a1"), F.col("a2")
+    b1, b2 = F.col("b1"), F.col("b2")
+    rel = (
+        F.when((a1 == b1) & (a2 == b2), F.lit("equals"))
+        .when(a2 < b1, F.lit("before"))
+        .when(b2 < a1, F.lit("after"))
+        .when(a2 == b1, F.lit("meets"))
+        .when(b2 == a1, F.lit("met_by"))
+        .when((a1 == b1) & (a2 < b2), F.lit("starts"))
+        .when((a1 == b1) & (a2 > b2), F.lit("started_by"))
+        .when((a2 == b2) & (a1 > b1), F.lit("finishes"))
+        .when((a2 == b2) & (a1 < b1), F.lit("finished_by"))
+        .when((a1 > b1) & (a2 < b2), F.lit("during"))
+        .when((a1 < b1) & (a2 > b2), F.lit("contains"))
+        .when((a1 < b1) & (b1 < a2) & (a2 < b2), F.lit("overlaps"))
+        .otherwise(F.lit("overlapped_by"))
+    )
+    return (
+        pairs.select(rel.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("relation")
+    )
+
+
+_INCIDENT_ALLEN_RELATIONS_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS es
+  FROM events
+), act AS (
+  SELECT user_id, CAST(min(es) AS BIGINT) AS a1,
+         CAST(max(es) AS BIGINT) AS a2
+  FROM (SELECT user_id, es, es // 86400 AS day FROM ev)
+  GROUP BY user_id, day HAVING max(es) > min(es)
+), err AS (
+  SELECT user_id, es FROM ev WHERE event_type = 'error'
+), flagged AS (
+  SELECT user_id, es,
+         CASE WHEN max(es + 3600) OVER (
+                PARTITION BY user_id ORDER BY es, user_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              IS NULL
+           OR es > max(es + 3600) OVER (
+                PARTITION BY user_id ORDER BY es, user_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_island
+  FROM err
+), island AS (
+  SELECT user_id, es,
+         sum(new_island) OVER (
+           PARTITION BY user_id ORDER BY es, user_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM flagged
+), inc AS (
+  SELECT user_id, CAST(min(es) AS BIGINT) AS b1,
+         CAST(max(es) + 3600 AS BIGINT) AS b2
+  FROM island GROUP BY user_id, isl
+), pairs AS (
+  SELECT CASE
+    WHEN a1 = b1 AND a2 = b2 THEN 'equals'
+    WHEN a2 < b1 THEN 'before'
+    WHEN b2 < a1 THEN 'after'
+    WHEN a2 = b1 THEN 'meets'
+    WHEN b2 = a1 THEN 'met_by'
+    WHEN a1 = b1 AND a2 < b2 THEN 'starts'
+    WHEN a1 = b1 AND a2 > b2 THEN 'started_by'
+    WHEN a2 = b2 AND a1 > b1 THEN 'finishes'
+    WHEN a2 = b2 AND a1 < b1 THEN 'finished_by'
+    WHEN a1 > b1 AND a2 < b2 THEN 'during'
+    WHEN a1 < b1 AND b2 < a2 THEN 'contains'
+    WHEN a1 < b1 AND b1 < a2 AND a2 < b2 THEN 'overlaps'
+    ELSE 'overlapped_by' END AS relation
+  FROM act JOIN inc USING (user_id)
+)
+SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1 ORDER BY relation
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -17299,6 +17645,21 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_events_peak_hours,
             _EVENTS_PEAK_HOURS_ORACLE,
             ("TS33",),
+        ),
+        "events_cramers_v": QuerySpec(
+            q_events_cramers_v,
+            _EVENTS_CRAMERS_V_ORACLE,
+            ("A63", "A42"),
+        ),
+        "vocab_burstiness": QuerySpec(
+            q_vocab_burstiness,
+            _VOCAB_BURSTINESS_ORACLE,
+            ("L34", "text-analysis"),
+        ),
+        "incident_allen_relations": QuerySpec(
+            q_incident_allen_relations,
+            _INCIDENT_ALLEN_RELATIONS_ORACLE,
+            ("I5", "I3"),
         ),
         "events_anova_f": QuerySpec(
             q_events_anova_f, _EVENTS_ANOVA_F_ORACLE, ("A59",)

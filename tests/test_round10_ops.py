@@ -1198,3 +1198,151 @@ def test_peak_hours_planted_spike(spark, sf_dir):
             (r.prominence, r.c, r.peak_h) for r in got if r.event_type == et
         ]
         assert mine == want
+
+
+def _cramers_cells(spark, triples):
+    from floatchat_datapipeline_spark.queries import _cramers_v_report
+
+    cells = spark.createDataFrame(
+        triples, "event_type string, dow long, o long"
+    )
+    return _cramers_v_report(cells).collect()[0]
+
+
+def test_cramers_v_extremes(spark):
+    """A diagonal (perfectly dependent) contingency reads V == 1 /
+    'large'; a uniform grid reads V == 0 / 'negligible'."""
+    diag = [(f"t{i}", i, 50) for i in range(4)]
+    row = _cramers_cells(spark, diag)
+    assert row.cramers_v == 1.0 and row.strength == "large"
+    flat = [(f"t{i}", j, 25) for i in range(4) for j in range(4)]
+    row2 = _cramers_cells(spark, flat)
+    assert row2.cramers_v == 0.0 and row2.strength == "negligible"
+
+
+def test_cramers_v_matches_numpy(spark):
+    """An arbitrary contingency matches the scipy-free numpy chi2 and
+    V to 1e-6 (same 1e-9 quantization tolerance)."""
+    import numpy as np
+
+    obs = np.array([[30, 10, 5], [10, 25, 15], [5, 10, 40]])
+    triples = [
+        (f"t{i}", j, int(obs[i, j]))
+        for i in range(3)
+        for j in range(3)
+    ]
+    n = obs.sum()
+    exp = np.outer(obs.sum(1), obs.sum(0)) / n
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    v = math.sqrt(chi2 / n / 2)
+    row = _cramers_cells(spark, triples)
+    assert abs(row.chi2 - chi2) < 1e-6
+    assert abs(row.cramers_v - v) < 1e-6
+
+
+def test_burstiness_replay_and_floor(spark, sf_dir):
+    """Top-20 burstiness equals the python replay (df >= 5, zeros-
+    included var/mean identity) and every reported ratio is positive."""
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.queries import q_vocab_burstiness
+
+    texts = [
+        r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    nd = len(texts)
+    per_tok = {}
+    for t in texts:
+        counts = {}
+        for tok in t.split(" "):
+            if tok:
+                counts[tok] = counts.get(tok, 0) + 1
+        for tok, c in counts.items():
+            df, tt, q = per_tok.get(tok, (0, 0, 0))
+            per_tok[tok] = (df + 1, tt + c, q + c * c)
+    scored = [
+        (round((nd * q - tt * tt) / (nd * tt), 9), tok, df, tt)
+        for tok, (df, tt, q) in per_tok.items()
+        if df >= 5
+    ]
+    want = sorted(scored, key=lambda t: (-t[0], t[1]))[:20]
+    got = q_vocab_burstiness(spark, sf_dir).collect()
+    assert [(r.burstiness, r.token, r.df, r.total_occ) for r in got] == want
+    assert all(r.burstiness > 0 for r in got)
+
+
+def test_allen_relations_partition_the_join(spark, sf_dir):
+    """The 13-class histogram sums to the exact (activity x incident)
+    per-user pair count, and each class matches a python replay of the
+    interval sets at sf0.001."""
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.queries import (
+        q_incident_allen_relations,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id",
+            "event_type",
+            "unix_micros(ts) div 1000000 AS es",
+        )
+        .collect()
+    )
+    act = {}
+    for r in ev:
+        key = (r.user_id, r.es // 86400)
+        lo, hi = act.get(key, (r.es, r.es))
+        act[key] = (min(lo, r.es), max(hi, r.es))
+    acts = {}
+    for (u, _), (lo, hi) in act.items():
+        if hi > lo:
+            acts.setdefault(u, []).append((lo, hi))
+    errs = {}
+    for r in ev:
+        if r.event_type == "error":
+            errs.setdefault(r.user_id, []).append(r.es)
+    incs = {}
+    for u, ts in errs.items():
+        ts.sort()
+        cur = [ts[0], ts[0] + 3600]
+        for e in ts[1:]:
+            if e <= cur[1]:
+                cur[1] = e + 3600
+            else:
+                incs.setdefault(u, []).append(tuple(cur))
+                cur = [e, e + 3600]
+        incs.setdefault(u, []).append(tuple(cur))
+
+    def allen(a1, a2, b1, b2):
+        if a1 == b1 and a2 == b2:
+            return "equals"
+        if a2 < b1:
+            return "before"
+        if b2 < a1:
+            return "after"
+        if a2 == b1:
+            return "meets"
+        if b2 == a1:
+            return "met_by"
+        if a1 == b1:
+            return "starts" if a2 < b2 else "started_by"
+        if a2 == b2:
+            return "finishes" if a1 > b1 else "finished_by"
+        if a1 > b1 and a2 < b2:
+            return "during"
+        if a1 < b1 and a2 > b2:
+            return "contains"
+        return "overlaps" if a1 < b1 else "overlapped_by"
+
+    hist = {}
+    total = 0
+    for u, sp in acts.items():
+        for a1, a2 in sp:
+            for b1, b2 in incs.get(u, []):
+                total += 1
+                rel = allen(a1, a2, b1, b2)
+                hist[rel] = hist.get(rel, 0) + 1
+    got = {r.relation: r.n_pairs for r in q_incident_allen_relations(spark, sf_dir).collect()}
+    assert got == hist
+    assert sum(got.values()) == total > 0

@@ -378,6 +378,12 @@ SURVEY_IDS = [
     "V19",
     # peak detection with prominence (strict local maxima, one window)
     "TS33",
+    # Cramer's V effect size (quantized chi2 cells, strength labels)
+    "A63",
+    # token burstiness (zeros-included var/mean identity)
+    "L34",
+    # Allen interval-algebra census (13-relation integer CASE ladder)
+    "I5",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
