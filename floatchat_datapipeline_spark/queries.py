@@ -17384,6 +17384,367 @@ FROM pairs GROUP BY 1 ORDER BY relation
 """
 
 
+def q_events_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A64 — rank-biserial correlation, the EFFECT SIZE companion to
+    A55's Mann–Whitney test (the same pairing as A63→A42: the test
+    says "different", r ∈ [−1, 1] says "by how much", N-free):
+    r = 1 − 2U/(nₐ·n_b), with U from the same DOUBLED-midrank BIGINT
+    machinery (2U = R2ₐ/... kept integral as 2Uₐ = r2a − nₐ(nₐ+1), so
+    r and the common-language effect size CL = Uₐ/(nₐn_b) are single
+    double trees over exact integers, rounded 1e-9). |r| labels at the
+    conventional 0.1/0.3/0.5 cuts.
+
+    Plan: identical shape to A55 — one (type, cents) partial agg, one
+    type-partitioned window, one per-type rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    g = ev.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    ).agg(
+        F.sum(
+            F.when(F.col("user_id") % 2 == 0, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("ta"),
+        F.sum(
+            F.when(F.col("user_id") % 2 == 1, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("tb"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = g.withColumn(
+        "cless",
+        F.coalesce(F.sum(F.col("ta") + F.col("tb")).over(w), F.lit(0)),
+    )
+    t = F.col("ta") + F.col("tb")
+    stats = cum.groupBy("event_type").agg(
+        F.sum("ta").alias("n_a"),
+        F.sum("tb").alias("n_b"),
+        F.sum(
+            F.col("ta") * (F.lit(2) * F.col("cless") + t + F.lit(1))
+        ).alias("r2a"),
+    )
+    # 2Uₐ = r2a − nₐ(nₐ+1)  (doubled ranks clear the midrank halves)
+    u2 = F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1)
+    cl = u2.cast("double") / (
+        F.lit(2.0) * F.col("n_a") * F.col("n_b")
+    )
+    r = F.lit(1.0) - F.lit(2.0) * cl
+    return stats.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(cl, 9).alias("common_language"),
+        F.round(r, 9).alias("rank_biserial"),
+        F.when(F.abs(r) < 0.1, F.lit("negligible"))
+        .when(F.abs(r) < 0.3, F.lit("small"))
+        .when(F.abs(r) < 0.5, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("strength"),
+    ).orderBy("event_type")
+
+
+_EVENTS_RANK_BISERIAL_ORACLE = """
+WITH g AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS ta,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tb
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT *, ta + tb AS t,
+         CAST(coalesce(sum(ta + tb) OVER (
+           PARTITION BY event_type ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cless
+  FROM g
+), s AS (
+  SELECT event_type,
+         CAST(sum(ta) AS BIGINT) AS n_a,
+         CAST(sum(tb) AS BIGINT) AS n_b,
+         CAST(sum(ta * (2 * cless + t + 1)) AS BIGINT) AS r2a
+  FROM c GROUP BY 1
+), o AS (
+  SELECT event_type, n_a, n_b,
+         CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+           / (2e0 * n_a * n_b) AS cl
+  FROM s
+)
+SELECT event_type, n_a, n_b,
+       round(cl, 9) AS common_language,
+       round(1e0 - 2e0 * cl, 9) AS rank_biserial,
+       CASE WHEN abs(1e0 - 2e0 * cl) < 0.1e0 THEN 'negligible'
+            WHEN abs(1e0 - 2e0 * cl) < 0.3e0 THEN 'small'
+            WHEN abs(1e0 - 2e0 * cl) < 0.5e0 THEN 'medium'
+            ELSE 'large' END AS strength
+FROM o ORDER BY event_type
+"""
+
+
+def q_events_degraded_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS34 — longest degraded streak per event type: flag every hour
+    whose count exceeds 2× the series median (exact R-7 percentile on
+    integer counts — both engines interpolate identically), then the
+    classic gaps-and-islands fold (island id = h − dense position)
+    finds the LONGEST consecutive run of flagged hours and where it
+    started — the SLO question "what was our worst sustained
+    overload?", where TS33's peaks ask only about single hours.
+    Everything after the one median comparison is exact integers.
+
+    Plan: hourly rollup (only fact shuffle), a per-type percentile on
+    the bounded spine, one type-partitioned row_number window, one
+    rollup."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        long_div(epoch_micros(F.col("ts")), 3_600_000_000).alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1")).alias("h"),
+        )
+    )
+    dense = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    med = dense.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5e0)").alias("med")
+    )
+    flagged = (
+        dense.join(F.broadcast(med), "event_type")
+        .filter(F.col("c") > F.lit(2.0) * F.col("med"))
+        .select("event_type", "h")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    isl = flagged.withColumn(
+        "island", F.col("h") - F.row_number().over(w)
+    )
+    runs = isl.groupBy("event_type", "island").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("h").alias("run_start"),
+    )
+    best = runs.groupBy("event_type").agg(
+        F.sum("run_len").alias("n_degraded_hours"),
+        F.max(
+            F.struct(
+                F.col("run_len"), (-F.col("run_start")).alias("ns")
+            )
+        ).alias("b"),
+    )
+    return best.select(
+        "event_type",
+        "n_degraded_hours",
+        F.col("b.run_len").alias("longest_run"),
+        (-F.col("b.ns")).alias("run_start_h"),
+    ).orderBy("event_type")
+
+
+_EVENTS_DEGRADED_STREAK_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(h) AS h0, max(h) AS h1 FROM hourly
+), dense AS (
+  SELECT t.event_type, g.h, CAST(coalesce(e.c, 0) AS BIGINT) AS c
+  FROM (SELECT DISTINCT event_type FROM hourly) t
+  CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds) g
+  LEFT JOIN hourly e ON t.event_type = e.event_type AND g.h = e.h
+), med AS (
+  SELECT event_type, quantile_cont(c, 0.5e0) AS med
+  FROM dense GROUP BY 1
+), flagged AS (
+  SELECT d.event_type, d.h
+  FROM dense d JOIN med USING (event_type)
+  WHERE c > 2e0 * med
+), isl AS (
+  SELECT event_type, h,
+         h - row_number() OVER (
+           PARTITION BY event_type ORDER BY h) AS island
+  FROM flagged
+), runs AS (
+  SELECT event_type, island,
+         CAST(count(*) AS BIGINT) AS run_len,
+         CAST(min(h) AS BIGINT) AS run_start
+  FROM isl GROUP BY 1, 2
+), best AS (
+  SELECT event_type,
+         CAST(sum(run_len) AS BIGINT) AS n_degraded_hours,
+         max(ROW(run_len, -run_start)) AS b
+  FROM runs GROUP BY 1
+)
+SELECT event_type, n_degraded_hours,
+       b[1] AS longest_run, -(b[2]) AS run_start_h
+FROM best ORDER BY event_type
+"""
+
+
+def q_emb_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V20 — nearest-centroid classifier evaluation: assign every
+    embedding to the label whose centroid it is most cosine-similar
+    to, and report per-label resubstitution accuracy (the quick
+    label-quality / cluster-separation check before spending on a real
+    classifier — a label whose members don't even claim their own
+    centroid is mislabeled or multi-modal; the eval twin of V18's
+    centroid audit). Dots run on exact 1e-6 micro integers against the
+    BIGINT per-(label, dim) centroid sums in DECIMAL(20,0) products
+    (the V18 algebra); argmax takes max(struct(cos, −label)) over the
+    ten identical doubles both engines compute. Resubstitution (the
+    row's own vector stays in its centroid) — documented, not hidden.
+
+    Scale: the (row × label) dot frame is corpus × |labels| (not
+    corpus²) via one posexplode join against the labels×64 broadcast;
+    one argmax agg and one per-label rollup end the plan."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+        )
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1e6, 0).cast(
+                    "long"
+                ),
+            ).alias("mic"),
+        )
+    )
+    emb = emb.localCheckpoint(eager=True)  # feeds centroid AND eval
+    rows_ = emb.select(
+        "vec_id",
+        "true_label",
+        F.posexplode("mic").alias("dim", "m"),
+    )
+    ld = rows_.groupBy(
+        F.col("true_label").alias("label"), "dim"
+    ).agg(F.sum("m").alias("s"))
+    dec = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    cnorm = ld.groupBy("label").agg(
+        F.sum(dec("s") * dec("s")).alias("ns")
+    )
+    dots = (
+        rows_.join(F.broadcast(ld), "dim")
+        .groupBy("vec_id", "true_label", "label")
+        .agg(F.sum(dec("m") * dec("s")).alias("dot"))
+    )
+    rnorm = emb.select(
+        "vec_id",
+        F.aggregate(
+            F.transform("mic", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nr"),
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nr").cast("double"))
+        * F.sqrt(F.col("ns").cast("double"))
+    )
+    pred = (
+        dots.join(F.broadcast(cnorm), "label")
+        .join(rnorm, "vec_id")
+        .groupBy("vec_id", "true_label")
+        .agg(
+            F.max(
+                F.struct(
+                    cos.alias("cs"), (-F.col("label")).alias("nl")
+                )
+            ).alias("w")
+        )
+        .select(
+            "vec_id",
+            "true_label",
+            (-F.col("w.nl")).alias("pred_label"),
+        )
+    )
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                (F.col("pred_label") == F.col("true_label")).cast(
+                    "long"
+                )
+            ).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_correct",
+            (
+                F.col("n_correct").cast("double") / F.col("n_vecs")
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+_EMB_CENTROID_CLASSIFIER_ORACLE = """
+WITH base AS (
+  SELECT vec_id, label AS true_label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS mic
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+), ld AS (
+  SELECT true_label AS label, g.i AS dim,
+         CAST(sum(mic[g.i]) AS BIGINT) AS s
+  FROM base, (SELECT unnest(range(1, 65)) AS i) g
+  GROUP BY 1, 2
+), cnorm AS (
+  SELECT label, CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS ns
+  FROM ld GROUP BY 1
+), dots AS (
+  SELECT b.vec_id, b.true_label, ld.label,
+         CAST(sum(CAST(mic[ld.dim] AS HUGEINT) * ld.s) AS HUGEINT)
+           AS dot
+  FROM base b, ld
+  GROUP BY 1, 2, 3
+), rnorm AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(mic, x -> x * x)) AS BIGINT)
+           AS nr
+  FROM base
+), pred AS (
+  SELECT d.vec_id, d.true_label,
+         max(ROW(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(nr AS DOUBLE))
+                    * sqrt(CAST(ns AS DOUBLE))),
+                 -d.label)) AS w
+  FROM dots d JOIN cnorm USING (label) JOIN rnorm USING (vec_id)
+  GROUP BY 1, 2
+)
+SELECT true_label AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN -(w[2]) = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN -(w[2]) = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) / CAST(count(*) AS DOUBLE) AS accuracy
+FROM pred GROUP BY 1 ORDER BY label
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -17660,6 +18021,21 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_incident_allen_relations,
             _INCIDENT_ALLEN_RELATIONS_ORACLE,
             ("I5", "I3"),
+        ),
+        "events_rank_biserial": QuerySpec(
+            q_events_rank_biserial,
+            _EVENTS_RANK_BISERIAL_ORACLE,
+            ("A64", "A55"),
+        ),
+        "events_degraded_streak": QuerySpec(
+            q_events_degraded_streak,
+            _EVENTS_DEGRADED_STREAK_ORACLE,
+            ("TS34",),
+        ),
+        "emb_centroid_classifier": QuerySpec(
+            q_emb_centroid_classifier,
+            _EMB_CENTROID_CLASSIFIER_ORACLE,
+            ("V20", "V18"),
         ),
         "events_anova_f": QuerySpec(
             q_events_anova_f, _EVENTS_ANOVA_F_ORACLE, ("A59",)

@@ -1346,3 +1346,129 @@ def test_allen_relations_partition_the_join(spark, sf_dir):
     got = {r.relation: r.n_pairs for r in q_incident_allen_relations(spark, sf_dir).collect()}
     assert got == hist
     assert sum(got.values()) == total > 0
+
+
+def test_rank_biserial_brute_force(spark, sf_dir):
+    """CL and r equal the O(n²) brute-force U (ties at half weight)
+    over the raw rows at sf0.001, and r stays in [-1, 1]."""
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.queries import q_events_rank_biserial
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "user_id % 2 AS grp",
+            "CAST(round(value * 100) AS BIGINT) AS v",
+        )
+        .collect()
+    )
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.event_type, ([], []))[r.grp].append(r.v)
+    got = {r.event_type: r for r in q_events_rank_biserial(spark, sf_dir).collect()}
+    for et, (a, b) in groups.items():
+        u2 = 0  # 2*U_a: wins count 2, ties count 1
+        for x in a:
+            for y in b:
+                u2 += 2 if x > y else (1 if x == y else 0)
+        cl = u2 / (2 * len(a) * len(b))
+        r = got[et]
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        assert abs(r.common_language - cl) < 1e-9
+        assert abs(r.rank_biserial - (1 - 2 * cl)) < 1e-9
+        assert -1 <= r.rank_biserial <= 1
+
+
+def test_degraded_streak_replay(spark, sf_dir):
+    """Longest-run, start hour, and degraded-hour totals equal the
+    python gaps-and-islands replay over the dense spine at sf0.001."""
+    import numpy as np
+
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.queries import (
+        q_events_degraded_streak,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("event_type", "unix_micros(ts) div 3600000000 AS h")
+        .collect()
+    )
+    h0 = min(r.h for r in ev)
+    h1 = max(r.h for r in ev)
+    series = {}
+    for r in ev:
+        s = series.setdefault(r.event_type, [0] * (h1 - h0 + 1))
+        s[r.h - h0] += 1
+    got = {r.event_type: r for r in q_events_degraded_streak(spark, sf_dir).collect()}
+    for et, s in series.items():
+        med = float(np.percentile(s, 50, method="linear"))
+        flags = [i for i, c in enumerate(s) if c > 2 * med]
+        if not flags:
+            assert et not in got
+            continue
+        runs = []
+        start = prev = flags[0]
+        for i in flags[1:]:
+            if i == prev + 1:
+                prev = i
+            else:
+                runs.append((prev - start + 1, start))
+                start = prev = i
+        runs.append((prev - start + 1, start))
+        best = max(runs, key=lambda t: (t[0], -t[1]))
+        r = got[et]
+        assert r.n_degraded_hours == len(flags)
+        assert (r.longest_run, r.run_start_h) == (best[0], best[1] + h0)
+
+
+def test_centroid_classifier_numpy_replay(spark, sf_dir):
+    """Per-label accuracy equals the numpy nearest-centroid replay
+    (same micro quantization, same min-label tie-break) at sf0.001."""
+    import numpy as np
+
+    from floatchat_datapipeline_spark.catalog import load_table
+    from floatchat_datapipeline_spark.queries import (
+        q_emb_centroid_classifier,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") == 64))
+        .collect()
+    )
+    vecs = [
+        (
+            r.label,
+            np.array(
+                [round(float(x) * 1e6) for x in r.embedding],
+                dtype=np.int64,
+            ),
+        )
+        for r in rows
+    ]
+    cents = {}
+    for lab, v in vecs:
+        cents[lab] = cents.get(lab, np.zeros(64, dtype=np.int64)) + v
+    stats = {}
+    for lab, v in vecs:
+        best = max(
+            cents.items(),
+            key=lambda kv: (
+                float(np.dot(v, kv[1]))
+                / (
+                    math.sqrt(float(np.dot(v, v)))
+                    * math.sqrt(float(np.dot(kv[1], kv[1])))
+                ),
+                -kv[0],
+            ),
+        )[0]
+        n, ok = stats.get(lab, (0, 0))
+        stats[lab] = (n + 1, ok + (1 if best == lab else 0))
+    got = {r.label: r for r in q_emb_centroid_classifier(spark, sf_dir).collect()}
+    assert set(got) == set(stats)
+    for lab, (n, ok) in stats.items():
+        r = got[lab]
+        assert (r.n_vecs, r.n_correct) == (n, ok)
+        assert math.isclose(r.accuracy, ok / n)

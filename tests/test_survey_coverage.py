@@ -384,6 +384,12 @@ SURVEY_IDS = [
     "L34",
     # Allen interval-algebra census (13-relation integer CASE ladder)
     "I5",
+    # rank-biserial effect size (doubled-midrank 2U kept integral)
+    "A64",
+    # longest degraded streak (median flag + gaps-and-islands)
+    "TS34",
+    # nearest-centroid classifier eval (corpus x labels exact dots)
+    "V20",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
