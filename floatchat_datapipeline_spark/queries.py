@@ -16467,52 +16467,46 @@ def _shot_boundaries_from_media(
         F.length("content").alias("nb"),
         (F.length("content") % 7 + 1).alias("nf"),
     )
-    bytes_ = hexed.select(
+    # bucket = byte div 16 = the byte's FIRST hex digit. NO per-byte
+    # explode (an exploded row copies its doc's full hex string — a
+    # quadratic materialization on large blobs): strip the hex string
+    # to first nibbles with one regex, slice ONE substring per frame
+    # (≤ 7 rows/doc), and count each of the 16 digits by the
+    # length-minus-replace identity — the whole histogram is string
+    # ops on frame-sized rows, dense by construction (zeros included).
+    frames = hexed.select(
         "doc_id",
-        "nf",
-        F.explode(F.sequence(F.lit(1), F.col("nb"))).alias("i"),
-        "hx",
         "nb",
-    ).select(
-        "doc_id",
         "nf",
-        F.expr("((i - 1) * nf) div nb").alias("frame"),
-        (
-            F.conv(
-                F.expr("substring(hx, cast(2 * i - 1 as int), 2)"),
-                16,
-                10,
-            ).cast("long")
-            / F.lit(16)
-        )
-        .cast("long")
-        .alias("bucket"),
-    )
-    hist = bytes_.groupBy("doc_id", "nf", "frame", "bucket").agg(
-        F.count(F.lit(1)).alias("mass")
-    )
-    spine = (
-        hist.select("doc_id", "nf").distinct()
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(0), F.col("nf") - 1)
-            ).alias("frame"),
-        )
-        .crossJoin(
-            F.broadcast(
-                spark.range(16).select(F.col("id").alias("bucket"))
-            )
-        )
-    )
-    dense = spine.join(
-        hist.drop("nf"), ["doc_id", "frame", "bucket"], "left"
+        F.regexp_replace("hx", r"(.).", r"$1").alias("odd"),
+        F.explode(F.sequence(F.lit(0), F.col("nf") - 1)).alias(
+            "frame"
+        ),
     ).select(
         "doc_id",
         "frame",
-        "bucket",
-        F.coalesce("mass", F.lit(0)).alias("mass"),
+        F.expr(
+            "substring(odd,"
+            " cast((frame * nb + nf - 1) div nf as int) + 1,"
+            " cast(((frame + 1) * nb + nf - 1) div nf"
+            "      - (frame * nb + nf - 1) div nf as int))"
+        ).alias("fs"),
     )
+    digits = F.transform(
+        F.split(F.lit("0,1,2,3,4,5,6,7,8,9,A,B,C,D,E,F"), ","),
+        lambda d: F.struct(
+            d.alias("bucket"),
+            (
+                F.length("fs")
+                - F.length(F.replace(F.col("fs"), d, F.lit("")))
+            )
+            .cast("long")
+            .alias("mass"),
+        ),
+    )
+    dense = frames.select(
+        "doc_id", "frame", F.explode(digits).alias("bm")
+    ).select("doc_id", "frame", "bm.bucket", "bm.mass")
     nxt = dense.select(
         "doc_id",
         (F.col("frame") - 1).alias("frame"),
@@ -16545,26 +16539,22 @@ WITH {_SYNTH_MEDIA_SQL.strip()}, sized AS (
   SELECT doc_id, hex(content) AS hx, octet_length(content) AS nb,
          octet_length(content) % 7 + 1 AS nf
   FROM media
-), bytes AS (
-  SELECT doc_id, nf, ((i - 1) * nf) // nb AS frame,
-         CAST('0x' || substr(hx, CAST(2 * i - 1 AS INT), 2) AS BIGINT)
-           // 16 AS bucket
+), frames AS (
+  SELECT doc_id, frame,
+         substr(regexp_replace(hx, '(.).', '\\1', 'g'),
+                CAST((frame * nb + nf - 1) // nf AS INT) + 1,
+                CAST(((frame + 1) * nb + nf - 1) // nf
+                     - (frame * nb + nf - 1) // nf AS INT)) AS fs
   FROM sized,
-       LATERAL (SELECT unnest(range(1, nb + 1)) AS i)
-), hist AS (
-  SELECT doc_id, nf, frame, bucket, CAST(count(*) AS BIGINT) AS mass
-  FROM bytes GROUP BY 1, 2, 3, 4
-), spine AS (
-  SELECT doc_id, f.frame, b.bucket
-  FROM (SELECT DISTINCT doc_id, nf FROM hist),
-       LATERAL (SELECT unnest(range(0, nf)) AS frame) f,
-       (SELECT unnest(range(0, 16)) AS bucket) b
+       LATERAL (SELECT unnest(range(0, nf)) AS frame)
 ), dense AS (
-  SELECT s.doc_id, s.frame, s.bucket,
-         CAST(coalesce(h.mass, 0) AS BIGINT) AS mass
-  FROM spine s LEFT JOIN hist h
-    ON s.doc_id = h.doc_id AND s.frame = h.frame
-   AND s.bucket = h.bucket
+  SELECT doc_id, frame, d.bucket,
+         CAST(length(fs) - length(replace(fs, d.bucket, ''))
+              AS BIGINT) AS mass
+  FROM frames,
+       (SELECT substr('0123456789ABCDEF', CAST(i + 1 AS INT), 1)
+          AS bucket
+        FROM (SELECT unnest(range(0, 16)) AS i)) d
 ), steps AS (
   SELECT a.doc_id, a.frame,
          CAST(sum(abs(a.mass - b.mass)) AS BIGINT) AS l1,
