@@ -637,7 +637,18 @@ def hits_fixed_point(edges: DataFrame, iters: int = 4) -> DataFrame:
     — no edge shuffle, partial-aggregable gathers). The edge list is
     localCheckpointed once up front; past broadcast size, pre-bucket
     edges on src and dst (two bucketed copies) for co-located gathers.
+    Checkpoint cadence (the connected_components seam, at the pagerank
+    rule's stride): an eager localCheckpoint every 2 full iterations
+    truncates the growing lineage mid-loop, and a final eager
+    checkpoint of the union truncates it completely, so the RETURNED
+    plan is constant-size in ``iters`` (round-10 census: 68 Exchange
+    nodes at iters=4 without the final seam; 2 with it). Each
+    checkpoint is also the barrier past which the pre-rescale persisted
+    frames can never be re-read, so they are unpersisted there — no
+    cache accumulation across a bench session.
     """
+    if iters < 1:
+        raise ValueError(f"hits_fixed_point: iters must be >= 1, got {iters}")
     # edges must be pre-deduplicated by the caller (a duplicate edge
     # would act as an integer weight — deterministic, but not the HITS
     # the oracle replays); no second distinct here, it would re-shuffle
@@ -649,23 +660,32 @@ def hits_fixed_point(edges: DataFrame, iters: int = 4) -> DataFrame:
         "node", F.expr(f"{HITS_SCALE} div n").alias("u")
     )
 
+    cached: list[DataFrame] = []
+
+    def _release() -> None:
+        # Only call at a checkpoint barrier: the just-materialized
+        # checkpoint is the sole downstream consumer of these frames,
+        # so nothing can re-read (and re-trigger) their subplans.
+        for f in cached:
+            f.unpersist()
+        cached.clear()
+
     def _rescale(scores: DataFrame) -> DataFrame:
         # persist (lazy, not an eager checkpoint job): the gather feeds
         # BOTH the Σu total and the rescaled rows — uncached, every
         # rescale would duplicate its input subplan and the chain would
         # re-evaluate exponentially (the same trap the oracle's
-        # MATERIALIZED CTEs avoid on the DuckDB side).
+        # MATERIALIZED CTEs avoid on the DuckDB side). Tracked in
+        # `cached`; released at the next checkpoint barrier.
         scores = scores.persist()
+        cached.append(scores)
         tot = scores.agg(F.sum("u").alias("s"))
         return scores.crossJoin(F.broadcast(tot)).select(
             "node",
             F.expr(f"u div greatest(1L, s div {HITS_SCALE})").alias("u"),
         )
 
-    # checkpoint cadence: every 2 full iterations (the pagerank rule) —
-    # each eager checkpoint is a scheduled job, and a 4-join lineage
-    # re-plan is cheaper than 8 extra jobs on a |V|-row vector.
-    a = None
+    a = h
     for i in range(iters):
         a = _rescale(
             ed.join(
@@ -684,11 +704,16 @@ def hits_fixed_point(edges: DataFrame, iters: int = 4) -> DataFrame:
             .withColumnRenamed("src", "node")
         )
         if (i + 1) % 2 == 0 and i + 1 < iters:
+            # mid-loop seam: a is consumed by h's gather, so
+            # checkpointing h materializes the whole 2-iteration chain.
             h = h.localCheckpoint(eager=True)
-    return a.select(
+            _release()
+    out = a.select(
         F.lit("auth").alias("side"), "node", F.col("u").alias("units")
     ).unionByName(
         h.select(
             F.lit("hub").alias("side"), "node", F.col("u").alias("units")
         )
-    )
+    ).localCheckpoint(eager=True)
+    _release()
+    return out

@@ -15306,14 +15306,24 @@ def _anova_f_report(g: DataFrame) -> DataFrame:
     )
     ssb = between - (t.cast("double") * t) / n
     ssw = F.col("q").cast("double") - between
-    f_stat = F.round((ssb / F.lit(2.0)) / (ssw / (n - F.lit(3))), 9)
+    # An empty variant makes s_j²/n_j a 0/0 NaN, and NaN orders above
+    # every value in BOTH engines, so the row would report
+    # significant=true with a meaningless statistic — null out the pair
+    # instead (mirrored CASE in the oracle).
+    any_empty = (
+        (F.col("n0") == 0) | (F.col("n1") == 0) | (F.col("n2") == 0)
+    )
+    raw_f = F.round((ssb / F.lit(2.0)) / (ssw / (n - F.lit(3))), 9)
+    f_stat = F.when(any_empty, F.lit(None).cast("double")).otherwise(raw_f)
     return g.select(
         "event_type",
         "n0",
         "n1",
         "n2",
         f_stat.alias("f_stat"),
-        (f_stat > F.lit(2.9957)).alias("significant"),
+        F.when(any_empty, F.lit(None).cast("boolean"))
+        .otherwise(raw_f > F.lit(2.9957))
+        .alias("significant"),
     ).orderBy("event_type")
 
 
@@ -15340,7 +15350,8 @@ WITH g AS (
   FROM events GROUP BY 1
 ), o AS (
   SELECT event_type, n0, n1, n2,
-         round(
+         CASE WHEN n0 = 0 OR n1 = 0 OR n2 = 0 THEN NULL
+         ELSE round(
            (((CAST(s0 AS DOUBLE) * s0) / n0
              + (CAST(s1 AS DOUBLE) * s1) / n1
              + (CAST(s2 AS DOUBLE) * s2) / n2
@@ -15350,11 +15361,12 @@ WITH g AS (
                - ((CAST(s0 AS DOUBLE) * s0) / n0
                   + (CAST(s1 AS DOUBLE) * s1) / n1
                   + (CAST(s2 AS DOUBLE) * s2) / n2))
-              / (n0 + n1 + n2 - 3)), 9) AS f_stat
+              / (n0 + n1 + n2 - 3)), 9) END AS f_stat
   FROM g
 )
 SELECT event_type, n0, n1, n2, f_stat,
-       (f_stat > 2.9957e0) AS significant
+       CASE WHEN n0 = 0 OR n1 = 0 OR n2 = 0 THEN NULL
+            ELSE (f_stat > 2.9957e0) END AS significant
 FROM o ORDER BY event_type
 """
 
@@ -16334,9 +16346,13 @@ def q_doc_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored.
 
     Plan: corpus stats are three partial-aggregable rollups on the
-    (w1, w2) / (w1) / (w2) domains (vocabulary-bounded, not corpus-
-    bounded) that BROADCAST into the doc-bigram frame; one per-doc
-    rollup ends the plan. No windows, no self-joins."""
+    (w1, w2) / (w1) / (w2) domains. The unigram frames (c1, cont) are
+    vocabulary-bounded and broadcast; the DISTINCT-BIGRAM frame (c12)
+    grows near-linearly with corpus tokens (Heaps' law), so it carries
+    NO broadcast hint — AQE broadcasts it at small SF and falls back to
+    a sort-merge on (w1, w2) past the threshold, the same key docbi is
+    already partial-aggregated on. One per-doc rollup ends the plan. No
+    windows, no self-joins."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("l")
@@ -16364,7 +16380,7 @@ def q_doc_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.75) * F.col("n1f") / F.col("c1")
     ) * (F.col("n1b").cast("double") / F.col("b"))
     scored = (
-        docbi.join(F.broadcast(c12), ["w1", "w2"])
+        docbi.join(c12, ["w1", "w2"])
         .join(F.broadcast(c1), "w1")
         .join(F.broadcast(cont), "w2")
         .crossJoin(F.broadcast(btot))
@@ -16437,14 +16453,14 @@ def q_media_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the two frames' combined mass (4·L1 > massₐ + massᵦ — exact
     cross-multiplied integers). On real video the histogram is
     replaced by decoded frame features (operators/multimodal.
-    decode_image, env-gated); the Spark plumbing — byte explode JVM-
-    side, dense bucket spine, consecutive-frame equi-join, integer
-    threshold — is exactly what ships.
+    decode_image, env-gated); the Spark plumbing — JVM-side frame
+    slicing, dense histogram columns, consecutive-frame equi-join,
+    integer threshold — is exactly what ships.
 
-    Scale: one byte-explode pass (map-side, prunes to the media slice)
-    + partial-agg histograms on the (doc, frame, bucket) domain; the
-    consecutive-frame join is per-doc bounded (≤ 7 frames), never a
-    self-join over the corpus."""
+    Scale: one map-side pass builds the per-frame histograms as pure
+    string ops on ≤ 7 frame-sliced rows per doc (NO per-byte explode —
+    see _shot_boundaries_from_media); the consecutive-frame join is
+    per-doc bounded (≤ 7 frames), never a self-join over the corpus."""
     from floatchat_datapipeline_spark.operators.multimodal import (
         synth_media,
     )
@@ -17755,6 +17771,12 @@ _EDIT_INVALIDATIONS: dict[str, int] = {
     # seam-blind grid (pairs straddling lon ±180 were missed).
     "geo_close_pairs": 8,
     "geo_hotspots": 8,
+    # hits_fixed_point (operators/graph.py) rewritten in round 11 to
+    # checkpoint the final union (constant-size returned plan) and
+    # release persisted frames at each checkpoint barrier — values
+    # verified identical vs the oracle at sf0.001/sf0.01, but the r10
+    # green hashed the old code path; re-enter the window.
+    "purchase_hits": 11,
 }
 
 

@@ -1074,9 +1074,11 @@ def test_keyset_pages_equal_offset(spark, sf_dir):
     from floatchat_datapipeline_spark.catalog import load_table
     from floatchat_datapipeline_spark.queries import q_orders_keyset_pages
 
+    # HALF_UP like Spark's F.round — python round() banker-rounds, so
+    # an o_totalprice*100 landing exactly on .5 would diverge.
     allrows = sorted(
         (
-            (round(r.o_totalprice * 100), r.o_orderkey)
+            (math.floor(r.o_totalprice * 100 + 0.5), r.o_orderkey)
             for r in load_table(spark, sf_dir, "orders").collect()
         ),
         key=lambda t: (-t[0], t[1]),
