@@ -17751,6 +17751,90 @@ FROM pred GROUP BY 1 ORDER BY label
 """
 
 
+def q_erddap_url_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/S1 — the ERDDAP tabledap URL builder under the value gate:
+    one declarative subset request per nation row (dataset, projected
+    variables, and lat/lon/cycle/time constraint triples derived from
+    n_nationkey — deterministic and SF-invariant, nation is 25 rows at
+    every SF) renders through sources/erddap.ErddapRequest.url() —
+    projection + predicate pushdown encoded into the query string, the
+    reference's download-URL shape (ingest/load_data.py:105-156) — and
+    the BUILT url strings hash-match a DuckDB oracle that concatenates
+    the same URLs from SQL literals. Every quirk of the builder is on
+    the hash path: variable-list join, constraint rendering order,
+    float repr (``-36.0`` not ``-36``), bare ints, the unquoted
+    Z-suffixed time form, and the percent-quoting safe set (all
+    characters here are in it, so a builder that started quoting
+    ``>=`` would mismatch).
+
+    Scale: URL rendering is the per-download-unit planning step (one
+    URL per float/region/month at 100 TB) and runs map-side in
+    mapInPandas over the request frame — no shuffle, no driver loop;
+    the only exchange is the presentational 25-row sort."""
+    from floatchat_datapipeline_spark.sources.erddap import ErddapRequest
+
+    nat = load_table(spark, sf_dir, "nation")
+
+    def build(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"].astype(int):
+                k = int(k)
+                month = k % 12 + 1
+                req = ErddapRequest(
+                    dataset=f"floats_{k}",
+                    variables=(
+                        "platform_number",
+                        "time",
+                        "latitude",
+                        "longitude",
+                        "pres",
+                        "temp",
+                        "psal",
+                    ),
+                    constraints=(
+                        ("latitude", ">=", -60.0 + k),
+                        ("latitude", "<=", 30.0 + k),
+                        ("longitude", ">=", 20.0 + 2 * k),
+                        ("longitude", "<", 120),
+                        ("cycle_number", "=", k),
+                        ("time", ">=", f"2020-{month:02d}-01T00:00:00Z"),
+                    ),
+                )
+                rows.append((k, req.url(), len(req.constraints)))
+            yield pd.DataFrame(
+                rows, columns=["n_nationkey", "url", "n_constraints"]
+            )
+
+    return (
+        nat.select("n_nationkey")
+        .mapInPandas(
+            build, "n_nationkey long, url string, n_constraints long"
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+_ERDDAP_URL_BUILD_ORACLE = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       'https://www.ifremer.fr/erddap/tabledap/floats_'
+       || CAST(n_nationkey AS VARCHAR) || '.nc?'
+       || 'platform_number,time,latitude,longitude,pres,temp,psal'
+       || '&latitude>=' || CAST(-60.0 + n_nationkey AS VARCHAR)
+       || '&latitude<=' || CAST(30.0 + n_nationkey AS VARCHAR)
+       || '&longitude>=' || CAST(20.0 + 2 * n_nationkey AS VARCHAR)
+       || '&longitude<120'
+       || '&cycle_number=' || CAST(n_nationkey AS VARCHAR)
+       || '&time>=2020-'
+       || lpad(CAST(n_nationkey % 12 + 1 AS VARCHAR), 2, '0')
+       || '-01T00:00:00Z' AS url,
+       CAST(6 AS BIGINT) AS n_constraints
+FROM nation ORDER BY n_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -18038,6 +18122,11 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_events_rank_biserial,
             _EVENTS_RANK_BISERIAL_ORACLE,
             ("A64", "A55"),
+        ),
+        "erddap_url_build": QuerySpec(
+            q_erddap_url_build,
+            _ERDDAP_URL_BUILD_ORACLE,
+            ("F8", "S1"),
         ),
         "events_degraded_streak": QuerySpec(
             q_events_degraded_streak,

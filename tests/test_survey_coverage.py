@@ -13,9 +13,21 @@ from floatchat_datapipeline_spark.queries import registry
 # §2 IDs implemented (and tested) outside the driver-query surface.
 MODULE_COVERED: dict[str, str] = {
     # sources
-    "S1": "sources/erddap.py (URL pushdown builder; tests/test_erddap_staging.py)",
-    "S5": "sources/staging.py (cache-aware staging; tests/test_erddap_staging.py)",
-    "S6": "sources/staging.py (bulk staging is the same cache contract)",
+    "S1": "sources/erddap.py (URL pushdown builder; also under the "
+    "driver value gate via `erddap_url_build`)",
+    # S5/S6/K9 are CACHE contracts (hit-vs-miss side effects on a local
+    # staging dir, checkpoint replay), not row transforms: the observable
+    # is WHICH IO happened, which no row-level DuckDB oracle can express.
+    # Gate = pytest round-trips asserting hit/miss/corrupt-re-fetch and
+    # restart-resume behavior (tests/test_erddap_staging.py,
+    # tests/test_streaming.py); the ROWS the cache yields are already
+    # value-gated downstream by erddap_staged_scan / erddap_stream_scan.
+    "S5": "sources/staging.py — cache contract (observable = which IO "
+    "happened on hit/miss/corrupt, not rows; no row-level oracle form — "
+    "the rows it yields are value-gated by erddap_staged_scan); "
+    "tests/test_erddap_staging.py",
+    "S6": "sources/staging.py — bulk staging, same cache contract as S5 "
+    "(same no-row-level-oracle rationale)",
     # sinks — set-at-a-time MERGE semantics, tests/test_sinks.py
     "K2": "sinks/upsert.append_new (DO NOTHING)",
     "K3": "sinks/upsert._swap_write (bulk parquet write)",
@@ -23,9 +35,13 @@ MODULE_COVERED: dict[str, str] = {
     "K5": "sinks/upsert.append_new over the embeddings table",
     "K6": "sinks/upsert.upsert (update = delete + re-add, one MERGE)",
     "K7": "sinks/upsert.delete_keys",
-    "K9": "sources/staging.stage cache + streaming checkpoint (test_streaming)",
+    "K9": "sources/staging.stage cache + streaming checkpoint — replay/"
+    "resume contract (observable = offsets surviving restart, not rows; "
+    "no row-level oracle form — the streamed rows are value-gated by "
+    "erddap_stream_scan); tests/test_streaming.py",
     # filters at the source seam
-    "F8": "sources/erddap.ErddapRequest (server-side predicates in URL)",
+    "F8": "sources/erddap.ErddapRequest (server-side predicates in URL; "
+    "also under the driver value gate via `erddap_url_build`)",
     # text templates with golden tests
     "C4": "functions/text.sync_document_v4 (tests/test_text_templates.py)",
     # custom Python DataSource (Spark 4 API): one partition per staged file
