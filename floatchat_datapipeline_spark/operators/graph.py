@@ -685,7 +685,7 @@ def hits_fixed_point(edges: DataFrame, iters: int = 4) -> DataFrame:
             F.expr(f"u div greatest(1L, s div {HITS_SCALE})").alias("u"),
         )
 
-    a = h
+    a = None  # always rebound in iteration 1 (iters >= 1 guarded above)
     for i in range(iters):
         a = _rescale(
             ed.join(

@@ -15306,24 +15306,36 @@ def _anova_f_report(g: DataFrame) -> DataFrame:
     )
     ssb = between - (t.cast("double") * t) / n
     ssw = F.col("q").cast("double") - between
-    # An empty variant makes s_j²/n_j a 0/0 NaN, and NaN orders above
-    # every value in BOTH engines, so the row would report
-    # significant=true with a meaningless statistic — null out the pair
-    # instead (mirrored CASE in the oracle).
+    # Degenerate moment rows make a zero divisor somewhere in F: an
+    # empty variant (s_j²/n_j), one observation per variant (n−3), or
+    # zero within-group variance (ssw). Under this session's default
+    # ANSI mode Spark ABORTS the whole query with DIVIDE_BY_ZERO on any
+    # of them (double division included — verified live), while DuckDB
+    # yields an inf/NaN that orders above the threshold and reports a
+    # meaningless significant=true. Null the statistic instead, via
+    # SEQUENTIAL CASE branches: CaseWhen evaluates lazily, and the
+    # empty-variant test must come first so ssw's own divisions are
+    # never evaluated on an empty variant (mirrored branch order in the
+    # oracle).
     any_empty = (
         (F.col("n0") == 0) | (F.col("n1") == 0) | (F.col("n2") == 0)
     )
     raw_f = F.round((ssb / F.lit(2.0)) / (ssw / (n - F.lit(3))), 9)
-    f_stat = F.when(any_empty, F.lit(None).cast("double")).otherwise(raw_f)
+    f_stat = (
+        F.when(any_empty, F.lit(None).cast("double"))
+        .when(n == F.lit(3), F.lit(None).cast("double"))
+        .when(ssw == F.lit(0.0), F.lit(None).cast("double"))
+        .otherwise(raw_f)
+    )
     return g.select(
         "event_type",
         "n0",
         "n1",
         "n2",
         f_stat.alias("f_stat"),
-        F.when(any_empty, F.lit(None).cast("boolean"))
-        .otherwise(raw_f > F.lit(2.9957))
-        .alias("significant"),
+        # NULL f_stat propagates through > to a NULL boolean in both
+        # engines — no second CASE needed.
+        (f_stat > F.lit(2.9957)).alias("significant"),
     ).orderBy("event_type")
 
 
@@ -15351,6 +15363,11 @@ WITH g AS (
 ), o AS (
   SELECT event_type, n0, n1, n2,
          CASE WHEN n0 = 0 OR n1 = 0 OR n2 = 0 THEN NULL
+         WHEN n0 + n1 + n2 = 3 THEN NULL
+         WHEN CAST(q AS DOUBLE)
+              - ((CAST(s0 AS DOUBLE) * s0) / n0
+                 + (CAST(s1 AS DOUBLE) * s1) / n1
+                 + (CAST(s2 AS DOUBLE) * s2) / n2) = 0 THEN NULL
          ELSE round(
            (((CAST(s0 AS DOUBLE) * s0) / n0
              + (CAST(s1 AS DOUBLE) * s1) / n1
@@ -15365,8 +15382,7 @@ WITH g AS (
   FROM g
 )
 SELECT event_type, n0, n1, n2, f_stat,
-       CASE WHEN n0 = 0 OR n1 = 0 OR n2 = 0 THEN NULL
-            ELSE (f_stat > 2.9957e0) END AS significant
+       (f_stat > 2.9957e0) AS significant
 FROM o ORDER BY event_type
 """
 

@@ -37,23 +37,31 @@ def test_erddap_request_rejects_unknown_op():
         req.url()
 
 
-def test_anova_empty_variant_nulls_out(spark):
-    """A moment row with one empty variant must null f_stat AND
-    significant (the 0/0 NaN used to order above the threshold and
-    report significant=true); a fully-populated row is untouched."""
+def test_anova_degenerate_rows_null_out(spark):
+    """Every zero-divisor moment row must null f_stat AND significant
+    instead of aborting (Spark ANSI DIVIDE_BY_ZERO) or reporting a
+    meaningless significant=true (DuckDB inf/NaN ordering above the
+    threshold): an empty variant (s_j²/n_j), one observation per
+    variant (n−3 = 0), and zero within-group variance (ssw = 0, here
+    two identical values per variant). A fully-populated row is
+    untouched."""
     from floatchat_datapipeline_spark.queries import _anova_f_report
 
     g = spark.createDataFrame(
         [
             ("empty1", 5, 0, 5, 100, 0, 110, 5000),
+            ("one_each", 1, 1, 1, 10, 20, 30, 1400),
+            # two identical values per variant: q == Σ s_j²/n_j
+            ("zero_ssw", 2, 2, 2, 20, 40, 60, 2800),
             ("full", 5, 5, 5, 100, 105, 110, 7000),
         ],
         "event_type string, n0 long, n1 long, n2 long,"
         " s0 long, s1 long, s2 long, q long",
     )
     rows = {r.event_type: r for r in _anova_f_report(g).collect()}
-    assert rows["empty1"].f_stat is None
-    assert rows["empty1"].significant is None
+    for name in ("empty1", "one_each", "zero_ssw"):
+        assert rows[name].f_stat is None, name
+        assert rows[name].significant is None, name
     assert rows["full"].f_stat is not None
     assert rows["full"].significant is not None
 

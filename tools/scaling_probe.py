@@ -135,7 +135,12 @@ def main() -> None:
         ratio = round(t1 / t0, 2) if t0 > 0 else float("inf")
         rows.append((name, t0, t1, ratio))
     rows.sort(key=lambda r: -r[3])
-    flagged = [r for r in rows if r[3] > FLAG_RATIO]
+    # One-time *_train rows (model builds, amortized over the corpus
+    # lifetime) are reported in the table but exempt from the flag —
+    # the bench headline excludes them for the same reason.
+    flagged = [
+        r for r in rows if r[3] > FLAG_RATIO and not r[0].endswith("_train")
+    ]
     unexplained = [r for r in flagged if r[0] not in EXPLAINED]
 
     lines = [
