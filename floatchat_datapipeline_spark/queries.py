@@ -3698,7 +3698,10 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.bpe_token_count("text").alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_bpe"),
-        F.element_at(toks, 1).alias("first_token"),
+        # try_: an EMPTY document has zero pre-tokens, and ANSI
+        # element_at aborts on the out-of-bounds index where DuckDB's
+        # list indexing yields NULL — try_element_at matches the oracle.
+        F.try_element_at(toks, F.lit(1)).alias("first_token"),
     )
 
 

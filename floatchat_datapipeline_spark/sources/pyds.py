@@ -197,11 +197,22 @@ class ErddapStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         files = self._files()
         n0 = start.get("n", 0)
-        return self._rows(files[n0:]), {"n": len(files)}
+        # iter(), not the bare list: on an IDLE trigger (no new files,
+        # end offset == start offset) Spark's simple-reader wrapper
+        # validates emptiness by calling next() on the returned batch
+        # (datasource_internal.add_result_to_cache) and a bare list
+        # raises TypeError, killing the stream on its first quiet poll.
+        # A list_iterator stays picklable for the prefetch cache.
+        return iter(self._rows(files[n0:])), {"n": len(files)}
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        # iter() for the same protocol reason as read(): this is the
+        # EXECUTOR replay path (prefetch-cache miss / checkpoint
+        # recovery), and plan_data_source_read rejects a bare list with
+        # DATA_SOURCE_INVALID_RETURN_TYPE — masked in the harness
+        # because the driver-side cache always served the batch.
         files = self._files()
-        return self._rows(files[start.get("n", 0):end.get("n", 0)])
+        return iter(self._rows(files[start.get("n", 0):end.get("n", 0)]))
 
     def commit(self, end: dict) -> None:
         # Nothing to clean up: the staged cache is the durable record.

@@ -150,6 +150,48 @@ def test_stream_picks_up_new_files_across_runs(spark, tmp_path):
     }
 
 
+def test_stream_survives_idle_trigger(spark, tmp_path):
+    """A trigger with NO new files (end offset == start offset) must be
+    a no-op, not a stream kill: Spark's simple-reader wrapper validates
+    idle batches by calling next() on the returned rows
+    (datasource_internal.add_result_to_cache), so read() must return an
+    ITERATOR — a bare list raised TypeError and terminated the query on
+    its first quiet poll (found by tools/degenerate_sweep.py)."""
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    import os
+
+    os.makedirs(landing)
+    _write_file(landing, 0, [("f1", "10.5", "1")])
+    assert _run_stream(spark, landing, ckpt, out_dir).count() == 1
+    # No new arrival: the second run's only trigger is idle.
+    assert _run_stream(spark, landing, ckpt, out_dir).count() == 1
+
+    # Contract pin: read() hands back an iterator (picklable for the
+    # prefetch cache), even when there is nothing to read.
+    from pyspark.sql.types import StructType
+
+    from floatchat_datapipeline_spark.sources.pyds import (
+        ErddapStreamReader,
+    )
+
+    rdr = ErddapStreamReader(
+        StructType.fromDDL(DDL),
+        {"path": str(tmp_path / "empty"), "ddl": DDL},
+    )
+    rows, end = rdr.read({"n": 0})
+    assert hasattr(rows, "__next__")
+    assert end == {"n": 0}
+    assert list(rows) == []
+    # The executor replay path (cache miss / checkpoint recovery) has
+    # the same iterator contract (DATA_SOURCE_INVALID_RETURN_TYPE on a
+    # bare list) — an idle batch is never cached, so it ALWAYS replays.
+    replay = rdr.readBetweenOffsets({"n": 0}, {"n": 0})
+    assert hasattr(replay, "__next__")
+    assert list(replay) == []
+
+
 # ---------------------------------------------------------------------------
 # K10 — write side (`erddap_report`): per-task part files made visible
 # all-or-nothing by the driver-side commit (manifest + _SUCCESS).
