@@ -17880,6 +17880,11 @@ _EDIT_INVALIDATIONS: dict[str, int] = {
     # verified identical vs the oracle at sf0.001/sf0.01, but the r10
     # green hashed the old code path; re-enter the window.
     "purchase_hits": 11,
+    # first_token switched to try_element_at in round 11 (empty-doc
+    # abort, ROBUSTNESS.md). The fingerprint edit filter cannot see the
+    # r5 green (rounds <= 7 predate FINGERPRINTS snapshots), so
+    # invalidate manually — same convention as every other edit.
+    "doc_bpe_tokens": 11,
 }
 
 
