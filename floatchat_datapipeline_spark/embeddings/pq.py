@@ -301,12 +301,19 @@ def pq_adc_topk(
     luts = []
     for s in range(m):
         qs = q[s * dsub : (s + 1) * dsub]
-        lut = []
-        for _, cvec in books[s]:
+        # The LUT is indexed by CODE VALUE (element_at at code+1), and
+        # codes are the surviving cluster ids — which have GAPS when a
+        # Lloyd iteration empties a cluster (tiny/degenerate corpora; a
+        # positional list would read the wrong slot or run off the end).
+        # Place each entry at its cid; gap slots hold 0.0 and are never
+        # addressed because codes only take surviving cids.
+        by_cid: dict[int, float] = {}
+        for cid, cvec in books[s]:
             acc = 0.0
             for a, b in zip(qs, cvec):
                 acc = acc + a * b
-            lut.append(acc)
+            by_cid[int(cid)] = acc
+        lut = [by_cid.get(i, 0.0) for i in range(max(by_cid) + 1)]
         luts.append(lut)
     # Codes as SEPARATE columns, ADC as an explicit left-assoc sum of
     # per-subspace LUT hits (same association order as the oracle's

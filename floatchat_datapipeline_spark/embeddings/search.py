@@ -224,12 +224,22 @@ def nearest_centroid(
     mat = F.lit([[float(x) for x in cvec] for _, cvec in cents])
     cids = F.lit([int(cid) for cid, _ in cents])
     vnorm = norm(vec)
+    # Zero-norm guard: cosine is undefined for a zero-norm vector or
+    # centroid; a -2.0 sentinel (below the cosine range) keeps the argmax
+    # a TOTAL deterministic order instead of aborting under ANSI mode —
+    # an all-sentinel row ties every centroid and the neg-cid tiebreak
+    # assigns the lowest cid. Mirrored in the SQL path and every oracle.
     best = F.array_max(
         F.zip_with(
             mat,
             cids,
             lambda cvec, cid: F.struct(
-                F.round(dot(vec, cvec) / (vnorm * norm(cvec)), 6).alias("sim"),
+                F.when(
+                    (vnorm * norm(cvec)) != F.lit(0.0),
+                    F.round(dot(vec, cvec) / (vnorm * norm(cvec)), 6),
+                )
+                .otherwise(F.lit(-2.0))
+                .alias("sim"),
                 (-cid).alias("neg_cid"),
             ),
         )
@@ -260,10 +270,16 @@ def _nearest_centroid_sql(
     )
     vnorm = norm_sql.format(v=vec_sql)
     cnorm = norm_sql.format(v="cvec")
+    # same zero-norm sentinel as the Column path (see nearest_centroid)
+    sim_sql = (
+        f"CASE WHEN ({vnorm} * {cnorm}) != CAST(0.0 AS DOUBLE) "
+        f"THEN round({dot_sql} / ({vnorm} * {cnorm}), 6) "
+        f"ELSE CAST(-2.0 AS DOUBLE) END"
+    )
     return (
         f"CAST(-((array_max(zip_with(array({mat}), array({cids}), "
         f"(cvec, cid) -> named_struct("
-        f"'sim', round({dot_sql} / ({vnorm} * {cnorm}), 6), "
+        f"'sim', {sim_sql}, "
         f"'neg_cid', -cid)))).neg_cid) AS INT)"
     )
 

@@ -60,15 +60,31 @@ def norm(a: Column | str, dim: int | None = None) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
-    """V3 — dot(a,b) / (‖a‖·‖b‖) (reference embeddings/embed.py:386-397)."""
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+    """V3 — dot(a,b) / (‖a‖·‖b‖) (reference embeddings/embed.py:386-397).
+
+    Zero-norm guard: cosine is undefined when either vector has zero
+    norm, and under ANSI mode the bare division ABORTS the whole job on
+    the first zeroed embedding row — the wrong failure mode at 100 TB,
+    where dead rows are routine. CaseWhen evaluates branches lazily, so
+    the division never runs when the denominator is 0; the statistic is
+    NULL instead (mirrored as CASE WHEN in every DuckDB oracle that
+    replays cosine). Codegen subexpression elimination shares the norm
+    folds between the predicate and the quotient."""
+    den = norm(a, dim) * norm(b, dim)
+    return F.when(den != F.lit(0.0), dot(a, b, dim) / den).otherwise(
+        F.lit(None).cast("double")
+    )
 
 
 def l2_normalize(a: Column | str) -> Column:
     """Pre-normalize vectors at write time so search-time similarity is a
-    bare dot product (halves the flops of every query scan)."""
+    bare dot product (halves the flops of every query scan). A zero-norm
+    vector normalizes to itself (all zeros) — the sklearn convention —
+    rather than aborting the write job under ANSI mode."""
     n = norm(a)
-    return F.transform(_c(a), lambda v: (v.cast("double") / n))
+    return F.when(
+        n == F.lit(0.0), _c(a).cast("array<double>")
+    ).otherwise(F.transform(_c(a), lambda v: (v.cast("double") / n)))
 
 
 def cosine_topk(

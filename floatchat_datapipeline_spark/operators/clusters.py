@@ -253,10 +253,17 @@ def semdedup(
         .join(vb, "id_b")
         .select(
             F.col("id_b").alias("dup_id"),
-            F.round(
-                dot(F.col("_va"), F.col("_vb"), dim)
-                / (F.col("_na") * F.col("_nb")),
-                6,
+            # zero-norm guard (lazy CaseWhen, cosine() convention):
+            # undefined similarity is NULL, which fails the threshold
+            # filter — a zero-norm vector is never a duplicate of
+            # anything, and the job never aborts under ANSI mode
+            F.when(
+                (F.col("_na") * F.col("_nb")) != F.lit(0.0),
+                F.round(
+                    dot(F.col("_va"), F.col("_vb"), dim)
+                    / (F.col("_na") * F.col("_nb")),
+                    6,
+                ),
             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)

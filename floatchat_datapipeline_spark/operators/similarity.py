@@ -71,10 +71,16 @@ def bucketed_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                dot(F.col("vec_a"), F.col("vec_b"), dim)
-                / (F.col("_na") * F.col("_nb")),
-                6,
+            # zero-norm guard (lazy CaseWhen, cosine() convention): a
+            # NULL score fails the >= threshold filter, so zero-norm
+            # rows drop out instead of aborting the job under ANSI mode
+            F.when(
+                (F.col("_na") * F.col("_nb")) != F.lit(0.0),
+                F.round(
+                    dot(F.col("vec_a"), F.col("vec_b"), dim)
+                    / (F.col("_na") * F.col("_nb")),
+                    6,
+                ),
             ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
@@ -122,10 +128,15 @@ def knn_within_label(
             "label",
             "id_a",
             "id_b",
-            F.round(
-                dot(F.col("vec_a"), F.col("vec_b"), dim)
-                / (F.col("_na") * F.col("_nb")),
-                6,
+            # zero-norm guard — NULL score ranks last under desc (both
+            # engines default NULLS LAST on DESC), never aborts
+            F.when(
+                (F.col("_na") * F.col("_nb")) != F.lit(0.0),
+                F.round(
+                    dot(F.col("vec_a"), F.col("vec_b"), dim)
+                    / (F.col("_na") * F.col("_nb")),
+                    6,
+                ),
             ).alias("score"),
         )
     )
@@ -219,12 +230,20 @@ def mmr_rerank(
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
             "rel",
-            F.round(
-                dot(F.col(vec_col), F.col("query_vec"))
-                / (norm(F.col(vec_col)) * norm(F.col("query_vec"))),
-                6,
+            # zero-norm guard: relevance is undefined against/for a
+            # zero-norm vector — NULL here, dropped from the candidate
+            # pool below (mirrored WHERE rel IS NOT NULL in the oracle)
+            F.when(
+                (norm(F.col(vec_col)) * norm(F.col("query_vec")))
+                != F.lit(0.0),
+                F.round(
+                    dot(F.col(vec_col), F.col("query_vec"))
+                    / (norm(F.col(vec_col)) * norm(F.col("query_vec"))),
+                    6,
+                ),
             ),
         )
+        .filter(F.col("rel").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("rel"), id_col)
     cand = (

@@ -2362,6 +2362,8 @@ q AS (
   SELECT vec_id AS query_id, v AS qv FROM base ORDER BY vec_id LIMIT 5
 ),
 scored AS (
+  -- zero-norm guard mirrors operators/similarity.mmr_rerank: an
+  -- undefined relevance drops the row from the candidate pool
   SELECT q.query_id, b.vec_id AS doc_id,
          round(list_dot_product(b.v, q.qv)
                / (sqrt(list_dot_product(b.v, b.v))
@@ -2369,6 +2371,8 @@ scored AS (
          b.v
   FROM base b CROSS JOIN q
   WHERE b.vec_id <> q.query_id
+    AND list_dot_product(b.v, b.v) != 0
+    AND list_dot_product(q.qv, q.qv) != 0
 ),
 cand AS (
   SELECT query_id, doc_id, rel, v FROM (
@@ -2619,10 +2623,15 @@ FROM per_bit GROUP BY doc_id
 # Embeddings: near-dup, grouped knn, audit (V4/V6 north-star)
 # ---------------------------------------------------------------------------
 
+# Zero-norm guard mirrors functions/vector.cosine: undefined cosine is
+# NULL (fails >= filters, orders last under DESC in both engines).
 _COS_SQL = (
-    "round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    "(CASE WHEN list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])) != 0"
+    " AND list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])) != 0"
+    " THEN round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
     " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
     " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
+    " ELSE NULL END)"
 )
 
 
@@ -3024,7 +3033,10 @@ def _kmeans_replay_sql(
     FROM v{sfx} a, {{cents}} c
   ) WHERE rn = 1
 """
-    sim = _COS_SQL.format(a="a.vec", b="c.cvec")
+    # coalesce mirrors nearest_centroid's -2.0 zero-norm sentinel (the
+    # guarded _COS_SQL yields NULL there); under DESC both engines would
+    # already order NULL last, the sentinel just makes the tie explicit
+    sim = f"coalesce({_COS_SQL.format(a='a.vec', b='c.cvec')}, CAST(-2.0 AS DOUBLE))"
     sql = f"""v{sfx} AS (
   SELECT vec_id, {vec_sql} AS vec FROM embeddings
 ), c0{sfx} AS (
@@ -6265,16 +6277,20 @@ def q_events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")
     slope_num = F.col("n_hours") * F.col("sxy") - F.col("sx") * F.col("sy")
     icept_num = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    # Degenerate guard (lazy CaseWhen, q_events_anova_f pattern): a type
+    # whose mass sits in a single hour has den = n·sxx − sx² = 0 — OLS
+    # is undefined on one distinct x, so NULL the line instead of
+    # aborting under ANSI mode. Mirrored CASE in the oracle.
     return sums.select(
         "event_type",
         "n_hours",
         F.col("sy").alias("sum_cents"),
-        (slope_num.cast("double") / den.cast("double")).alias(
-            "slope_cents_per_hour"
-        ),
-        (icept_num.cast("double") / den.cast("double")).alias(
-            "intercept_cents"
-        ),
+        F.when(
+            den != F.lit(0), slope_num.cast("double") / den.cast("double")
+        ).alias("slope_cents_per_hour"),
+        F.when(
+            den != F.lit(0), icept_num.cast("double") / den.cast("double")
+        ).alias("intercept_cents"),
     )
 
 
@@ -6297,10 +6313,14 @@ WITH hourly AS (
   FROM h GROUP BY 1
 )
 SELECT event_type, n_hours, sy AS sum_cents,
-       CAST(n_hours * sxy - sx * sy AS DOUBLE)
-         / CAST(n_hours * sxx - sx * sx AS DOUBLE) AS slope_cents_per_hour,
-       CAST(sy * sxx - sx * sxy AS DOUBLE)
-         / CAST(n_hours * sxx - sx * sx AS DOUBLE) AS intercept_cents
+       CASE WHEN n_hours * sxx - sx * sx = 0 THEN NULL
+       ELSE CAST(n_hours * sxy - sx * sy AS DOUBLE)
+         / CAST(n_hours * sxx - sx * sx AS DOUBLE) END
+         AS slope_cents_per_hour,
+       CASE WHEN n_hours * sxx - sx * sx = 0 THEN NULL
+       ELSE CAST(sy * sxx - sx * sxy AS DOUBLE)
+         / CAST(n_hours * sxx - sx * sx AS DOUBLE) END
+         AS intercept_cents
 FROM sums
 """
 
@@ -8856,10 +8876,16 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     gapped = ev.withColumn(
         "gap", F.lead("ts_s").over(w) - F.col("ts_s")
     ).filter(F.col("gap").isNotNull())
+    # Degenerate guard (lazy CaseWhen, q_events_anova_f pattern): when
+    # every observation in a (type, day) shares ONE timestamp the gaps
+    # are all zero and sum(gap) = 0 — a zero-duration day has no
+    # time-weighted mean, so NULL it instead of aborting under ANSI
+    # mode. Mirrored CASE in the oracle.
     return gapped.groupBy("event_type", "dx").agg(
         F.sum("gap").alias("span_s"),
-        (
-            F.sum(F.col("cents") * F.col("gap")) / F.sum("gap")
+        F.when(
+            F.sum("gap") != F.lit(0),
+            F.sum(F.col("cents") * F.col("gap")) / F.sum("gap"),
         ).alias("twap_cents"),
     )
 
@@ -8881,8 +8907,9 @@ WITH ev AS (
 )
 SELECT event_type, dx,
        CAST(sum(gap) AS BIGINT) AS span_s,
-       CAST(sum(cents * gap) AS BIGINT)
-         / CAST(sum(gap) AS BIGINT) AS twap_cents
+       CASE WHEN sum(gap) = 0 THEN NULL
+       ELSE CAST(sum(cents * gap) AS BIGINT)
+         / CAST(sum(gap) AS BIGINT) END AS twap_cents
 FROM gapped WHERE gap IS NOT NULL
 GROUP BY 1, 2
 """
@@ -9103,7 +9130,14 @@ def q_events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ta").alias("n_click"),
             F.max("tb").alias("n_view"),
             F.max("d_max").alias("d_num"),
-            (F.max("d_max") / (F.max("ta") * F.max("tb"))).alias("ks_d"),
+            # Degenerate guard (lazy CaseWhen, q_events_anova_f
+            # pattern): an EMPTY sample (ta or tb = 0) has no defined
+            # KS statistic — NULL it instead of aborting under ANSI
+            # mode. Mirrored CASE in the oracle.
+            F.when(
+                (F.max("ta") * F.max("tb")) != F.lit(0),
+                F.max("d_max") / (F.max("ta") * F.max("tb")),
+            ).alias("ks_d"),
             F.min("cents").alias("at_cents"),
         )
     )
@@ -9130,7 +9164,8 @@ WITH per_v AS (
 )
 SELECT max(ta) AS n_click, max(tb) AS n_view,
        CAST(max(d_num) AS BIGINT) AS d_num,
-       max(d_num) / (max(ta) * max(tb)) AS ks_d,
+       CASE WHEN max(ta) * max(tb) = 0 THEN NULL
+       ELSE max(d_num) / (max(ta) * max(tb)) END AS ks_d,
        CAST(min(cents) FILTER (
          d_num = (SELECT max(d_num) FROM scored)) AS BIGINT) AS at_cents
 FROM scored
@@ -9167,13 +9202,16 @@ def q_spend_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = F.col("freq_rank") - F.col("spend_rank")
     n = F.count(F.lit(1))
+    # Degenerate guard (lazy CaseWhen, q_events_anova_f pattern): a
+    # single customer makes the divisor n(n²−1) = 0 — rank correlation
+    # is undefined on one point, so NULL it instead of aborting under
+    # ANSI mode. Mirrored CASE in the oracle.
     return ranked.agg(
         n.alias("n_customers"),
         F.sum(d * d).alias("sum_d2"),
-        (
-            1
-            - (6 * F.sum(d * d))
-            / (n * (n * n - 1))
+        F.when(
+            (n * (n * n - 1)) != F.lit(0),
+            1 - (6 * F.sum(d * d)) / (n * (n * n - 1)),
         ).alias("spearman_rho"),
     )
 
@@ -9195,11 +9233,14 @@ WITH cust AS (
 SELECT CAST(count(*) AS BIGINT) AS n_customers,
        CAST(sum((freq_rank - spend_rank) * (freq_rank - spend_rank))
             AS BIGINT) AS sum_d2,
-       1 - (6 * CAST(sum((freq_rank - spend_rank)
+       CASE WHEN CAST(count(*) AS BIGINT)
+              * (CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT) - 1)
+            = 0 THEN NULL
+       ELSE 1 - (6 * CAST(sum((freq_rank - spend_rank)
                          * (freq_rank - spend_rank)) AS BIGINT))
            / (CAST(count(*) AS BIGINT)
               * (CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT) - 1))
-         AS spearman_rho
+         END AS spearman_rho
 FROM ranked
 """
 
@@ -12404,7 +12445,12 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
         "double"
     )
-    theta = cov / varx
+    # Degenerate guards (lazy CaseWhen, q_events_anova_f pattern): a
+    # constant pre-period (varx = 0, e.g. one user or identical spends)
+    # leaves θ undefined — NULL it (adj inherits NULL through the
+    # arithmetic without ever running the division), and ρ² additionally
+    # needs vary ≠ 0. Mirrored CASEs in the oracle.
+    theta = F.when(varx != F.lit(0.0), cov / varx)
     adj = (
         F.col("post_units").cast("double") / F.col("n_users")
         - theta
@@ -12423,7 +12469,10 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         adj.alias("adj_mean_post"),
         theta.alias("theta"),
-        (cov * cov / (varx * vary)).alias("rho2"),
+        F.when(
+            (varx != F.lit(0.0)) & (vary != F.lit(0.0)),
+            cov * cov / (varx * vary),
+        ).alias("rho2"),
     )
 
 
@@ -12458,17 +12507,20 @@ WITH ev AS (
 )
 SELECT variant, n_users, pre_units, post_units,
        CAST(post_units AS DOUBLE) / n_users AS mean_post,
-       CAST(post_units AS DOUBLE) / n_users
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       ELSE CAST(post_units AS DOUBLE) / n_users
          - (CAST(n * sxy - sx * sy AS DOUBLE)
             / CAST(n * sxx - sx * sx AS DOUBLE))
            * (CAST(pre_units AS DOUBLE) / n_users
-              - CAST(sx AS DOUBLE) / n) AS adj_mean_post,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
-       CAST(n * sxy - sx * sy AS DOUBLE)
+              - CAST(sx AS DOUBLE) / n) END AS adj_mean_post,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
          * CAST(n * sxy - sx * sy AS DOUBLE)
          / (CAST(n * sxx - sx * sx AS DOUBLE)
-            * CAST(n * syy - sy * sy AS DOUBLE)) AS rho2
+            * CAST(n * syy - sy * sy AS DOUBLE)) END AS rho2
 FROM byv, pooled
 """
 
@@ -12523,7 +12575,7 @@ def q_events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = (F.col("n_a") + F.col("n_b")).cast("double")
     nab = (F.col("n_a") * F.col("n_b")).cast("double")
     u2a = F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1)
-    z = (u2a - F.col("n_a") * F.col("n_b")).cast("double") / (
+    raw_z = (u2a - F.col("n_a") * F.col("n_b")).cast("double") / (
         F.lit(2.0)
         * F.sqrt(
             nab
@@ -12533,6 +12585,20 @@ def q_events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("tie3").cast("double") / (n * (n - F.lit(1.0)))
             )
         )
+    )
+    # Degenerate guards (lazy CaseWhen, q_events_anova_f pattern), in
+    # this order: an empty variant (covers n = 1, so the tie term's own
+    # n(n−1) divisor never runs on it), then zero rank variance (all
+    # values tied → the sqrt is 0). NULL the z instead of aborting under
+    # ANSI mode; mirrored branch order in the oracle.
+    any_empty = (F.col("n_a") == 0) | (F.col("n_b") == 0)
+    var_term = (n + F.lit(1.0)) - F.col("tie3").cast("double") / (
+        n * (n - F.lit(1.0))
+    )
+    z = (
+        F.when(any_empty, F.lit(None).cast("double"))
+        .when(var_term == F.lit(0.0), F.lit(None).cast("double"))
+        .otherwise(raw_z)
     )
     return stats.select(
         "event_type",
@@ -12567,31 +12633,26 @@ WITH g AS (
               AS BIGINT) AS tie3
   FROM cum GROUP BY 1
 )
-SELECT event_type, n_a, n_b,
-       r2a - n_a * (n_a + 1) AS u2_a,
-       tie3,
-       round(
-         CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+SELECT event_type, n_a, n_b, u2_a, tie3,
+       round(z, 9) AS z,
+       z * z > 3.8415 AS significant
+FROM (
+  SELECT event_type, n_a, n_b,
+         r2a - n_a * (n_a + 1) AS u2_a,
+         tie3,
+         CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+         WHEN (CAST(n_a + n_b AS DOUBLE) + 1e0)
+              - CAST(tie3 AS DOUBLE)
+                / (CAST(n_a + n_b AS DOUBLE)
+                   * (CAST(n_a + n_b AS DOUBLE) - 1e0)) = 0 THEN NULL
+         ELSE CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
          / (2e0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12e0
              * ((CAST(n_a + n_b AS DOUBLE) + 1e0)
                 - CAST(tie3 AS DOUBLE)
                   / (CAST(n_a + n_b AS DOUBLE)
-                     * (CAST(n_a + n_b AS DOUBLE) - 1e0))))),
-         9) AS z,
-       (CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
-        / (2e0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12e0
-            * ((CAST(n_a + n_b AS DOUBLE) + 1e0)
-               - CAST(tie3 AS DOUBLE)
-                 / (CAST(n_a + n_b AS DOUBLE)
-                    * (CAST(n_a + n_b AS DOUBLE) - 1e0))))))
-       * (CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
-        / (2e0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12e0
-            * ((CAST(n_a + n_b AS DOUBLE) + 1e0)
-               - CAST(tie3 AS DOUBLE)
-                 / (CAST(n_a + n_b AS DOUBLE)
-                    * (CAST(n_a + n_b AS DOUBLE) - 1e0))))))
-       > 3.8415 AS significant
-FROM stats
+                     * (CAST(n_a + n_b AS DOUBLE) - 1e0))))) END AS z
+  FROM stats
+)
 """
 
 
@@ -13939,18 +14000,25 @@ def q_events_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = gt.join(cand, "event_type").join(caught, "event_type")
     all_pairs = F.expr("n_rows * (n_rows - 1) div 2")
+    # Degenerate guards (lazy CaseWhen, q_events_anova_f pattern): with
+    # no ground-truth pairs (every (user, type) group is a singleton)
+    # recall is undefined, and with a single row there are no pairs to
+    # reduce — NULL the ratios instead of aborting under ANSI mode.
+    # Mirrored CASEs in the oracle.
     return out.select(
         "event_type",
         "n_rows",
         "gt_pairs",
         "candidate_pairs",
         "caught_pairs",
-        (
-            F.col("caught_pairs").cast("double") / F.col("gt_pairs")
+        F.when(
+            F.col("gt_pairs") != F.lit(0),
+            F.col("caught_pairs").cast("double") / F.col("gt_pairs"),
         ).alias("pair_completeness"),
-        (
+        F.when(
+            all_pairs != F.lit(0),
             F.lit(1.0)
-            - F.col("candidate_pairs").cast("double") / all_pairs
+            - F.col("candidate_pairs").cast("double") / all_pairs,
         ).alias("reduction_ratio"),
     )
 
@@ -13984,9 +14052,12 @@ WITH ev AS (
   ) GROUP BY 1
 )
 SELECT event_type, n_rows, gt_pairs, candidate_pairs, caught_pairs,
-       CAST(caught_pairs AS DOUBLE) / gt_pairs AS pair_completeness,
-       1e0 - CAST(candidate_pairs AS DOUBLE)
-               / (n_rows * (n_rows - 1) // 2)
+       CASE WHEN gt_pairs = 0 THEN NULL
+       ELSE CAST(caught_pairs AS DOUBLE) / gt_pairs END
+         AS pair_completeness,
+       CASE WHEN n_rows * (n_rows - 1) // 2 = 0 THEN NULL
+       ELSE 1e0 - CAST(candidate_pairs AS DOUBLE)
+               / (n_rows * (n_rows - 1) // 2) END
          AS reduction_ratio
 FROM gt JOIN cand USING (event_type) JOIN caught USING (event_type)
 """
@@ -14051,9 +14122,12 @@ def q_doc_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_in",
         (F.col("n_in") - F.col("n_out")).alias("n_killed"),
         "n_out",
-        (
+        # degenerate guard: a stage nothing reaches (n_in = 0) has no
+        # kill rate — NULL, not an ANSI abort; mirrored in the oracle
+        F.when(
+            F.col("n_in") != F.lit(0),
             (F.col("n_in") - F.col("n_out")).cast("double")
-            / F.col("n_in")
+            / F.col("n_in"),
         ).alias("kill_rate"),
     )
 
@@ -14086,7 +14160,8 @@ WITH d AS (
 )
 SELECT CAST(stage AS BIGINT) AS stage, rule, n_in,
        n_in - n_out AS n_killed, n_out,
-       CAST(n_in - n_out AS DOUBLE) / n_in AS kill_rate
+       CASE WHEN n_in = 0 THEN NULL
+       ELSE CAST(n_in - n_out AS DOUBLE) / n_in END AS kill_rate
 FROM s
 """
 
@@ -14161,11 +14236,17 @@ def q_trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_reciprocated",
         "w_total",
         "w_reciprocated",
-        (
-            F.col("n_reciprocated").cast("double") / F.col("n_edges")
+        # Degenerate guards (lazy CaseWhen): an EMPTY edge list (every
+        # trade intra-nation) or zero total weight leaves reciprocity
+        # undefined — NULL instead of an ANSI abort; mirrored in the
+        # oracle. The w_total guard also covers NULL (empty-agg sum).
+        F.when(
+            F.col("n_edges") != F.lit(0),
+            F.col("n_reciprocated").cast("double") / F.col("n_edges"),
         ).alias("edge_reciprocity"),
-        (
-            F.col("w_reciprocated").cast("double") / F.col("w_total")
+        F.when(
+            F.col("w_total") != F.lit(0),
+            F.col("w_reciprocated").cast("double") / F.col("w_total"),
         ).alias("weighted_reciprocity"),
     )
 
@@ -14194,9 +14275,12 @@ SELECT CAST(count(*) AS BIGINT) AS n_edges,
        CAST(sum(w) AS BIGINT) AS w_total,
        CAST(sum(least(w, coalesce(w_rev, 0))) AS BIGINT)
          AS w_reciprocated,
-       CAST(count(w_rev) AS DOUBLE) / count(*) AS edge_reciprocity,
-       CAST(sum(least(w, coalesce(w_rev, 0))) AS DOUBLE) / sum(w)
-         AS weighted_reciprocity
+       CASE WHEN count(*) = 0 THEN NULL
+       ELSE CAST(count(w_rev) AS DOUBLE) / count(*) END
+         AS edge_reciprocity,
+       CASE WHEN coalesce(sum(w), 0) = 0 THEN NULL
+       ELSE CAST(sum(least(w, coalesce(w_rev, 0))) AS DOUBLE) / sum(w)
+         END AS weighted_reciprocity
 FROM paired
 """
 
@@ -14557,15 +14641,21 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").alias("n_caught"),
     )
     stats_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    # Degenerate guards (lazy CaseWhen): with no true pairs recall is
+    # undefined, with no candidate pairs precision is — NULL instead of
+    # an ANSI abort (fires when every document is unique, e.g. a tiny
+    # corpus with no near-dups). Mirrored CASEs in the oracle.
     return stats_gt.crossJoin(F.broadcast(stats_cand)).select(
         "n_true",
         "n_candidates",
         "n_caught",
-        (F.col("n_caught").cast("double") / F.col("n_true")).alias(
-            "recall"
-        ),
-        (
-            F.col("n_caught").cast("double") / F.col("n_candidates")
+        F.when(
+            F.col("n_true") != F.lit(0),
+            F.col("n_caught").cast("double") / F.col("n_true"),
+        ).alias("recall"),
+        F.when(
+            F.col("n_candidates") != F.lit(0),
+            F.col("n_caught").cast("double") / F.col("n_candidates"),
         ).alias("bucket_precision"),
     )
 
@@ -14605,8 +14695,11 @@ keys AS (
           FROM gt JOIN cand USING (id_a, id_b)) AS n_caught
 )
 SELECT n_true, n_candidates, n_caught,
-       CAST(n_caught AS DOUBLE) / n_true AS recall,
-       CAST(n_caught AS DOUBLE) / n_candidates AS bucket_precision
+       CASE WHEN n_true = 0 THEN NULL
+       ELSE CAST(n_caught AS DOUBLE) / n_true END AS recall,
+       CASE WHEN n_candidates = 0 THEN NULL
+       ELSE CAST(n_caught AS DOUBLE) / n_candidates END
+         AS bucket_precision
 FROM c
 """
 
@@ -14962,7 +15055,20 @@ def _kruskal_wallis_report(g: DataFrame) -> DataFrame:
     )
     h0 = (F.lit(12.0) / (n * (n + 1))) * term - F.lit(3.0) * (n + 1)
     corr = F.lit(1.0) - F.col("tie3").cast("double") / (n * n * n - n)
-    h = F.round(h0 / corr, 9)
+    # Degenerate guards (lazy CaseWhen, q_events_anova_f pattern), in
+    # this order: an empty variant first (its n_j divides inside `term`,
+    # and it also covers n = 1 so corr's n³−n divisor never runs
+    # degenerate), then all-tied values (tie3 = n³−n makes corr = 0).
+    # NULL the statistic instead of aborting under ANSI mode; mirrored
+    # branch order in the oracle.
+    any_empty = (
+        (F.col("n0") == 0) | (F.col("n1") == 0) | (F.col("n2") == 0)
+    )
+    h = (
+        F.when(any_empty, F.lit(None).cast("double"))
+        .when(corr == F.lit(0.0), F.lit(None).cast("double"))
+        .otherwise(F.round(h0 / corr, 9))
+    )
     return stats.select(
         "event_type",
         "n0",
@@ -15003,7 +15109,11 @@ WITH g AS (
   FROM c GROUP BY 1
 ), o AS (
   SELECT event_type, n0, n1, n2, tie3,
-         round(
+         CASE WHEN n0 = 0 OR n1 = 0 OR n2 = 0 THEN NULL
+         WHEN 1e0 - CAST(tie3 AS DOUBLE)
+                    / ((n0 + n1 + n2) * (n0 + n1 + n2) * (n0 + n1 + n2)
+                       - (n0 + n1 + n2)) = 0 THEN NULL
+         ELSE round(
            ((12e0 / ((n0 + n1 + n2) * (n0 + n1 + n2 + 1)))
             * ((CAST(r20 AS DOUBLE) * r20) / (4e0 * n0)
                + (CAST(r21 AS DOUBLE) * r21) / (4e0 * n1)
@@ -15011,7 +15121,7 @@ WITH g AS (
             - 3e0 * (n0 + n1 + n2 + 1))
            / (1e0 - CAST(tie3 AS DOUBLE)
                     / ((n0 + n1 + n2) * (n0 + n1 + n2) * (n0 + n1 + n2)
-                       - (n0 + n1 + n2))), 9) AS h
+                       - (n0 + n1 + n2))), 9) END AS h
   FROM s
 )
 SELECT event_type, n0, n1, n2, tie3, h, (h > 5.9915e0) AS significant
@@ -15590,11 +15700,20 @@ def q_events_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = F.lit(0.5) * term(p, q, F.col("c1")) + F.lit(0.5) * term(
         q, p, F.col("c2")
     )
+    # Degenerate guard (lazy CaseWhen, q_events_anova_f pattern): when
+    # an entire half-month is empty (n1 or n2 = 0, e.g. every event on
+    # one timestamp) the JSD against an empty distribution is undefined
+    # — the p/q divisions inside `contrib` never run and the per-bin
+    # contribution is NULL, which nulls the per-type sum and `jsd`.
+    # Mirrored CASE in the oracle.
     per_bin = g.join(F.broadcast(tot), "event_type").select(
         "event_type",
         "n1",
         "n2",
-        F.round(contrib * 1e9, 0).cast("long").alias("cn"),
+        F.when(
+            (F.col("n1") != F.lit(0)) & (F.col("n2") != F.lit(0)),
+            F.round(contrib * 1e9, 0).cast("long"),
+        ).alias("cn"),
         ((F.col("c1") + F.col("c2")) > 0).cast("long").alias("nb"),
     )
     return (
@@ -15636,7 +15755,8 @@ WITH binned AS (
   FROM g GROUP BY 1
 ), per_bin AS (
   SELECT g.event_type, n1, n2,
-         CAST(round(
+         CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+         ELSE CAST(round(
            (0.5e0 * (CASE WHEN c1 > 0 THEN
               (CAST(c1 AS DOUBLE) / n1)
               * ln(2e0 * (CAST(c1 AS DOUBLE) / n1)
@@ -15648,7 +15768,7 @@ WITH binned AS (
               * ln(2e0 * (CAST(c2 AS DOUBLE) / n2)
                    / ((CAST(c2 AS DOUBLE) / n2)
                       + (CAST(c1 AS DOUBLE) / n1)))
-              ELSE 0e0 END)) * 1e9, 0) AS BIGINT) AS cn,
+              ELSE 0e0 END)) * 1e9, 0) AS BIGINT) END AS cn,
          CASE WHEN c1 + c2 > 0 THEN 1 ELSE 0 END AS nb
   FROM g JOIN tot ON g.event_type = tot.event_type
 )
@@ -15859,7 +15979,15 @@ def _hurst_ols(pts: DataFrame) -> DataFrame:
         (n * sxy - sx * sy).alias("num"),
         (n * sxx - sx * sx).alias("d1"),
     )
-    slope = F.col("num").cast("double") / F.col("d1")
+    # Degenerate guard (lazy CaseWhen, q_events_anova_f pattern): if
+    # only ONE scale survives the positive-variance filter, the OLS
+    # divisor d1 = n·sxx − sx² is 0 — a one-point line has no slope, so
+    # NULL the estimate instead of aborting under ANSI mode. Mirrored
+    # CASE in the oracle.
+    slope = F.when(
+        F.col("d1") != F.lit(0),
+        F.col("num").cast("double") / F.col("d1"),
+    )
     return agg.select(
         "event_type",
         "n_scales",
@@ -15907,8 +16035,10 @@ WITH hourly AS (
   FROM pts GROUP BY 1
 )
 SELECT event_type, n_scales,
-       round(CAST(num AS DOUBLE) / d1, 9) AS var_slope,
-       round(1e0 + (CAST(num AS DOUBLE) / d1) / 2e0, 9) AS hurst
+       CASE WHEN d1 = 0 THEN NULL
+       ELSE round(CAST(num AS DOUBLE) / d1, 9) END AS var_slope,
+       CASE WHEN d1 = 0 THEN NULL
+       ELSE round(1e0 + (CAST(num AS DOUBLE) / d1) / 2e0, 9) END AS hurst
 FROM agg ORDER BY event_type
 """
 
@@ -15970,9 +16100,17 @@ def q_emb_centroid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("gs") * dec("gs")).alias("ng"),
         )
     )
-    cos = F.col("dot").cast("double") / (
-        F.sqrt(F.col("nl").cast("double"))
-        * F.sqrt(F.col("ng").cast("double"))
+    # Zero-norm guard (lazy CaseWhen, repo convention): a label whose
+    # centroid SUM is the zero vector (e.g. only zeroed embeddings) has
+    # no defined cosine to the global centroid — NULL it instead of
+    # aborting under ANSI mode. Mirrored CASE in the oracle.
+    cos = F.when(
+        (F.col("nl") != F.lit(0)) & (F.col("ng") != F.lit(0)),
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("nl").cast("double"))
+            * F.sqrt(F.col("ng").cast("double"))
+        ),
     )
     disp = (
         F.col("q").cast("double") / F.col("n_vecs")
@@ -16018,9 +16156,10 @@ WITH base AS (
   FROM ld JOIN gd USING (dim) GROUP BY 1
 )
 SELECT label, n_vecs,
-       round(CAST(dot AS DOUBLE)
+       CASE WHEN nl = 0 OR ng = 0 THEN NULL
+       ELSE round(CAST(dot AS DOUBLE)
              / (sqrt(CAST(nl AS DOUBLE)) * sqrt(CAST(ng AS DOUBLE))),
-             9) AS cos_to_global,
+             9) END AS cos_to_global,
        round((CAST(q AS DOUBLE) / n_vecs
               - CAST(nl AS DOUBLE) / (n_vecs * n_vecs)) / 1e12,
              9) AS dispersion
@@ -16090,8 +16229,16 @@ def _sax_from_dense(dense: DataFrame) -> DataFrame:
         / (F.col("nb") * F.col("nb"))
     )
     z = (F.col("c").cast("double") - mu) / sig
-    sym = F.when(z < F.lit(-0.4307), F.lit("a")).otherwise(
-        F.when(z > F.lit(0.4307), F.lit("c")).otherwise(F.lit("b"))
+    # Degenerate guard (lazy CaseWhen, q_events_anova_f pattern): a
+    # CONSTANT series has σ = 0 and every z is conventionally 0 → the
+    # middle symbol 'b'; the sequential first branch keeps the z
+    # division from ever running on it instead of aborting under ANSI
+    # mode. Mirrored branch order in the oracle.
+    sym = (
+        F.when(sig == F.lit(0.0), F.lit("b"))
+        .when(z < F.lit(-0.4307), F.lit("a"))
+        .when(z > F.lit(0.4307), F.lit("c"))
+        .otherwise(F.lit("b"))
     )
     symbols = dense.join(F.broadcast(stats), "event_type").select(
         "event_type", "h", sym.alias("s")
@@ -16137,7 +16284,8 @@ WITH hourly AS (
   FROM dense GROUP BY 1
 ), symbols AS (
   SELECT d.event_type, d.h,
-         CASE WHEN (CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / nb)
+         CASE WHEN nb * sc2 - sc * sc = 0 THEN 'b'
+              WHEN (CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / nb)
                    / sqrt(CAST(nb * sc2 - sc * sc AS DOUBLE)
                           / (nb * nb)) < -0.4307e0 THEN 'a'
               WHEN (CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / nb)
@@ -16901,9 +17049,17 @@ def q_emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = dot.cast("double") / (
         F.sqrt(sq("ma").cast("double")) * F.sqrt(sq("mb").cast("double"))
     )
-    pairs = a.join(b, "bid").select(
-        F.floor(cos * 10).cast("long").alias("bucket"),
-        F.round(cos * 1e9, 0).cast("long").alias("cn"),
+    # Zero-norm guard: a pair touching a zero vector has no defined
+    # cosine — exclude it from the histogram (mirrored WHERE in the
+    # oracle) rather than aborting under ANSI mode. The filter runs
+    # BEFORE the cos projection so the division never sees a zero norm.
+    pairs = (
+        a.join(b, "bid")
+        .filter((sq("ma") != F.lit(0)) & (sq("mb") != F.lit(0)))
+        .select(
+            F.floor(cos * 10).cast("long").alias("bucket"),
+            F.round(cos * 1e9, 0).cast("long").alias("cn"),
+        )
     )
     return (
         pairs.groupBy("bucket")
@@ -16942,6 +17098,8 @@ WITH base AS (
             * sqrt(CAST(list_sum(list_transform(mb, x -> x * x))
                         AS DOUBLE))) AS cos
   FROM pairs
+  WHERE list_sum(list_transform(ma, x -> x * x)) != 0
+    AND list_sum(list_transform(mb, x -> x * x)) != 0
 )
 SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_pairs,
@@ -17126,15 +17284,19 @@ def _cramers_v_report(cells: DataFrame) -> DataFrame:
         F.sum(cn).alias("chi2_nanos")
     )
     chi2 = F.col("chi2_nanos") / F.lit(1e9)
-    v = F.sqrt(
-        (chi2 / F.col("n"))
-        / F.least(F.col("nr") - 1, F.col("nc") - 1)
-    )
+    # Degenerate guard (lazy CaseWhen, q_events_anova_f pattern): a
+    # 1×c or r×1 table has min(r−1, c−1) = 0 — association is undefined
+    # there, so NULL both V and the strength label (an unguarded label
+    # would fall through to 'large' on garbage) instead of aborting
+    # under ANSI mode. Mirrored CASEs in the oracle.
+    dof = F.least(F.col("nr") - 1, F.col("nc") - 1)
+    v = F.when(dof != F.lit(0), F.sqrt((chi2 / F.col("n")) / dof))
     return agg.select(
         "n",
         F.round(chi2, 9).alias("chi2"),
         F.round(v, 9).alias("cramers_v"),
-        F.when(v < 0.1, F.lit("negligible"))
+        F.when(dof == F.lit(0), F.lit(None).cast("string"))
+        .when(v < 0.1, F.lit("negligible"))
         .when(v < 0.3, F.lit("small"))
         .when(v < 0.5, F.lit("medium"))
         .otherwise(F.lit("large"))
@@ -17174,9 +17336,11 @@ WITH ev AS (
 )
 SELECT n,
        round(chi2_nanos / 1e9, 9) AS chi2,
-       round(sqrt(((chi2_nanos / 1e9) / n) / least(nr - 1, nc - 1)),
-             9) AS cramers_v,
-       CASE WHEN sqrt(((chi2_nanos / 1e9) / n)
+       CASE WHEN least(nr - 1, nc - 1) = 0 THEN NULL
+       ELSE round(sqrt(((chi2_nanos / 1e9) / n) / least(nr - 1, nc - 1)),
+             9) END AS cramers_v,
+       CASE WHEN least(nr - 1, nc - 1) = 0 THEN NULL
+            WHEN sqrt(((chi2_nanos / 1e9) / n)
                       / least(nr - 1, nc - 1)) < 0.1e0
               THEN 'negligible'
             WHEN sqrt(((chi2_nanos / 1e9) / n)
@@ -17458,8 +17622,15 @@ def q_events_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 2Uₐ = r2a − nₐ(nₐ+1)  (doubled ranks clear the midrank halves)
     u2 = F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1)
-    cl = u2.cast("double") / (
-        F.lit(2.0) * F.col("n_a") * F.col("n_b")
+    # Degenerate guard (lazy CaseWhen, q_events_anova_f pattern): an
+    # EMPTY variant makes the nₐ·n_b divisor 0 — effect size against no
+    # comparison group is undefined, so NULL cl/r AND the strength
+    # label (which would otherwise fall through to 'large' on garbage)
+    # instead of aborting under ANSI mode. Mirrored CASEs in the oracle.
+    any_empty = (F.col("n_a") == 0) | (F.col("n_b") == 0)
+    cl = F.when(
+        ~any_empty,
+        u2.cast("double") / (F.lit(2.0) * F.col("n_a") * F.col("n_b")),
     )
     r = F.lit(1.0) - F.lit(2.0) * cl
     return stats.select(
@@ -17468,7 +17639,8 @@ def q_events_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.round(cl, 9).alias("common_language"),
         F.round(r, 9).alias("rank_biserial"),
-        F.when(F.abs(r) < 0.1, F.lit("negligible"))
+        F.when(any_empty, F.lit(None).cast("string"))
+        .when(F.abs(r) < 0.1, F.lit("negligible"))
         .when(F.abs(r) < 0.3, F.lit("small"))
         .when(F.abs(r) < 0.5, F.lit("medium"))
         .otherwise(F.lit("large"))
@@ -17499,14 +17671,16 @@ WITH g AS (
   FROM c GROUP BY 1
 ), o AS (
   SELECT event_type, n_a, n_b,
-         CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
-           / (2e0 * n_a * n_b) AS cl
+         CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+         ELSE CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+           / (2e0 * n_a * n_b) END AS cl
   FROM s
 )
 SELECT event_type, n_a, n_b,
        round(cl, 9) AS common_language,
        round(1e0 - 2e0 * cl, 9) AS rank_biserial,
-       CASE WHEN abs(1e0 - 2e0 * cl) < 0.1e0 THEN 'negligible'
+       CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+            WHEN abs(1e0 - 2e0 * cl) < 0.1e0 THEN 'negligible'
             WHEN abs(1e0 - 2e0 * cl) < 0.3e0 THEN 'small'
             WHEN abs(1e0 - 2e0 * cl) < 0.5e0 THEN 'medium'
             ELSE 'large' END AS strength
@@ -17682,10 +17856,20 @@ def q_emb_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("nr"),
     )
-    cos = F.col("dot").cast("double") / (
-        F.sqrt(F.col("nr").cast("double"))
-        * F.sqrt(F.col("ns").cast("double"))
-    )
+    # Zero-norm guard, nearest_centroid sentinel convention: a zero-norm
+    # row (nr=0) or an all-zero label centroid (ns=0) has no defined
+    # cosine — a -2.0 sentinel keeps the argmax a TOTAL order (an
+    # all-sentinel row ties every label; -label tiebreak predicts the
+    # lowest label id) instead of aborting under ANSI mode. Mirrored
+    # CASE in the oracle.
+    cos = F.when(
+        (F.col("nr") != F.lit(0)) & (F.col("ns") != F.lit(0)),
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("nr").cast("double"))
+            * F.sqrt(F.col("ns").cast("double"))
+        ),
+    ).otherwise(F.lit(-2.0))
     pred = (
         dots.join(F.broadcast(cnorm), "label")
         .join(rnorm, "vec_id")
@@ -17753,9 +17937,10 @@ WITH base AS (
   FROM base
 ), pred AS (
   SELECT d.vec_id, d.true_label,
-         max(ROW(CAST(dot AS DOUBLE)
+         max(ROW(CASE WHEN nr = 0 OR ns = 0 THEN CAST(-2.0 AS DOUBLE)
+                 ELSE CAST(dot AS DOUBLE)
                  / (sqrt(CAST(nr AS DOUBLE))
-                    * sqrt(CAST(ns AS DOUBLE))),
+                    * sqrt(CAST(ns AS DOUBLE))) END,
                  -d.label)) AS w
   FROM dots d JOIN cnorm USING (label) JOIN rnorm USING (vec_id)
   GROUP BY 1, 2
@@ -17885,6 +18070,30 @@ _EDIT_INVALIDATIONS: dict[str, int] = {
     # r5 green (rounds <= 7 predate FINGERPRINTS snapshots), so
     # invalidate manually — same convention as every other edit.
     "doc_bpe_tokens": 11,
+    # Round-12 zero-norm guard at the shared vector seams
+    # (functions/vector.cosine, embeddings/search.nearest_centroid,
+    # operators/similarity, operators/clusters.semdedup — ROBUSTNESS.md
+    # queue): values identical on non-degenerate data (verified vs the
+    # oracles at sf0.001/sf0.01), but earlier greens hashed the
+    # unguarded code path. Consumers whose own fingerprint did NOT move
+    # (seam-only change) or whose green predates FINGERPRINTS snapshots
+    # re-enter manually; the rest auto-invalidate via the snapshot diff.
+    "cosine_topk": 12,
+    "emb_filtered_topk": 12,
+    "semantic_search": 12,
+    "semantic_search_batch": 12,
+    "ann_lsh_topk": 12,
+    "doc_hybrid_rrf": 12,
+    "emb_semdedup": 12,
+    "emb_mmr_rerank": 12,
+    "ann_pq_topk": 12,
+    # Round-12 degenerate-divisor CASE guard; the r7 green predates
+    # FINGERPRINTS snapshots.
+    "events_value_trend": 12,
+    # sources/pyds.py stream-reader fix (round 11, commit 9edd151)
+    # changed code the r10 green executed — shared-module edit, so the
+    # fingerprint didn't move; re-enter per the documented convention.
+    "erddap_stream_scan": 12,
 }
 
 

@@ -187,9 +187,15 @@ def test_edited_query_reenters_as_never_checked(tmp_path):
     cycling as a stale green (the round-7 supplier_part_diversity trap)."""
     import json
 
+    from floatchat_datapipeline_spark.queries import _EDIT_INVALIDATIONS
+
     base = _base_registry()
     fps = _current_fps()
-    edited, untouched = sorted(base)[0], sorted(base)[1]
+    # pick queries with NO manual invalidation entry — an entry would
+    # (correctly) discard the synthetic round-1 check for its own reason
+    # and break this test's "untouched" premise
+    clean = sorted(n for n in base if n not in _EDIT_INVALIDATIONS)
+    edited, untouched = clean[0], clean[1]
     green_row = {
         "rows_match": True,
         "schema_match": True,

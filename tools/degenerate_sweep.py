@@ -21,7 +21,8 @@ A query may legitimately return 0 rows on these inputs; it must not
 abort. Exit code 1 when any query raises, with a per-query report on
 stdout; nothing is written into the repo.
 
-Usage: python tools/degenerate_sweep.py [tiny|constant]   (default both)
+Usage: python tools/degenerate_sweep.py [tiny|constant] [--only q1,q2,...]
+(default: both variants, all registry queries)
 """
 
 from __future__ import annotations
@@ -29,7 +30,6 @@ from __future__ import annotations
 import os
 import sys
 import time
-import traceback
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
@@ -311,7 +311,13 @@ def gen_constant(d: str) -> None:
 
 
 def main() -> None:
-    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    which = argv[0] if argv else "both"
     variants = []
     if which in ("tiny", "both"):
         variants.append(("tiny", gen_tiny))
@@ -328,6 +334,11 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     qs = entry_mod.queries()
+    if only is not None:
+        missing = only - set(qs)
+        if missing:
+            raise SystemExit(f"--only names not in registry: {sorted(missing)}")
+        qs = {k: v for k, v in qs.items() if k in only}
     failures: dict[str, dict[str, str]] = {}
     for vname, gen in variants:
         d = os.path.join(BASE, vname)
@@ -352,5 +363,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    traceback  # keep import referenced for interactive debugging
     main()
