@@ -207,6 +207,23 @@ def main() -> None:
                     min(run_once(name), run_once(name)), 3
                 )
                 continue
+            if name == "purchase_hits":
+                # The purchase edge list is memoized corpus state
+                # (graph.purchase_edges, the coactivity/ANN lifecycle):
+                # split the one-time edge build+checkpoint (train) from
+                # the per-query HITS iterations (warm), like the other
+                # model caches.
+                from floatchat_datapipeline_spark.operators import graph  # noqa: PLC0415
+
+                for k in [
+                    k for k in graph._EDGE_CACHE if k[0] == "purchase"
+                ]:
+                    graph._EDGE_CACHE.pop(k).unpersist()
+                timings["purchase_hits_train"] = round(run_once(name), 3)
+                timings["purchase_hits_warm"] = round(
+                    min(run_once(name), run_once(name)), 3
+                )
+                continue
             if name == "ann_lsh_topk":
                 # No trained state, but the 8-plane signature expression
                 # pays a one-time Janino/codegen compile measured at

@@ -270,11 +270,16 @@ def _nearest_centroid_sql(
     )
     vnorm = norm_sql.format(v=vec_sql)
     cnorm = norm_sql.format(v="cvec")
-    # same zero-norm sentinel as the Column path (see nearest_centroid)
+    # Same zero-norm sentinel as the Column path (see nearest_centroid),
+    # via nullif + coalesce rather than CASE: a CASE guard would repeat
+    # the two norm folds in its condition, doubling the argmax's SQL
+    # text — at PQ's m=16 × ksub=32 literal matrices that parse/analysis
+    # cost is measured in seconds per plan. nullif makes the divisor
+    # NULL when 0 (division by NULL is NULL under ANSI, never an abort)
+    # and coalesce maps the undefined cosine to the sentinel.
     sim_sql = (
-        f"CASE WHEN ({vnorm} * {cnorm}) != CAST(0.0 AS DOUBLE) "
-        f"THEN round({dot_sql} / ({vnorm} * {cnorm}), 6) "
-        f"ELSE CAST(-2.0 AS DOUBLE) END"
+        f"coalesce(round({dot_sql} / nullif({vnorm} * {cnorm}, "
+        f"CAST(0.0 AS DOUBLE)), 6), CAST(-2.0 AS DOUBLE))"
     )
     return (
         f"CAST(-((array_max(zip_with(array({mat}), array({cids}), "
@@ -358,9 +363,12 @@ def kmeans_centroids(
         (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)
     ]
     for _ in range(iters):
+        # persist = a CollapseProject barrier (the pq_train rule): the
+        # optimizer otherwise inlines the argmax into the posexplode
+        # pipeline and re-evaluates it per exploded row — d× per vector.
         assigned = base.withColumn(
             "cluster", nearest_centroid(f"`{vec_col}`", cents)
-        )
+        ).persist()
         comp = (
             assigned.select(
                 "cluster", F.posexplode(vec_col).alias("_pos", "_val")
@@ -385,6 +393,7 @@ def kmeans_centroids(
             )
             .collect()
         )
+        assigned.unpersist()
         cents = sorted(
             (int(r["cluster"]), [float(x) for x in r["_cvec"]]) for r in rows
         )

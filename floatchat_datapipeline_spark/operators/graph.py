@@ -616,7 +616,42 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
 HITS_SCALE = 10**12
 
 
-def hits_fixed_point(edges: DataFrame, iters: int = 4) -> DataFrame:
+def purchase_edges(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Distinct customer→supplier purchase edges from orders ⋈ lineitem
+    — the bipartite graph G11's HITS runs on. Memoized per corpus with
+    the coactivity_edges lifecycle (_EDGE_CACHE + eager localCheckpoint):
+    the edge list is corpus state shared by every query of the graph
+    family, built once per corpus, not once per call. The memo key is
+    namespaced so reset_edge_cache() clears both families together."""
+    spark = orders.sparkSession
+    memo = (
+        ("purchase", cache_key, spark.sparkContext.applicationId)
+        if cache_key
+        else None
+    )
+    if memo is not None and memo in _EDGE_CACHE:
+        return _EDGE_CACHE[memo]
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            F.col("l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    if memo is not None:
+        edges = edges.localCheckpoint(eager=True)
+        _EDGE_CACHE[memo] = edges
+    return edges
+
+
+def hits_fixed_point(
+    edges: DataFrame, iters: int = 4, pre_checkpointed: bool = False
+) -> DataFrame:
     """G11 — HITS hubs & authorities over a DIRECTED edge list, in the
     PageRank fixed-point idiom (graph.py module docstring): scores are
     BIGINT units, each gather is an exact integer sum, and the
@@ -631,6 +666,12 @@ def hits_fixed_point(edges: DataFrame, iters: int = 4) -> DataFrame:
     hᵢ(u)  = rescale( Σ_{u→v} aᵢ(v) )             (gather to src)
 
     Returns one row per node per side: (side 'hub'|'auth', node, units).
+
+    Execution contract: this function EXECUTES the fixed point at call
+    time — the mid-loop and final eager localCheckpoints are scheduled
+    jobs, and the returned frame is backed by non-reliable local
+    checkpoint storage (executor loss discards it; re-call to rebuild).
+    Callers compose the RESULT of the iteration, not its plan.
 
     Scale: the score vectors are |V|-row frames that BROADCAST into the
     edge scan each half-iteration (the pagerank_fixed_point plan shape
@@ -652,8 +693,14 @@ def hits_fixed_point(edges: DataFrame, iters: int = 4) -> DataFrame:
     # edges must be pre-deduplicated by the caller (a duplicate edge
     # would act as an integer weight — deterministic, but not the HITS
     # the oracle replays); no second distinct here, it would re-shuffle
-    # the full edge list per call.
-    ed = edges.select("src", "dst").localCheckpoint(eager=True)
+    # the full edge list per call. With pre_checkpointed=True the caller
+    # certifies the frame is ALREADY an eager checkpoint (the memoized
+    # purchase_edges / coactivity_edges lifecycle) — re-checkpointing it
+    # here would re-materialize the whole edge list once per call, the
+    # exact per-query cost the corpus-state memo exists to amortize.
+    ed = edges.select("src", "dst")
+    if not pre_checkpointed:
+        ed = ed.localCheckpoint(eager=True)
     hubs = ed.select(F.col("src").alias("node")).distinct()
     nh = hubs.agg(F.count(F.lit(1)).alias("n"))
     h = hubs.crossJoin(F.broadcast(nh)).select(

@@ -132,7 +132,11 @@ def main() -> None:
     rows = []
     for name in sorted(set(qlo) & set(qhi)):
         t0, t1 = qlo[name], qhi[name]
-        ratio = round(t1 / t0, 2) if t0 > 0 else float("inf")
+        # Clamp the denominator to the timing grain: recorded times are
+        # rounded, so a sub-threshold sf0.01 row can read 0.0 and a raw
+        # quotient would flag pure overhead noise as ratio=inf
+        # superlinearity (ADVICE r11).
+        ratio = round(t1 / max(t0, 0.05), 2)
         rows.append((name, t0, t1, ratio))
     rows.sort(key=lambda r: -r[3])
     # One-time *_train rows (model builds, amortized over the corpus
