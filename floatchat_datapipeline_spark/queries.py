@@ -18086,9 +18086,20 @@ _EDIT_INVALIDATIONS: dict[str, int] = {
     "emb_semdedup": 12,
     "emb_mmr_rerank": 12,
     "ann_pq_topk": 12,
-    # Round-12 degenerate-divisor CASE guard; the r7 green predates
-    # FINGERPRINTS snapshots.
+    # Round-12 degenerate-divisor CASE guards; these queries ALSO carry
+    # r7-era greens that predate FINGERPRINTS snapshots (the snapshot
+    # diff already invalidates their r8+ checks, but the legacy rounds
+    # are exempt from the edit filter and would keep them out of the
+    # never-checked tier).
     "events_value_trend": 12,
+    "events_twap": 12,
+    "events_ks_test": 12,
+    "spend_rank_correlation": 12,
+    # Same: seam-guarded cosine consumers whose r4-era legacy greens
+    # survive the snapshot filter.
+    "emb_knn_label": 12,
+    "emb_near_dup": 12,
+    "ann_ivf_topk": 12,
     # sources/pyds.py stream-reader fix (round 11, commit 9edd151)
     # changed code the r10 green executed — shared-module edit, so the
     # fingerprint didn't move; re-enter per the documented convention.
