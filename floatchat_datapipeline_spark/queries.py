@@ -18038,6 +18038,817 @@ FROM nation ORDER BY n_nationkey
 """
 
 
+def q_table_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K16 — primary-key integrity certificate, the data-contract audit
+    every lakehouse ingestion runs before trusting a key downstream
+    (motivated by this round's robustness finding: duplicate ids turn
+    dedup/ANN oracles incomparable — see ROBUSTNESS.md). Per audited
+    (table, key): row count, distinct non-null keys, rows involved in a
+    duplicated key, the hottest key's multiplicity, null-key rows, and
+    the uniqueness verdict. The audit list mixes contract keys that
+    must be unique (ids, order keys) with keys that are legitimately
+    repeated (events.user_id, lineitem.l_orderkey) so the certificate
+    DISCRIMINATES at every SF: the dup counters are non-zero where they
+    should be and zero where uniqueness is the contract.
+
+    Scale: one partial-aggregable group-size rollup per audited key
+    (the D13 rule — counts from group sizes, nothing pairs), then a
+    1-row reduce per key; the union is audits-sized. At 100 TB each
+    rollup is the table's only scan and the shuffle carries partial
+    counts, never rows."""
+
+    def audit(df: DataFrame, table: str, key: str) -> DataFrame:
+        nn = F.col("k").isNotNull()
+        g = (
+            df.select(F.col(key).cast("string").alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return g.agg(
+            F.lit(table).alias("table_name"),
+            F.lit(key).alias("key_col"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("n_rows"),
+            F.count(F.when(nn, 1)).alias("n_keys"),
+            F.coalesce(
+                F.sum(F.when((F.col("c") > 1) & nn, F.col("c"))), F.lit(0)
+            ).alias("n_dup_rows"),
+            F.coalesce(F.max(F.when(nn, F.col("c"))), F.lit(0)).alias(
+                "max_multiplicity"
+            ),
+            F.coalesce(F.sum(F.when(~nn, F.col("c"))), F.lit(0)).alias(
+                "n_null_rows"
+            ),
+        )
+
+    parts = [
+        audit(load_table(spark, sf_dir, "embeddings"), "embeddings", "vec_id"),
+        audit(load_table(spark, sf_dir, "documents"), "documents", "doc_id"),
+        audit(load_table(spark, sf_dir, "events"), "events", "event_id"),
+        audit(load_table(spark, sf_dir, "events"), "events", "user_id"),
+        audit(load_table(spark, sf_dir, "orders"), "orders", "o_orderkey"),
+        audit(load_table(spark, sf_dir, "lineitem"), "lineitem", "l_orderkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "table_name",
+        "key_col",
+        "n_rows",
+        "n_keys",
+        "n_dup_rows",
+        "max_multiplicity",
+        "n_null_rows",
+        (
+            (F.col("n_dup_rows") == 0) & (F.col("n_null_rows") == 0)
+        ).alias("unique_ok"),
+    ).orderBy("table_name", "key_col")
+
+
+_TABLE_KEY_AUDIT_ORACLE = """
+WITH audits AS (
+  SELECT 'embeddings' AS table_name, 'vec_id' AS key_col,
+         CAST(vec_id AS VARCHAR) AS k FROM embeddings
+  UNION ALL
+  SELECT 'documents', 'doc_id', CAST(doc_id AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'events', 'event_id', CAST(event_id AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'events', 'user_id', CAST(user_id AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'orders', 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'lineitem', 'l_orderkey', CAST(l_orderkey AS VARCHAR)
+  FROM lineitem
+), sizes AS (
+  SELECT table_name, key_col, k, CAST(count(*) AS BIGINT) AS c
+  FROM audits GROUP BY 1, 2, 3
+)
+SELECT table_name, key_col,
+       CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (k IS NOT NULL) AS BIGINT) AS n_keys,
+       CAST(coalesce(sum(c) FILTER (c > 1 AND k IS NOT NULL), 0)
+            AS BIGINT) AS n_dup_rows,
+       CAST(coalesce(max(c) FILTER (k IS NOT NULL), 0) AS BIGINT)
+         AS max_multiplicity,
+       CAST(coalesce(sum(c) FILTER (k IS NULL), 0) AS BIGINT)
+         AS n_null_rows,
+       (coalesce(sum(c) FILTER (c > 1 AND k IS NOT NULL), 0) = 0
+        AND coalesce(sum(c) FILTER (k IS NULL), 0) = 0) AS unique_ok
+FROM sizes GROUP BY 1, 2 ORDER BY table_name, key_col
+"""
+
+
+def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K17 — referential-integrity audit (K16's companion): per foreign
+    key edge, how many child rows/keys point at a parent key that does
+    not exist? The TPC-H edges (lineitem→orders/part/supplier,
+    orders→customer) are clean by construction — the zero-orphan
+    certificate — while events.user_id→supplier is an honestly BROKEN
+    edge at every SF (the user-id domain exceeds the supplier keys:
+    5/15 orphan users at sf0.001, 50/150 at sf0.01), so the audit
+    demonstrably detects orphans. A NULL child key counts as an orphan
+    (it references nothing).
+
+    Scale: child keys collapse to a group-size rollup (partial-agg,
+    one scan per child table), parents to a distinct key list; the
+    audit join then runs at KEY cardinality, never row cardinality —
+    AQE broadcasts the dim-sized parent sides. One IEEE division per
+    edge for row coverage, NULL-guarded for the empty-child edge."""
+
+    def edge(
+        fk: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str
+    ) -> DataFrame:
+        ck = (
+            child.select(F.col(ckey).cast("string").alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pk = parent.select(
+            F.col(pkey).cast("string").alias("pk")
+        ).distinct()
+        orphan = F.col("pk").isNull()
+        return (
+            ck.join(pk, ck["k"] == pk["pk"], "left")
+            .agg(
+                F.lit(fk).alias("fk"),
+                F.coalesce(F.sum("c"), F.lit(0)).alias("n_child_rows"),
+                F.count(F.lit(1)).alias("n_child_keys"),
+                F.coalesce(
+                    F.sum(F.when(orphan, F.col("c"))), F.lit(0)
+                ).alias("n_orphan_rows"),
+                F.count(F.when(orphan, 1)).alias("n_orphan_keys"),
+            )
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    parts = [
+        edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        edge(
+            "lineitem->part",
+            li,
+            "l_partkey",
+            load_table(spark, sf_dir, "part"),
+            "p_partkey",
+        ),
+        edge(
+            "lineitem->supplier",
+            li,
+            "l_suppkey",
+            load_table(spark, sf_dir, "supplier"),
+            "s_suppkey",
+        ),
+        edge(
+            "orders->customer",
+            orders,
+            "o_custkey",
+            load_table(spark, sf_dir, "customer"),
+            "c_custkey",
+        ),
+        edge(
+            "events.user->supplier",
+            load_table(spark, sf_dir, "events"),
+            "user_id",
+            load_table(spark, sf_dir, "supplier"),
+            "s_suppkey",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # degenerate guard: an empty child table has no coverage to report
+    return out.select(
+        "fk",
+        "n_child_rows",
+        "n_child_keys",
+        "n_orphan_rows",
+        "n_orphan_keys",
+        F.when(
+            F.col("n_child_rows") != F.lit(0),
+            F.lit(1.0)
+            - F.col("n_orphan_rows").cast("double")
+            / F.col("n_child_rows"),
+        ).alias("row_coverage"),
+    ).orderBy("fk")
+
+
+_FK_ORPHAN_AUDIT_ORACLE = """
+WITH child AS (
+  SELECT 'lineitem->orders' AS fk, CAST(l_orderkey AS VARCHAR) AS k
+  FROM lineitem
+  UNION ALL SELECT 'lineitem->part', CAST(l_partkey AS VARCHAR)
+  FROM lineitem
+  UNION ALL SELECT 'lineitem->supplier', CAST(l_suppkey AS VARCHAR)
+  FROM lineitem
+  UNION ALL SELECT 'orders->customer', CAST(o_custkey AS VARCHAR)
+  FROM orders
+  UNION ALL SELECT 'events.user->supplier', CAST(user_id AS VARCHAR)
+  FROM events
+), parent AS (
+  SELECT 'lineitem->orders' AS fk, CAST(o_orderkey AS VARCHAR) AS pk
+  FROM orders
+  UNION ALL SELECT 'lineitem->part', CAST(p_partkey AS VARCHAR) FROM part
+  UNION ALL SELECT 'lineitem->supplier', CAST(s_suppkey AS VARCHAR)
+  FROM supplier
+  UNION ALL SELECT 'orders->customer', CAST(c_custkey AS VARCHAR)
+  FROM customer
+  UNION ALL SELECT 'events.user->supplier', CAST(s_suppkey AS VARCHAR)
+  FROM supplier
+), ckeys AS (
+  SELECT fk, k, CAST(count(*) AS BIGINT) AS c FROM child GROUP BY 1, 2
+), pkeys AS (
+  SELECT DISTINCT fk, pk FROM parent
+), joined AS (
+  SELECT c.fk, c.c, p.pk IS NULL AS orphan
+  FROM ckeys c LEFT JOIN pkeys p ON c.fk = p.fk AND c.k = p.pk
+)
+SELECT fk,
+       CAST(coalesce(sum(c), 0) AS BIGINT) AS n_child_rows,
+       CAST(count(*) AS BIGINT) AS n_child_keys,
+       CAST(coalesce(sum(c) FILTER (orphan), 0) AS BIGINT)
+         AS n_orphan_rows,
+       CAST(count(*) FILTER (orphan) AS BIGINT) AS n_orphan_keys,
+       CASE WHEN coalesce(sum(c), 0) = 0 THEN NULL
+       ELSE 1e0 - CAST(coalesce(sum(c) FILTER (orphan), 0) AS DOUBLE)
+              / sum(c) END AS row_coverage
+FROM joined GROUP BY fk ORDER BY fk
+"""
+
+
+def q_emb_dead_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V21 — dead-embedding health audit per label: null vectors, wrong
+    dimensionality, non-finite components (NaN/±Inf), and exact-zero
+    norm — the four ways an embedding row is unusable for similarity
+    (cosine is undefined on a zero norm; this round's ROBUSTNESS drain
+    made the engine NULL those scores, and this audit is the monitoring
+    query that finds the rows upstream). V6's emb_audit certifies the
+    healthy corpus shape; this one counts the pathologies by class so
+    an ingestion regression points at its cause.
+
+    Flag order matters and is mirrored in the oracle: zero-norm is only
+    tested on finite, right-sized vectors (a NaN sum would poison the
+    comparison). All counters are exact integers from ONE map-side pass
+    + one partial-aggregable rollup to the label domain; the fraction
+    is one IEEE division per label (n_vecs ≥ 1 by construction).
+
+    Scale: map-only flags, label-bounded output — the table's single
+    scan is the whole cost at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    is_null = v.isNull()
+    wrong_dim = v.isNotNull() & (F.size(v) != 64)
+    finite_shape = v.isNotNull() & (F.size(v) == 64)
+    # a NULL element counts as non-finite: the parquet writer layer
+    # (pyarrow from_pandas) stores a NaN list element AS null, so both
+    # engines see null where the producer had NaN
+    has_nonfinite = F.exists(
+        v,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+    nonfinite = finite_shape & has_nonfinite
+    zero_norm = (
+        finite_shape
+        & ~has_nonfinite
+        & (
+            F.aggregate(
+                v,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+            == F.lit(0.0)
+        )
+    )
+    dead = is_null | wrong_dim | nonfinite | zero_norm
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(is_null.cast("long")).alias("n_null"),
+            F.sum(wrong_dim.cast("long")).alias("n_wrong_dim"),
+            F.sum(nonfinite.cast("long")).alias("n_nonfinite"),
+            F.sum(zero_norm.cast("long")).alias("n_zero_norm"),
+            (
+                F.sum(dead.cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dead_fraction"),
+        )
+        .orderBy("label")
+    )
+
+
+_EMB_DEAD_ROWS_ORACLE = """
+WITH flags AS (
+  SELECT label,
+         (embedding IS NULL) AS is_null,
+         (embedding IS NOT NULL AND len(embedding) != 64) AS wrong_dim,
+         (embedding IS NOT NULL AND len(embedding) = 64 AND
+          len(list_filter(embedding, v -> v IS NULL
+              OR isnan(CAST(v AS DOUBLE))
+              OR isinf(CAST(v AS DOUBLE)))) > 0) AS nonfinite,
+         (embedding IS NOT NULL AND len(embedding) = 64 AND
+          len(list_filter(embedding, v -> v IS NULL
+              OR isnan(CAST(v AS DOUBLE))
+              OR isinf(CAST(v AS DOUBLE)))) = 0 AND
+          list_sum(list_transform(embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) = 0)
+           AS zero_norm
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(*) FILTER (is_null) AS BIGINT) AS n_null,
+       CAST(count(*) FILTER (wrong_dim) AS BIGINT) AS n_wrong_dim,
+       CAST(count(*) FILTER (nonfinite) AS BIGINT) AS n_nonfinite,
+       CAST(count(*) FILTER (zero_norm) AS BIGINT) AS n_zero_norm,
+       CAST(count(*) FILTER (is_null OR wrong_dim OR nonfinite
+                             OR zero_norm) AS DOUBLE) / count(*)
+         AS dead_fraction
+FROM flags GROUP BY label ORDER BY label
+"""
+
+
+def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A65 — deterministic cluster bootstrap CI for the mean event value
+    per event type: B = 20 resamples where every USER (the correlation
+    cluster, A61's jackknife unit) draws a hash weight w ∈ {0, 1, 1, 2}
+    (mean 1, Efron-style multiplicity stand-in) from
+    md5('bs|' || user_id || '|' || b) mod 4 — no RNG state, so both
+    engines draw the identical resamples. Each resample's mean is
+    Σw·s_u / Σw·n_u (exact BIGINT sums, ONE IEEE division); the interval
+    is the 2nd-smallest / 2nd-largest of the valid resample means (the
+    ~90 % percentile interval at B = 20). Resamples that drop every
+    user (Σw·n = 0 — possible on tiny corpora) are excluded and
+    reported via n_resamples; fewer than two valid resamples NULLs the
+    interval rather than fabricating one.
+
+    Scale: one user-grain partial-agg rollup is the only fact shuffle;
+    the ×20 expansion happens on the |users|-row rollup (broadcast
+    b-frame), and the final order statistics sort a ≤20-element array
+    per type. The bootstrap complements A61's jackknife (which cannot
+    see skewed sampling distributions) at the same plan cost."""
+    from floatchat_datapipeline_spark.functions.textstats import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_u"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("s_u"),
+    )
+    tot = per_user.groupBy("event_type").agg(
+        F.sum("n_u").alias("n_events"),
+        (F.sum("s_u").cast("double") / F.sum("n_u")).alias("mean_cents"),
+    )
+    bs = spark.range(20).select(F.col("id").cast("int").alias("b"))
+    m4 = (
+        md5_long(
+            F.concat(
+                F.lit("bs|"),
+                F.col("user_id").cast("string"),
+                F.lit("|"),
+                F.col("b").cast("string"),
+            )
+        )
+        % 4
+    )
+    w = (
+        F.when(m4 == 0, F.lit(0))
+        .when(m4 == 3, F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+    res = (
+        per_user.crossJoin(F.broadcast(bs))
+        .select("event_type", "b", (w * F.col("s_u")).alias("ws"),
+                (w * F.col("n_u")).alias("wn"))
+        .groupBy("event_type", "b")
+        .agg(F.sum("ws").alias("ws"), F.sum("wn").alias("wn"))
+        # degenerate guard: a resample that zero-weights every user has
+        # no mean (lazy CaseWhen; mirrored in the oracle)
+        .select(
+            "event_type",
+            F.when(
+                F.col("wn") != F.lit(0),
+                F.col("ws") / F.col("wn"),
+            ).alias("mb"),
+        )
+        .filter(F.col("mb").isNotNull())
+    )
+    ci = res.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_resamples"),
+        F.array_sort(F.collect_list("mb")).alias("_ms"),
+    )
+    return (
+        tot.join(ci, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            "mean_cents",
+            F.coalesce("n_resamples", F.lit(0)).alias("n_resamples"),
+            F.when(
+                F.size("_ms") >= 2, F.element_at("_ms", 2)
+            ).alias("ci_low_cents"),
+            F.when(
+                F.size("_ms") >= 2,
+                F.element_at("_ms", F.size("_ms") - 1),
+            ).alias("ci_high_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_BOOTSTRAP_CI_ORACLE = """
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(count(*) AS BIGINT) AS n_u,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s_u
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(sum(n_u) AS BIGINT) AS n_events,
+         CAST(sum(s_u) AS DOUBLE) / sum(n_u) AS mean_cents
+  FROM per_user GROUP BY 1
+), bs AS (
+  SELECT CAST(unnest(range(0, 20)) AS INT) AS b
+), weighted AS (
+  SELECT event_type, b,
+         CASE CAST('0x' || substr(md5('bs|' || CAST(user_id AS VARCHAR)
+                 || '|' || CAST(b AS VARCHAR)), 1, 15) AS BIGINT) % 4
+           WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS w,
+         n_u, s_u
+  FROM per_user, bs
+), res AS (
+  SELECT event_type,
+         CASE WHEN sum(w * n_u) = 0 THEN NULL
+         ELSE CAST(sum(w * s_u) AS BIGINT)
+              / CAST(sum(w * n_u) AS BIGINT) END AS mb
+  FROM weighted GROUP BY event_type, b
+), ci AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_resamples,
+         list(mb ORDER BY mb) AS ms
+  FROM res WHERE mb IS NOT NULL GROUP BY 1
+)
+SELECT t.event_type, n_events, mean_cents,
+       CAST(coalesce(n_resamples, 0) AS BIGINT) AS n_resamples,
+       CASE WHEN len(ms) >= 2 THEN ms[2] END AS ci_low_cents,
+       CASE WHEN len(ms) >= 2 THEN ms[len(ms) - 1] END AS ci_high_cents
+FROM tot t LEFT JOIN ci USING (event_type) ORDER BY t.event_type
+"""
+
+
+def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A66 — plug-in entropy rate of the user-behavior Markov chain
+    (TS16's transition matrix reduced to ONE bit of information): the
+    conditional entropy H(next | prev) = Σᵢⱼ (nᵢⱼ/N)·ln(nᵢ·/nᵢⱼ) in
+    nats, plus its ln(k)-normalized form — 0 for deterministic
+    behavior, 1 for uniformly random next-actions. The predictability
+    summary an activity monitor tracks where TS16's full 25-cell matrix
+    is too wide to alert on.
+
+    Parity: every count is an exact BIGINT; ln() outputs quantize to
+    1e-6 BIGINT micro-nats BEFORE the cross-cell sum (the L27/TS30
+    rule), so the only float ops are two final IEEE divisions.
+    Degenerate guards (lazy CaseWhen, mirrored in the oracle): no
+    transitions at all → NULL entropy; a single observed state makes
+    ln(k) = 0 → NULL normalized form (fires on the constant fixture).
+
+    Scale: one user-partitioned lag window over the fact table, then a
+    k²-bounded cell rollup — the TS16 plan with a 1-row reduce on top."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cells = (
+        ev.select(
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lmicro = lambda c: F.round(  # noqa: E731
+        F.log(c.cast("double")) * 1_000_000, 0
+    ).cast("long")
+    rows_m = cells.groupBy("from_type").agg(F.sum("n").alias("nr"))
+    contrib = cells.join(F.broadcast(rows_m), "from_type").select(
+        (F.col("n") * (lmicro(F.col("nr")) - lmicro(F.col("n")))).alias(
+            "c_micro"
+        ),
+        F.col("n"),
+        F.col("to_type"),
+    )
+    agg = contrib.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_transitions"),
+        F.countDistinct("to_type").alias("n_states"),
+        F.coalesce(F.sum("c_micro"), F.lit(0)).alias("h_micro"),
+    )
+    lk = lmicro(F.col("n_states"))
+    return agg.select(
+        "n_transitions",
+        "n_states",
+        F.when(
+            F.col("n_transitions") != F.lit(0),
+            F.col("h_micro")
+            / (F.col("n_transitions").cast("double") * F.lit(1e6)),
+        ).alias("entropy_rate_nats"),
+        # sequential branches: ln(n_states) may only be evaluated once
+        # n_transitions != 0 guarantees n_states >= 1 (ln(0) errors in
+        # DuckDB and under ANSI) — the ANOVA branch-order rule
+        F.when(F.col("n_transitions") == F.lit(0), F.lit(None))
+        .when(lk == F.lit(0), F.lit(None).cast("double"))
+        .otherwise(
+            F.col("h_micro")
+            / (F.col("n_transitions").cast("double") * lk)
+        )
+        .alias("normalized_entropy"),
+    )
+
+
+_EVENTS_ENTROPY_RATE_ORACLE = """
+WITH steps AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+), cells AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2
+), rows_m AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS nr FROM cells GROUP BY 1
+), agg AS (
+  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_transitions,
+         CAST(count(DISTINCT to_type) AS BIGINT) AS n_states,
+         CAST(coalesce(sum(n * (
+             CAST(round(ln(CAST(nr AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+           )), 0) AS BIGINT) AS h_micro
+  FROM cells JOIN rows_m USING (from_type)
+)
+SELECT n_transitions, n_states,
+       CASE WHEN n_transitions = 0 THEN NULL
+       ELSE h_micro / (CAST(n_transitions AS DOUBLE) * 1e6) END
+         AS entropy_rate_nats,
+       CASE WHEN n_transitions = 0 THEN NULL
+       WHEN CAST(round(ln(CAST(n_states AS DOUBLE)) * 1000000) AS BIGINT)
+              = 0 THEN NULL
+       ELSE h_micro / (CAST(n_transitions AS DOUBLE)
+            * CAST(round(ln(CAST(n_states AS DOUBLE)) * 1000000)
+                   AS BIGINT)) END AS normalized_entropy
+FROM agg
+"""
+
+
+def q_doc_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A67 — Brier score with its Murphy decomposition over the A47
+    calibration machinery (same deterministic milli-score and same
+    token-count label as doc_calibration_curve, so the two certificates
+    audit the SAME classifier): brier = mean (p−y)², and over the ten
+    fixed bins reliability = Σn_k(p̄_k−ō_k)²/N (calibration error),
+    resolution = Σn_k(ō_k−ō)²/N (discrimination), uncertainty = ō(1−ō).
+    A quality filter whose reliability grows is drifting; one whose
+    resolution shrinks has stopped separating good from bad documents —
+    the two failure modes a single calibration curve conflates.
+
+    Parity: scores are integer millis, so brier_sum and all bin moments
+    are exact BIGINTs; each per-bin reliability/resolution term is ONE
+    IEEE division of exact integers quantized to an integer grid BEFORE
+    the cross-bin sum (the A60 rule), and the final statistics are
+    single divisions rounded 1e-9. 2^63 bound: per-bin squares stay
+    exact to ~3e6 rows/bin (reliability) and N³ to ~2e6 docs — past
+    that, widen to DECIMAL(38,0)/HUGEINT (the A59 escape).
+
+    Scale: ONE map-side scoring pass, one 10-bin partial-agg rollup +
+    one 1-row total rollup, a broadcast joinback of the 1-row total —
+    no window, no second corpus scan."""
+    from floatchat_datapipeline_spark.functions.textstats import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(
+        F.concat(F.lit("cal|"), F.col("doc_id").cast("string"))
+    ) % 400
+    raw = (F.col("n_chars") * 2 + h - 200) * 1000
+    toks = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", " ", ""))
+        + 1
+    )
+    scored = docs.select(
+        raw.alias("raw"), (toks >= 55).cast("long").alias("pos")
+    ).select(
+        F.expr("least(1000L, greatest(0L, raw div 1200))").alias("p"),
+        "pos",
+    )
+    binned = scored.groupBy(
+        F.least(F.expr("p div 100"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.sum("pos").alias("ok"),
+        F.sum("p").alias("sk"),
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("pos"), F.lit(0)).alias("o_tot"),
+        F.coalesce(
+            F.sum(
+                (F.col("p") - 1000 * F.col("pos"))
+                * (F.col("p") - 1000 * F.col("pos"))
+            ),
+            F.lit(0),
+        ).alias("brier_sum"),
+    )
+    d_rel = F.col("sk") - 1000 * F.col("ok")
+    d_res = F.col("ok") * F.col("n_docs") - F.col("o_tot") * F.col("nk")
+    terms = binned.crossJoin(F.broadcast(tot)).select(
+        "n_docs",
+        "o_tot",
+        "brier_sum",
+        # per-bin quantized fractions (one IEEE division each, then an
+        # exact integer sum — order-free under any shuffle)
+        F.round((d_rel * d_rel).cast("double") * 1000 / F.col("nk"), 0)
+        .cast("long")
+        .alias("rel_t"),
+        F.round((d_res * d_res).cast("double") / F.col("nk"), 0)
+        .cast("long")
+        .alias("res_t"),
+    )
+    agg = terms.groupBy("n_docs", "o_tot", "brier_sum").agg(
+        F.sum("rel_t").alias("rel_sum"), F.sum("res_t").alias("res_sum")
+    )
+    n = F.col("n_docs").cast("double")
+    return agg.select(
+        "n_docs",
+        F.col("o_tot").alias("n_pos"),
+        F.round(F.col("brier_sum") / (n * F.lit(1e6)), 9).alias("brier"),
+        F.round(F.col("rel_sum") / (n * F.lit(1e9)), 9).alias(
+            "reliability"
+        ),
+        F.round(F.col("res_sum") / (n * n * n), 9).alias("resolution"),
+        F.round(
+            (
+                F.col("o_tot") * (F.col("n_docs") - F.col("o_tot"))
+            ).cast("double")
+            / (n * n),
+            9,
+        ).alias("uncertainty"),
+    )
+
+
+_DOC_BRIER_DECOMPOSITION_ORACLE = """
+WITH scored AS (
+  SELECT least(1000, greatest(0,
+           ((n_chars * 2
+             + CAST('0x' || substr(md5('cal|' || CAST(doc_id AS VARCHAR)),
+                                   1, 15) AS BIGINT) % 400
+             - 200) * 1000) // 1200)) AS p,
+         CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 55
+              THEN 1 ELSE 0 END AS pos
+  FROM documents
+), binned AS (
+  SELECT least(p // 100, 9) AS bin,
+         CAST(count(*) AS BIGINT) AS nk,
+         CAST(sum(pos) AS BIGINT) AS ok,
+         CAST(sum(p) AS BIGINT) AS sk
+  FROM scored GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(pos), 0) AS BIGINT) AS o_tot,
+         CAST(coalesce(sum((p - 1000 * pos) * (p - 1000 * pos)), 0)
+              AS BIGINT) AS brier_sum
+  FROM scored
+), terms AS (
+  SELECT n_docs, o_tot, brier_sum,
+         CAST(round(CAST((sk - 1000 * ok) * (sk - 1000 * ok) AS DOUBLE)
+                    * 1000 / nk, 0) AS BIGINT) AS rel_t,
+         CAST(round(CAST((ok * n_docs - o_tot * nk)
+                         * (ok * n_docs - o_tot * nk) AS DOUBLE)
+                    / nk, 0) AS BIGINT) AS res_t
+  FROM binned CROSS JOIN tot
+)
+SELECT n_docs, o_tot AS n_pos,
+       round(brier_sum / (CAST(n_docs AS DOUBLE) * 1e6), 9) AS brier,
+       round(CAST(sum(rel_t) AS BIGINT)
+             / (CAST(n_docs AS DOUBLE) * 1e9), 9) AS reliability,
+       round(CAST(sum(res_t) AS BIGINT)
+             / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                * CAST(n_docs AS DOUBLE)), 9) AS resolution,
+       round(CAST(o_tot * (n_docs - o_tot) AS DOUBLE)
+             / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 9)
+         AS uncertainty
+FROM terms GROUP BY 1, 2, brier_sum
+"""
+
+
+# SPRT constants (Wald, 1945), testing purchase-share p0 = 0.18 vs
+# p1 = 0.22 at alpha = beta = 0.05. The log-likelihood-ratio steps and
+# the decision boundaries are quantized to 1e-9 BIGINT nanos ONCE here
+# and inlined into BOTH engines as the identical integer literals, so
+# the walk is pure integer cumsum arithmetic with zero transcendental
+# parity risk: a = ln(p1/p0), b = ln((1-p1)/(1-p0)), A = ln((1-b)/a).
+_SPRT_STEP_POS = 200670695  # round(ln(0.22/0.18) * 1e9)
+_SPRT_STEP_NEG = -50010421  # round(ln(0.78/0.82) * 1e9)
+_SPRT_BOUND = 2944438979  # round(ln(0.95/0.05) * 1e9)
+
+
+def q_events_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS35 — Wald's sequential probability ratio test over each event
+    type's event stream: is this type's share of PURCHASE-like activity
+    (value ≥ 60, the Bernoulli outcome) running at p1 = 0.22 rather
+    than p0 = 0.18? The LLR walk adds the quantized step for each
+    outcome in (ts, event_id) order and stops at the FIRST crossing of
+    ±ln(19); the output reports the decision, how many observations it
+    took (the whole point of sequential testing — stopping early), and
+    the final walk height. The sequential complement of the fixed-N
+    A31/A48 readouts; at α = β = 0.05 the boundaries are symmetric.
+
+    Parity: the walk is an exact BIGINT cumsum of two inlined integer
+    constants (see _SPRT_STEP_*); crossing steps are integer argmins
+    with (ts, event_id) total order. No floats anywhere but the
+    reported llr_final (one exact /1e9).
+
+    Scale: ONE type-partitioned ordered window over the fact table
+    (the A55 window shape — the partition domain is the bounded type
+    set) and a per-type rollup; nothing else touches the log."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.col("value") >= 60).cast("long")
+    step = F.when(x == 1, F.lit(_SPRT_STEP_POS)).otherwise(
+        F.lit(_SPRT_STEP_NEG)
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    walked = ev.select(
+        "event_type", "ts", "event_id", step.alias("step")
+    ).select(
+        "event_type",
+        "step",
+        F.row_number().over(w).alias("rn"),
+        F.sum("step")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("llr"),
+    )
+    big = F.lit(2**62)
+    agg = walked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.coalesce(
+            F.min(F.when(F.col("llr") >= _SPRT_BOUND, F.col("rn"))), big
+        ).alias("up_step"),
+        F.coalesce(
+            F.min(F.when(F.col("llr") <= -_SPRT_BOUND, F.col("rn"))), big
+        ).alias("down_step"),
+        F.sum("step").alias("llr_final_nanos"),
+    )
+    first_cross = F.least(F.col("up_step"), F.col("down_step"))
+    return agg.select(
+        "event_type",
+        "n_obs",
+        F.when(first_cross < big, first_cross).alias("decision_step"),
+        F.when(first_cross == big, F.lit("continue"))
+        .when(F.col("up_step") < F.col("down_step"), F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        "llr_final_nanos",
+        (F.col("llr_final_nanos") / F.lit(1e9)).alias("llr_final"),
+    ).orderBy("event_type")
+
+
+_EVENTS_SPRT_ORACLE = f"""
+WITH walked AS (
+  SELECT event_type,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+         CAST(sum(CASE WHEN value >= 60 THEN {_SPRT_STEP_POS}
+                       ELSE {_SPRT_STEP_NEG} END) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS llr,
+         CASE WHEN value >= 60 THEN {_SPRT_STEP_POS}
+              ELSE {_SPRT_STEP_NEG} END AS step
+  FROM events
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(coalesce(min(rn) FILTER (llr >= {_SPRT_BOUND}),
+                       4611686018427387904) AS BIGINT) AS up_step,
+         CAST(coalesce(min(rn) FILTER (llr <= -{_SPRT_BOUND}),
+                       4611686018427387904) AS BIGINT) AS down_step,
+         CAST(sum(step) AS BIGINT) AS llr_final_nanos
+  FROM walked GROUP BY 1
+)
+SELECT event_type, n_obs,
+       CASE WHEN least(up_step, down_step) < 4611686018427387904
+            THEN least(up_step, down_step) END AS decision_step,
+       CASE WHEN least(up_step, down_step) = 4611686018427387904
+              THEN 'continue'
+            WHEN up_step < down_step THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision,
+       llr_final_nanos,
+       llr_final_nanos / 1e9 AS llr_final
+FROM agg ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -18275,6 +19086,41 @@ def registry() -> dict[str, QuerySpec]:
 
 def _base_registry() -> dict[str, QuerySpec]:
     return {
+        "table_key_audit": QuerySpec(
+            q_table_key_audit,
+            _TABLE_KEY_AUDIT_ORACLE,
+            ("K16", "data-contract"),
+        ),
+        "fk_orphan_audit": QuerySpec(
+            q_fk_orphan_audit,
+            _FK_ORPHAN_AUDIT_ORACLE,
+            ("K17", "data-contract"),
+        ),
+        "emb_dead_rows": QuerySpec(
+            q_emb_dead_rows,
+            _EMB_DEAD_ROWS_ORACLE,
+            ("V21", "data-contract"),
+        ),
+        "events_bootstrap_ci": QuerySpec(
+            q_events_bootstrap_ci,
+            _EVENTS_BOOTSTRAP_CI_ORACLE,
+            ("A65", "A61"),
+        ),
+        "events_entropy_rate": QuerySpec(
+            q_events_entropy_rate,
+            _EVENTS_ENTROPY_RATE_ORACLE,
+            ("A66", "TS16"),
+        ),
+        "doc_brier_decomposition": QuerySpec(
+            q_doc_brier_decomposition,
+            _DOC_BRIER_DECOMPOSITION_ORACLE,
+            ("A67", "A47"),
+        ),
+        "events_sprt": QuerySpec(
+            q_events_sprt,
+            _EVENTS_SPRT_ORACLE,
+            ("TS35", "A48"),
+        ),
         "purchase_hits": QuerySpec(
             q_purchase_hits, _PURCHASE_HITS_ORACLE, ("G11",)
         ),

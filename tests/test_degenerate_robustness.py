@@ -73,6 +73,14 @@ RISK_QUERIES = sorted(
         "semantic_search",
         "emb_audit",
         "events_anova_f",
+        # round-12 guard-bearing additions (born with guards; keep them)
+        "table_key_audit",
+        "fk_orphan_audit",
+        "emb_dead_rows",
+        "events_bootstrap_ci",
+        "events_entropy_rate",
+        "doc_brier_decomposition",
+        "events_sprt",
     ]
 )
 

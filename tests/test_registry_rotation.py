@@ -235,9 +235,13 @@ def test_round_without_snapshot_counts_as_valid(tmp_path):
     whole rotation."""
     import json
 
+    from floatchat_datapipeline_spark.queries import _EDIT_INVALIDATIONS
+
     base = _base_registry()
     fps = _current_fps()
-    q = sorted(base)[0]
+    # a manual invalidation entry would (correctly) discard the
+    # synthetic legacy check for its own reason — pick a clean query
+    q = sorted(n for n in base if n not in _EDIT_INVALIDATIONS)[0]
     (tmp_path / "CORRECTNESS_r01.json").write_text(
         json.dumps(
             {

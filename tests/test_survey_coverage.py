@@ -406,6 +406,20 @@ SURVEY_IDS = [
     "TS34",
     # nearest-centroid classifier eval (corpus x labels exact dots)
     "V20",
+    # primary-key integrity audit (group-size counters, no pairs)
+    "K16",
+    # referential-integrity audit (key-cardinality orphan rollups)
+    "K17",
+    # dead-embedding audit (null/dim/non-finite/zero-norm classes)
+    "V21",
+    # deterministic cluster bootstrap CI (hash-weighted resamples)
+    "A65",
+    # behavior entropy rate (quantized-ln conditional entropy)
+    "A66",
+    # Brier decomposition (reliability/resolution/uncertainty)
+    "A67",
+    # Wald SPRT (integer LLR walk, first boundary crossing)
+    "TS35",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
