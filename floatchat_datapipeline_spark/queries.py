@@ -18742,20 +18742,24 @@ FROM terms GROUP BY 1, 2, brier_sum
 
 # SPRT constants (Wald, 1945), testing purchase-share p0 = 0.18 vs
 # p1 = 0.22 at alpha = beta = 0.05. The log-likelihood-ratio steps and
-# the decision boundaries are quantized to 1e-9 BIGINT nanos ONCE here
-# and inlined into BOTH engines as the identical integer literals, so
+# the decision boundaries are quantized to 1e-9 BIGINT nanos ONCE
+# (canonical home: streaming/windows.py, shared with the S21 streaming
+# twin) and inlined into BOTH engines as identical integer literals, so
 # the walk is pure integer cumsum arithmetic with zero transcendental
 # parity risk: a = ln(p1/p0), b = ln((1-p1)/(1-p0)), A = ln((1-b)/a).
-_SPRT_STEP_POS = 200670695  # round(ln(0.22/0.18) * 1e9)
-_SPRT_STEP_NEG = -50010421  # round(ln(0.78/0.82) * 1e9)
-_SPRT_BOUND = 2944438979  # round(ln(0.95/0.05) * 1e9)
+from floatchat_datapipeline_spark.streaming.windows import (  # noqa: E402
+    SPRT_BOUND as _SPRT_BOUND,
+    SPRT_STEP_NEG as _SPRT_STEP_NEG,
+    SPRT_STEP_POS as _SPRT_STEP_POS,
+)
 
 
 def q_events_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TS35 — Wald's sequential probability ratio test over each event
     type's event stream: is this type's share of PURCHASE-like activity
-    (value ≥ 60, the Bernoulli outcome) running at p1 = 0.22 rather
-    than p0 = 0.18? The LLR walk adds the quantized step for each
+    (cents ≥ 6000, the Bernoulli outcome on the exact grid) running at
+    p1 = 0.22 rather than p0 = 0.18? The LLR walk adds the quantized
+    step for each
     outcome in (ts, event_id) order and stops at the FIRST crossing of
     ±ln(19); the output reports the decision, how many observations it
     took (the whole point of sequential testing — stopping early), and
@@ -18773,7 +18777,9 @@ def q_events_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    x = (F.col("value") >= 60).cast("long")
+    # outcome on the exact cents grid (round-then-cast, the repo rule),
+    # the SAME predicate the S21 streaming twin walks
+    x = (F.round(F.col("value") * 100).cast("long") >= 6000).cast("long")
     step = F.when(x == 1, F.lit(_SPRT_STEP_POS)).otherwise(
         F.lit(_SPRT_STEP_NEG)
     )
@@ -18818,12 +18824,14 @@ WITH walked AS (
   SELECT event_type,
          row_number() OVER (
            PARTITION BY event_type ORDER BY ts, event_id) AS rn,
-         CAST(sum(CASE WHEN value >= 60 THEN {_SPRT_STEP_POS}
+         CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) >= 6000
+                       THEN {_SPRT_STEP_POS}
                        ELSE {_SPRT_STEP_NEG} END) OVER (
            PARTITION BY event_type ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS BIGINT) AS llr,
-         CASE WHEN value >= 60 THEN {_SPRT_STEP_POS}
+         CASE WHEN CAST(round(value * 100) AS BIGINT) >= 6000
+              THEN {_SPRT_STEP_POS}
               ELSE {_SPRT_STEP_NEG} END AS step
   FROM events
 ), agg AS (
@@ -18846,6 +18854,282 @@ SELECT event_type, n_obs,
        llr_final_nanos,
        llr_final_nanos / 1e9 AS llr_final
 FROM agg ORDER BY event_type
+"""
+
+
+def q_stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S21 — the TS35 Wald SPRT as a STREAMING stateful operator: four
+    BIGINTs of GroupState per event type (count, LLR height, first
+    up/down crossing) walk the identical integer recurrence as events
+    arrive (streaming/windows.sprt_stream) — the decision fires the
+    moment a boundary is crossed, the live-monitoring property a
+    fixed-N test cannot have. Under the harness's AvailableNow replay
+    the emitted state equals the batch walk, so the SAME oracle
+    value-checks the stream (the S10/S14 stream-twin contract); the
+    decision columns are derived from the materialized state with the
+    exact expressions of the batch query."""
+    from floatchat_datapipeline_spark.streaming.run import materialize
+    from floatchat_datapipeline_spark.streaming.sources import stream_table
+    from floatchat_datapipeline_spark.streaming.windows import sprt_stream
+
+    out = materialize(
+        sprt_stream(stream_table(spark, sf_dir, "events")),
+        "q_stream_sprt",
+        output_mode="update",
+    )
+    up = F.when(F.col("up_step") == 0, F.lit(2**62)).otherwise(
+        F.col("up_step")
+    )
+    down = F.when(F.col("down_step") == 0, F.lit(2**62)).otherwise(
+        F.col("down_step")
+    )
+    first_cross = F.least(up, down)
+    return out.select(
+        "event_type",
+        "n_obs",
+        F.when(first_cross < F.lit(2**62), first_cross).alias(
+            "decision_step"
+        ),
+        F.when(first_cross == F.lit(2**62), F.lit("continue"))
+        .when(up < down, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        "llr_final_nanos",
+        (F.col("llr_final_nanos") / F.lit(1e9)).alias("llr_final"),
+    ).orderBy("event_type")
+
+
+_STREAM_SPRT_ORACLE = _EVENTS_SPRT_ORACLE
+
+
+# RAKE stopword set — the split boundary for candidate phrases. Small
+# and fixed; shared verbatim by the Spark side and the oracle.
+_RAKE_STOPWORDS = ("the", "a", "of", "and", "is")
+_RAKE_CHUNK = 3
+_RAKE_TOPK = 15
+
+
+def q_doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L35 — RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs, CHUNKED to
+    3 tokens (the standard phrase-length cap — without it a nearly
+    stopword-free document degenerates into one giant phrase); each
+    word scores degree/frequency over the phrase graph and a phrase
+    scores the sum of its words. Top-15 phrases by (score, phrase) with
+    corpus occurrence counts — the cheap, deterministic keyphrase
+    extractor an LLM-corpus datasheet uses where a model-based tagger
+    is unaffordable at 100 TB.
+
+    Parity: phrase membership is pure integer gaps-and-islands (island
+    id = pos − rank among non-stop tokens, sub-chunked by rank div 3);
+    each word's degree/freq ratio is ONE IEEE division quantized to
+    1e-9 BIGINT nanos, so phrase scores are exact integer sums (the
+    A60 rule — no cross-row float accumulation anywhere).
+
+    Scale: tokens explode WITHOUT carrying the document text (the
+    per-frame-substring rule); the two windows partition by doc_id
+    (never global); word stats are vocabulary-bounded; the phrase
+    rollup is output-bounded with a TakeOrdered top-k."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).filter(
+        (F.col("tok") != "") & ~F.col("tok").isin(*_RAKE_STOPWORDS)
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    islanded = toks.withColumn(
+        "island", F.col("pos") - F.row_number().over(w_doc)
+    )
+    w_isl = Window.partitionBy("doc_id", "island").orderBy("pos")
+    chunked = islanded.withColumn(
+        "chunk",
+        F.expr(f"(row_number() OVER (PARTITION BY doc_id, island"
+               f" ORDER BY pos) - 1) div {_RAKE_CHUNK}"),
+    )
+    phrases = chunked.groupBy("doc_id", "island", "chunk").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tok"))
+                ),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    wstats = (
+        chunked.join(phrases, ["doc_id", "island", "chunk"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+        .select(
+            "tok",
+            F.round(
+                F.col("deg").cast("double") * 1e9 / F.col("freq"), 0
+            )
+            .cast("long")
+            .alias("nanos"),
+        )
+    )
+    pscore = (
+        chunked.join(phrases, ["doc_id", "island", "chunk"])
+        .join(F.broadcast(wstats), "tok")
+        .groupBy("doc_id", "island", "chunk", "phrase")
+        .agg(F.sum("nanos").alias("score_nanos"))
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("score_nanos").alias("_sn"),
+        )
+        .select(
+            "phrase",
+            "n_occurrences",
+            (F.col("_sn") / F.lit(1e9)).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(_RAKE_TOPK)
+    )
+
+
+_DOC_RAKE_KEYWORDS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+), nonstop AS (
+  SELECT doc_id, tok, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS island
+  FROM toks
+  WHERE tok NOT IN {repr(_RAKE_STOPWORDS)} AND tok != ''
+), chunked AS (
+  SELECT doc_id, tok, pos, island,
+         (row_number() OVER (
+            PARTITION BY doc_id, island ORDER BY pos) - 1)
+           // {_RAKE_CHUNK} AS chunk
+  FROM nonstop
+), phrases AS (
+  SELECT doc_id, island, chunk,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM chunked GROUP BY 1, 2, 3
+), wscore AS (
+  SELECT tok,
+         CAST(round(CAST(sum(plen) AS DOUBLE) * 1e9 / count(*), 0)
+              AS BIGINT) AS nanos
+  FROM chunked c JOIN phrases p USING (doc_id, island, chunk)
+  GROUP BY tok
+), pscore AS (
+  SELECT c.doc_id, c.island, c.chunk, p.phrase,
+         CAST(sum(nanos) AS BIGINT) AS score_nanos
+  FROM chunked c
+  JOIN phrases p USING (doc_id, island, chunk)
+  JOIN wscore w ON c.tok = w.tok
+  GROUP BY 1, 2, 3, 4
+)
+SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+       max(score_nanos) / 1e9 AS rake_score
+FROM pscore GROUP BY phrase
+ORDER BY rake_score DESC, phrase LIMIT {_RAKE_TOPK}
+"""
+
+
+_HILL_K = 100
+
+
+def q_orders_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A68 — Hill tail-index estimator over order values (Hill 1975),
+    the heavy-tail diagnostic behind the A52 whale analysis: over the
+    top k+1 = 101 order totals, hill = (1/k)·Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎) and the
+    Pareto tail exponent α = 1/hill. A small α (≲ 2) means revenue
+    concentration has infinite-variance behavior — top-heavy enough
+    that mean-based forecasts are unstable; TPC-H's bounded uniform
+    prices honestly report a huge α (no tail), and the property test
+    plants a true Pareto sample to prove the estimator recovers its
+    exponent.
+
+    Parity: the top-(k+1) set is a TakeOrdered with total (cents desc,
+    orderkey) order; the threshold row is the set's MINIMUM by (cents
+    asc, orderkey desc) — selected by a second TakeOrdered, never a
+    global window; ln() outputs quantize to 1e-9 BIGINT nanos (the L27
+    rule) so the sum is exact and α is one integer-over-integer IEEE
+    division. All-equal values (zero log-spread) NULL the estimate via
+    the round-12 guard discipline.
+
+    Scale: ONE TakeOrderedAndProject over the fact table (per-partition
+    heaps, k+1-row driver merge) — the probe never sorts or shuffles
+    the full table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    top = cents.orderBy(F.desc("c"), F.col("o_orderkey")).limit(
+        _HILL_K + 1
+    )
+    lnano = F.round(
+        F.log(F.col("c").cast("double")) * 1e9, 0
+    ).cast("long")
+    thr = (
+        top.orderBy(F.col("c").asc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            F.col("o_orderkey").alias("tkey"),
+            F.col("c").alias("tc"),
+            lnano.alias("lt"),
+        )
+    )
+    topk = top.crossJoin(F.broadcast(thr)).filter(
+        F.col("o_orderkey") != F.col("tkey")
+    )
+    agg = topk.groupBy("tc", "lt").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(lnano - F.col("lt")).alias("lsum"),
+    )
+    return agg.select(
+        F.col("k"),
+        F.col("tc").alias("threshold_cents"),
+        (F.col("lsum") / (F.col("k").cast("double") * F.lit(1e9))).alias(
+            "hill"
+        ),
+        F.when(
+            F.col("lsum") != F.lit(0),
+            (F.col("k").cast("double") * F.lit(1e9)) / F.col("lsum"),
+        ).alias("tail_alpha"),
+    )
+
+
+_ORDERS_HILL_TAIL_ORACLE = f"""
+WITH cents AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), top101 AS (
+  SELECT o_orderkey, c FROM cents
+  ORDER BY c DESC, o_orderkey LIMIT {_HILL_K + 1}
+), thr AS (
+  SELECT o_orderkey AS tkey, c AS tc,
+         CAST(round(ln(CAST(c AS DOUBLE)) * 1e9, 0) AS BIGINT) AS lt
+  FROM top101 ORDER BY c ASC, o_orderkey DESC LIMIT 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, max(tc) AS tc,
+         CAST(sum(CAST(round(ln(CAST(t.c AS DOUBLE)) * 1e9, 0)
+                       AS BIGINT) - lt) AS BIGINT) AS lsum
+  FROM top101 t, thr WHERE t.o_orderkey != thr.tkey
+  GROUP BY lt
+)
+SELECT k, tc AS threshold_cents,
+       lsum / (CAST(k AS DOUBLE) * 1e9) AS hill,
+       CASE WHEN lsum = 0 THEN NULL
+       ELSE (CAST(k AS DOUBLE) * 1e9) / lsum END AS tail_alpha
+FROM agg
 """
 
 
@@ -19120,6 +19404,21 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_events_sprt,
             _EVENTS_SPRT_ORACLE,
             ("TS35", "A48"),
+        ),
+        "stream_sprt": QuerySpec(
+            q_stream_sprt,
+            _STREAM_SPRT_ORACLE,
+            ("S21", "streaming-stateful"),
+        ),
+        "doc_rake_keywords": QuerySpec(
+            q_doc_rake_keywords,
+            _DOC_RAKE_KEYWORDS_ORACLE,
+            ("L35", "text-analysis"),
+        ),
+        "orders_hill_tail": QuerySpec(
+            q_orders_hill_tail,
+            _ORDERS_HILL_TAIL_ORACLE,
+            ("A68", "A52"),
         ),
         "purchase_hits": QuerySpec(
             q_purchase_hits, _PURCHASE_HITS_ORACLE, ("G11",)

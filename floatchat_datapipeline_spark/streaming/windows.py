@@ -655,3 +655,104 @@ def capped_session_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SPRT (S21) — the TS35 sequential test as bounded GroupState
+# ---------------------------------------------------------------------------
+
+# Wald SPRT constants (canonical home; queries.q_events_sprt shares
+# them): purchase-share p0 = 0.18 vs p1 = 0.22 at alpha = beta = 0.05,
+# LLR steps and boundary quantized ONCE to 1e-9 BIGINT nanos so the walk
+# is pure integer arithmetic in both engines and in this stream op.
+SPRT_STEP_POS = 200670695  # round(ln(0.22/0.18) * 1e9)
+SPRT_STEP_NEG = -50010421  # round(ln(0.78/0.82) * 1e9)
+SPRT_BOUND = 2944438979  # round(ln(0.95/0.05) * 1e9)
+
+SPRT_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("llr", LongType()),
+        StructField("up_step", LongType()),
+        StructField("down_step", LongType()),
+    ]
+)
+
+SPRT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_obs", LongType()),
+        StructField("up_step", LongType()),
+        StructField("down_step", LongType()),
+        StructField("llr_final_nanos", LongType()),
+    ]
+)
+
+
+def _update_sprt(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    """Streaming form of queries.q_events_sprt: the open test per event
+    type is FOUR BIGINTs of GroupState (observation count, LLR walk
+    height, first up/down crossing steps; 0 = not crossed) — bounded
+    regardless of stream length, exactly the point of a sequential
+    test: the decision state is O(1), the data need never be kept.
+    Each batch replays the identical integer recurrence in (ts_s,
+    event_id) order and emits the current report row (update-mode
+    semantics; under this harness's one-batch AvailableNow replay the
+    single emitted row equals the batch operator's row)."""
+    if state.exists:
+        n, llr, up_step, down_step = (int(v) for v in state.get)
+    else:
+        n = llr = up_step = down_step = 0
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        pdf = (
+            pd.concat(frames, ignore_index=True)
+            .sort_values(["ts_s", "event_id"])
+            .reset_index(drop=True)
+        )
+        for cents in pdf["cents"]:
+            n += 1
+            llr += SPRT_STEP_POS if int(cents) >= 6000 else SPRT_STEP_NEG
+            if llr >= SPRT_BOUND and up_step == 0:
+                up_step = n
+            if llr <= -SPRT_BOUND and down_step == 0:
+                down_step = n
+    state.update((n, llr, up_step, down_step))
+    yield pd.DataFrame(
+        [(key[0], n, up_step, down_step, llr)],
+        columns=[
+            "event_type",
+            "n_obs",
+            "up_step",
+            "down_step",
+            "llr_final_nanos",
+        ],
+    )
+
+
+def sprt_stream(events: DataFrame) -> DataFrame:
+    """S21 — streaming Wald SPRT per event type: the monitoring form of
+    the TS35 batch query — the decision fires the moment the walk
+    crosses a boundary, which is the whole value of a sequential test
+    on a live stream (a fixed-N test cannot stop early). State is four
+    BIGINTs per key; the value threshold is carried as exact cents so
+    the outcome predicate is integer on both engines."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_seconds,
+    )
+
+    keyed = events.select(
+        "event_type",
+        epoch_seconds(F.col("ts")).alias("ts_s"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        _update_sprt,
+        outputStructType=SPRT_SCHEMA,
+        stateStructType=SPRT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

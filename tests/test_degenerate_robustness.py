@@ -81,6 +81,9 @@ RISK_QUERIES = sorted(
         "events_entropy_rate",
         "doc_brier_decomposition",
         "events_sprt",
+        "stream_sprt",
+        "doc_rake_keywords",
+        "orders_hill_tail",
     ]
 )
 

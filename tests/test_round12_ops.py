@@ -354,3 +354,114 @@ def test_sprt_continue_inside_boundaries(spark, tmp_path):
     r = q_events_sprt(spark, d).collect()[0]
     assert r.decision == "continue"
     assert r.decision_step is None
+
+
+# ---------------------------------------------------------------------------
+# L35 — RAKE replay; A68 — Hill on a planted Pareto; S21 — stream twin
+# ---------------------------------------------------------------------------
+
+
+def test_rake_keywords_matches_replay(spark, sf_dir):
+    from floatchat_datapipeline_spark.queries import (
+        _RAKE_CHUNK,
+        _RAKE_STOPWORDS,
+        _RAKE_TOPK,
+        q_doc_rake_keywords,
+    )
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    phrases = []  # (phrase_tuple)
+    for _, row in docs.iterrows():
+        run: list[str] = []
+        for tok in row["text"].split(" "):
+            if tok == "" or tok in _RAKE_STOPWORDS:
+                if run:
+                    for i in range(0, len(run), _RAKE_CHUNK):
+                        phrases.append(tuple(run[i : i + _RAKE_CHUNK]))
+                    run = []
+            else:
+                run.append(tok)
+        if run:
+            for i in range(0, len(run), _RAKE_CHUNK):
+                phrases.append(tuple(run[i : i + _RAKE_CHUNK]))
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    for ph in phrases:
+        for w in ph:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(ph)
+    nanos = {w: round(deg[w] * 1e9 / freq[w]) for w in freq}
+    scored: dict[str, tuple[int, int]] = {}
+    for ph in phrases:
+        txt = " ".join(ph)
+        s = sum(nanos[w] for w in ph)
+        n, _ = scored.get(txt, (0, s))
+        scored[txt] = (n + 1, s)
+    want = sorted(
+        ((s / 1e9, p, n) for p, (n, s) in scored.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[: _RAKE_TOPK]
+    got = q_doc_rake_keywords(spark, sf_dir).collect()
+    assert [
+        (r.rake_score, r.phrase, r.n_occurrences) for r in got
+    ] == want
+
+
+def test_hill_recovers_planted_pareto(spark, tmp_path):
+    from floatchat_datapipeline_spark.queries import q_orders_hill_tail
+
+    d = str(tmp_path)
+    # deterministic Pareto(alpha=2) via inverse-CDF on an evenly spaced
+    # grid: x_i = (1 - u_i)^(-1/2), u_i = i/(n+1)
+    n = 5000
+    alpha = 2.0
+    xs = [(1 - (i + 1) / (n + 1)) ** (-1 / alpha) * 100 for i in range(n)]
+    _write(
+        os.path.join(d, "orders.parquet"),
+        pd.DataFrame(
+            {
+                "o_orderkey": np.int64(range(n)),
+                "o_custkey": np.int64([1] * n),
+                "o_orderstatus": ["F"] * n,
+                "o_totalprice": xs,
+                "o_orderdate": [pd.Timestamp("2024-03-01")] * n,
+                "o_orderpriority": ["1-URGENT"] * n,
+            }
+        ),
+    )
+    r = q_orders_hill_tail(spark, d).collect()[0]
+    assert r.k == 100
+    # Hill on the top-100 of a clean Pareto(2) recovers alpha within
+    # the estimator's sampling error at this k
+    assert r.tail_alpha == pytest.approx(2.0, rel=0.35)
+    # and a bounded-uniform sample reports a much larger alpha
+    _write(
+        os.path.join(d, "orders.parquet"),
+        pd.DataFrame(
+            {
+                "o_orderkey": np.int64(range(n)),
+                "o_custkey": np.int64([1] * n),
+                "o_orderstatus": ["F"] * n,
+                "o_totalprice": [100.0 + (i % 50) for i in range(n)],
+                "o_orderdate": [pd.Timestamp("2024-03-01")] * n,
+                "o_orderpriority": ["1-URGENT"] * n,
+            }
+        ),
+    )
+    r2 = q_orders_hill_tail(spark, d).collect()[0]
+    assert r2.tail_alpha > 20
+
+
+def test_stream_sprt_equals_batch(spark, sf_dir):
+    from floatchat_datapipeline_spark.queries import (
+        q_events_sprt,
+        q_stream_sprt,
+    )
+
+    batch = sorted(
+        tuple(r) for r in q_events_sprt(spark, sf_dir).collect()
+    )
+    stream = sorted(
+        tuple(r) for r in q_stream_sprt(spark, sf_dir).collect()
+    )
+    assert stream == batch

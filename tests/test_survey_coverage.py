@@ -420,6 +420,12 @@ SURVEY_IDS = [
     "A67",
     # Wald SPRT (integer LLR walk, first boundary crossing)
     "TS35",
+    # streaming SPRT (bounded GroupState sequential decision)
+    "S21",
+    # RAKE keyphrases (islands -> chunks, nano-quantized word scores)
+    "L35",
+    # Hill tail index (TakeOrdered probe, quantized log-spreads)
+    "A68",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
