@@ -229,17 +229,22 @@ def nearest_centroid(
     # a TOTAL deterministic order instead of aborting under ANSI mode —
     # an all-sentinel row ties every centroid and the neg-cid tiebreak
     # assigns the lowest cid. Mirrored in the SQL path and every oracle.
+    # try_divide + coalesce rather than CaseWhen for the same reason as
+    # the SQL path's nullif (see _nearest_centroid_sql): a CASE guard
+    # repeats the norm folds in its predicate, and the folds don't
+    # codegen — per CENTROID per row that doubling is the dominant
+    # assignment cost (emb_semdedup +57% in round 12, PLANS.md).
     best = F.array_max(
         F.zip_with(
             mat,
             cids,
             lambda cvec, cid: F.struct(
-                F.when(
-                    (vnorm * norm(cvec)) != F.lit(0.0),
-                    F.round(dot(vec, cvec) / (vnorm * norm(cvec)), 6),
-                )
-                .otherwise(F.lit(-2.0))
-                .alias("sim"),
+                F.coalesce(
+                    F.round(
+                        F.try_divide(dot(vec, cvec), vnorm * norm(cvec)), 6
+                    ),
+                    F.lit(-2.0),
+                ).alias("sim"),
                 (-cid).alias("neg_cid"),
             ),
         )

@@ -63,17 +63,16 @@ def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """V3 — dot(a,b) / (‖a‖·‖b‖) (reference embeddings/embed.py:386-397).
 
     Zero-norm guard: cosine is undefined when either vector has zero
-    norm, and under ANSI mode the bare division ABORTS the whole job on
+    norm, and under ANSI mode a bare division ABORTS the whole job on
     the first zeroed embedding row — the wrong failure mode at 100 TB,
-    where dead rows are routine. CaseWhen evaluates branches lazily, so
-    the division never runs when the denominator is 0; the statistic is
-    NULL instead (mirrored as CASE WHEN in every DuckDB oracle that
-    replays cosine). Codegen subexpression elimination shares the norm
-    folds between the predicate and the quotient."""
-    den = norm(a, dim) * norm(b, dim)
-    return F.when(den != F.lit(0.0), dot(a, b, dim) / den).otherwise(
-        F.lit(None).cast("double")
-    )
+    where dead rows are routine. `try_divide` yields NULL on a zero
+    divisor instead (mirrored as CASE WHEN / nullif in every DuckDB
+    oracle that replays cosine) and — unlike the round-12 CaseWhen
+    form — evaluates each norm fold exactly ONCE: HOF folds don't
+    enter whole-stage codegen, so a guard that repeats the denominator
+    in its predicate really does pay the folds twice per row (measured
+    +53-64% on emb_mmr_rerank/emb_semdedup, PLANS.md round 13)."""
+    return F.try_divide(dot(a, b, dim), norm(a, dim) * norm(b, dim))
 
 
 def l2_normalize(a: Column | str) -> Column:

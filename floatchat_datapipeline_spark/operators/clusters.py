@@ -35,6 +35,21 @@ from pyspark.sql import functions as F
 CC_MAX_ITERS = 20
 
 
+# Memoized deduped-corpus frames for semdedup (the graph._EDGE_CACHE
+# convention): keyed by (cache_key, applicationId) so a cached frame
+# never leaks across sessions; cleared via reset_semdedup_cache.
+_DEDUP_EMB_CACHE: dict[tuple, DataFrame] = {}
+
+
+def reset_semdedup_cache() -> None:
+    for df in _DEDUP_EMB_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _DEDUP_EMB_CACHE.clear()
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star round: every node u links each STRICTLY LARGER neighbor
     to the minimum of its closed neighborhood. Input/output edges are
@@ -197,8 +212,36 @@ def semdedup(
 
     if n_centroids is None:
         # The count is a parquet-metadata read at scan time, not a data
-        # pass; both engines derive the same k from the same table.
+        # pass; both engines derive the same k from the same table —
+        # the RAW table, before the defensive id-dedup below, exactly
+        # like the oracle's scalar-subquery count(*).
         n_centroids = auto_n_centroids(emb.count())
+    # Defensive primary-key hygiene (round 13, ROBUSTNESS.md): vec_id is
+    # this operator's join/pair/survivorship key, so a duplicated id
+    # upstream would fan out the pair join and diverge from the oracle's
+    # per-id replay (row_number ... WHERE rn = 1). Dedup at the seam —
+    # one row per id, same arbitrary-winner semantics as the oracle's
+    # unordered rn = 1 (indistinguishable in the only reachable case,
+    # byte-identical duplicate rows; real corpora have unique ids and
+    # the extra exchange re-uses the shuffle the pair stage needs
+    # anyway). Eagerly checkpointed AND memoized per corpus (the
+    # graph._EDGE_CACHE convention): the k-means loop and the three
+    # downstream consumers each re-execute their input lineage, and a
+    # re-run dedup SHUFFLE per Lloyd iteration measured 2.6 s → 7.5 s
+    # on the cold emb_semdedup row; the checkpoint pays the dedup once
+    # per call and the memo once per corpus.
+    spark = emb.sparkSession
+    memo = (
+        ("semdedup-emb", cache_key, id_col, spark.sparkContext.applicationId)
+        if cache_key
+        else None
+    )
+    if memo is not None and memo in _DEDUP_EMB_CACHE:
+        emb = _DEDUP_EMB_CACHE[memo]
+    else:
+        emb = emb.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        if memo is not None:
+            _DEDUP_EMB_CACHE[memo] = emb
     cents = kmeans_centroids(
         emb, n_centroids, vec_col=vec_col, id_col=id_col, cache_key=cache_key
     )
@@ -253,17 +296,16 @@ def semdedup(
         .join(vb, "id_b")
         .select(
             F.col("id_b").alias("dup_id"),
-            # zero-norm guard (lazy CaseWhen, cosine() convention):
+            # zero-norm guard (try_divide, cosine() convention):
             # undefined similarity is NULL, which fails the threshold
             # filter — a zero-norm vector is never a duplicate of
             # anything, and the job never aborts under ANSI mode
-            F.when(
-                (F.col("_na") * F.col("_nb")) != F.lit(0.0),
-                F.round(
-                    dot(F.col("_va"), F.col("_vb"), dim)
-                    / (F.col("_na") * F.col("_nb")),
-                    6,
+            F.round(
+                F.try_divide(
+                    dot(F.col("_va"), F.col("_vb"), dim),
+                    F.col("_na") * F.col("_nb"),
                 ),
+                6,
             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)

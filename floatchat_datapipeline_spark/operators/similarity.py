@@ -71,16 +71,15 @@ def bucketed_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            # zero-norm guard (lazy CaseWhen, cosine() convention): a
+            # zero-norm guard (try_divide, cosine() convention): a
             # NULL score fails the >= threshold filter, so zero-norm
             # rows drop out instead of aborting the job under ANSI mode
-            F.when(
-                (F.col("_na") * F.col("_nb")) != F.lit(0.0),
-                F.round(
-                    dot(F.col("vec_a"), F.col("vec_b"), dim)
-                    / (F.col("_na") * F.col("_nb")),
-                    6,
+            F.round(
+                F.try_divide(
+                    dot(F.col("vec_a"), F.col("vec_b"), dim),
+                    F.col("_na") * F.col("_nb"),
                 ),
+                6,
             ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
@@ -128,15 +127,14 @@ def knn_within_label(
             "label",
             "id_a",
             "id_b",
-            # zero-norm guard — NULL score ranks last under desc (both
-            # engines default NULLS LAST on DESC), never aborts
-            F.when(
-                (F.col("_na") * F.col("_nb")) != F.lit(0.0),
-                F.round(
-                    dot(F.col("vec_a"), F.col("vec_b"), dim)
-                    / (F.col("_na") * F.col("_nb")),
-                    6,
+            # zero-norm guard — try_divide's NULL score ranks last under
+            # desc (both engines default NULLS LAST on DESC), never aborts
+            F.round(
+                F.try_divide(
+                    dot(F.col("vec_a"), F.col("vec_b"), dim),
+                    F.col("_na") * F.col("_nb"),
                 ),
+                6,
             ).alias("score"),
         )
     )
@@ -216,13 +214,21 @@ def mmr_rerank(
         StructType,
     )
 
-    emb = df.select(id_col, vec_col)
+    # Norms are computed ONCE PER ROW on each side of the broadcast
+    # cross join, not per (candidate, query) pair: the HOF fold doesn't
+    # codegen, so every textual occurrence inside the pair expression
+    # is a real re-evaluation — the round-12 guard's repeated product
+    # cost +64% on this query (PLANS.md round 13).
+    emb = df.select(id_col, vec_col).withColumn(
+        "_nv", norm(F.col(vec_col))
+    )
     queries = (
         emb.orderBy(id_col)
         .limit(n_queries)
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("query_vec"),
+            F.col("_nv").alias("_nq"),
         )
     )
     scored = (
@@ -231,16 +237,15 @@ def mmr_rerank(
         .withColumn(
             "rel",
             # zero-norm guard: relevance is undefined against/for a
-            # zero-norm vector — NULL here, dropped from the candidate
-            # pool below (mirrored WHERE rel IS NOT NULL in the oracle)
-            F.when(
-                (norm(F.col(vec_col)) * norm(F.col("query_vec")))
-                != F.lit(0.0),
-                F.round(
-                    dot(F.col(vec_col), F.col("query_vec"))
-                    / (norm(F.col(vec_col)) * norm(F.col("query_vec"))),
-                    6,
+            # zero-norm vector — try_divide yields NULL, dropped from
+            # the candidate pool below (mirrored WHERE rel IS NOT NULL
+            # in the oracle)
+            F.round(
+                F.try_divide(
+                    dot(F.col(vec_col), F.col("query_vec")),
+                    F.col("_nv") * F.col("_nq"),
                 ),
+                6,
             ),
         )
         .filter(F.col("rel").isNotNull())

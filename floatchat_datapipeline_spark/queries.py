@@ -12575,30 +12575,19 @@ def q_events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = (F.col("n_a") + F.col("n_b")).cast("double")
     nab = (F.col("n_a") * F.col("n_b")).cast("double")
     u2a = F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1)
-    raw_z = (u2a - F.col("n_a") * F.col("n_b")).cast("double") / (
-        F.lit(2.0)
-        * F.sqrt(
-            nab
-            / F.lit(12.0)
-            * (
-                (n + F.lit(1.0))
-                - F.col("tie3").cast("double") / (n * (n - F.lit(1.0)))
-            )
-        )
+    # Degenerate guards, structurally safe (q_events_anova_f round-13
+    # pattern): every divisor that can run degenerate sits under
+    # try_divide, so NULL — not DIVIDE_BY_ZERO — falls out of n ≤ 1
+    # (the tie term's n(n−1)), an empty variant (nab = 0 zeroes the
+    # sqrt → outer divisor 0), and all-tied values (var_term = 0). No
+    # branch ordering to get wrong; NULL output identical to the old
+    # sequential CaseWhen (mirrored nullif in the oracle).
+    var_term = (n + F.lit(1.0)) - F.try_divide(
+        F.col("tie3").cast("double"), n * (n - F.lit(1.0))
     )
-    # Degenerate guards (lazy CaseWhen, q_events_anova_f pattern), in
-    # this order: an empty variant (covers n = 1, so the tie term's own
-    # n(n−1) divisor never runs on it), then zero rank variance (all
-    # values tied → the sqrt is 0). NULL the z instead of aborting under
-    # ANSI mode; mirrored branch order in the oracle.
-    any_empty = (F.col("n_a") == 0) | (F.col("n_b") == 0)
-    var_term = (n + F.lit(1.0)) - F.col("tie3").cast("double") / (
-        n * (n - F.lit(1.0))
-    )
-    z = (
-        F.when(any_empty, F.lit(None).cast("double"))
-        .when(var_term == F.lit(0.0), F.lit(None).cast("double"))
-        .otherwise(raw_z)
+    z = F.try_divide(
+        (u2a - F.col("n_a") * F.col("n_b")).cast("double"),
+        F.lit(2.0) * F.sqrt(nab / F.lit(12.0) * var_term),
     )
     return stats.select(
         "event_type",
@@ -12640,17 +12629,17 @@ FROM (
   SELECT event_type, n_a, n_b,
          r2a - n_a * (n_a + 1) AS u2_a,
          tie3,
-         CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
-         WHEN (CAST(n_a + n_b AS DOUBLE) + 1e0)
-              - CAST(tie3 AS DOUBLE)
-                / (CAST(n_a + n_b AS DOUBLE)
-                   * (CAST(n_a + n_b AS DOUBLE) - 1e0)) = 0 THEN NULL
-         ELSE CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
-         / (2e0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12e0
+         -- structurally safe divisors (nullif ≍ Spark try_divide):
+         -- n <= 1 NULLs the tie quotient, an empty variant or all-tied
+         -- values zero the sqrt, and x / NULL is NULL in both engines —
+         -- no CASE branch order to keep in sync with the Spark side
+         CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+         / nullif(2e0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12e0
              * ((CAST(n_a + n_b AS DOUBLE) + 1e0)
                 - CAST(tie3 AS DOUBLE)
-                  / (CAST(n_a + n_b AS DOUBLE)
-                     * (CAST(n_a + n_b AS DOUBLE) - 1e0))))) END AS z
+                  / nullif(CAST(n_a + n_b AS DOUBLE)
+                     * (CAST(n_a + n_b AS DOUBLE) - 1e0), 0e0))),
+           0e0) AS z
   FROM stats
 )
 """
@@ -15048,27 +15037,27 @@ def _kruskal_wallis_report(g: DataFrame) -> DataFrame:
         F.sum(t * t * t - t).alias("tie3"),
     )
     n = F.col("n0") + F.col("n1") + F.col("n2")
+    # Degenerate guards, structurally safe (q_events_anova_f round-13
+    # pattern — try_divide everywhere a divisor can be 0, instead of
+    # ORDER-dependent CaseWhen branches): an empty variant NULLs `term`
+    # (and with it h), n ≤ 1 NULLs corr's n³−n quotient, and all-tied
+    # values (tie3 = n³−n → corr = 0) NULL the final quotient. NULL
+    # propagates identically to the old branch chain; no ordering
+    # exists to silently reintroduce DIVIDE_BY_ZERO under ANSI mode.
     term = sum(
-        (F.col(f"r2{j}").cast("double") * F.col(f"r2{j}"))
-        / (F.lit(4.0) * F.col(f"n{j}"))
+        F.try_divide(
+            F.col(f"r2{j}").cast("double") * F.col(f"r2{j}"),
+            F.lit(4.0) * F.col(f"n{j}"),
+        )
         for j in (0, 1, 2)
     )
-    h0 = (F.lit(12.0) / (n * (n + 1))) * term - F.lit(3.0) * (n + 1)
-    corr = F.lit(1.0) - F.col("tie3").cast("double") / (n * n * n - n)
-    # Degenerate guards (lazy CaseWhen, q_events_anova_f pattern), in
-    # this order: an empty variant first (its n_j divides inside `term`,
-    # and it also covers n = 1 so corr's n³−n divisor never runs
-    # degenerate), then all-tied values (tie3 = n³−n makes corr = 0).
-    # NULL the statistic instead of aborting under ANSI mode; mirrored
-    # branch order in the oracle.
-    any_empty = (
-        (F.col("n0") == 0) | (F.col("n1") == 0) | (F.col("n2") == 0)
+    h0 = F.try_divide(F.lit(12.0), n * (n + 1)) * term - F.lit(3.0) * (
+        n + 1
     )
-    h = (
-        F.when(any_empty, F.lit(None).cast("double"))
-        .when(corr == F.lit(0.0), F.lit(None).cast("double"))
-        .otherwise(F.round(h0 / corr, 9))
+    corr = F.lit(1.0) - F.try_divide(
+        F.col("tie3").cast("double"), n * n * n - n
     )
+    h = F.round(F.try_divide(h0, corr), 9)
     return stats.select(
         "event_type",
         "n0",
@@ -15412,32 +15401,36 @@ def _anova_f_report(g: DataFrame) -> DataFrame:
     groups. See q_events_anova_f."""
     n = F.col("n0") + F.col("n1") + F.col("n2")
     t = F.col("s0") + F.col("s1") + F.col("s2")
-    between = sum(
-        (F.col(f"s{j}").cast("double") * F.col(f"s{j}")) / F.col(f"n{j}")
-        for j in (0, 1, 2)
-    )
-    ssb = between - (t.cast("double") * t) / n
-    ssw = F.col("q").cast("double") - between
     # Degenerate moment rows make a zero divisor somewhere in F: an
     # empty variant (s_j²/n_j), one observation per variant (n−3), or
     # zero within-group variance (ssw). Under this session's default
     # ANSI mode Spark ABORTS the whole query with DIVIDE_BY_ZERO on any
     # of them (double division included — verified live), while DuckDB
     # yields an inf/NaN that orders above the threshold and reports a
-    # meaningless significant=true. Null the statistic instead, via
-    # SEQUENTIAL CASE branches: CaseWhen evaluates lazily, and the
-    # empty-variant test must come first so ssw's own divisions are
-    # never evaluated on an empty variant (mirrored branch order in the
-    # oracle).
-    any_empty = (
-        (F.col("n0") == 0) | (F.col("n1") == 0) | (F.col("n2") == 0)
+    # meaningless significant=true. The round-12 fix NULLed the
+    # statistic through SEQUENTIAL CaseWhen branches whose ORDER was
+    # load-bearing (the empty-variant test gated ssw's own divisions) —
+    # a silent refactor hazard. Round 13 makes every divisor
+    # structurally safe instead: try_divide yields NULL on a zero
+    # divisor and the NULL propagates through the whole statistic tree,
+    # so NO branch ordering exists to get wrong. Identical output:
+    # empty variant → between is NULL → f NULL; n = 3 → inner
+    # try_divide by 0 → NULL; ssw = 0 → the outer denominator is 0 →
+    # NULL. Non-degenerate rows divide normally (try_divide ≡ / when
+    # the divisor is nonzero).
+    between = sum(
+        F.try_divide(
+            F.col(f"s{j}").cast("double") * F.col(f"s{j}"), F.col(f"n{j}")
+        )
+        for j in (0, 1, 2)
     )
-    raw_f = F.round((ssb / F.lit(2.0)) / (ssw / (n - F.lit(3))), 9)
-    f_stat = (
-        F.when(any_empty, F.lit(None).cast("double"))
-        .when(n == F.lit(3), F.lit(None).cast("double"))
-        .when(ssw == F.lit(0.0), F.lit(None).cast("double"))
-        .otherwise(raw_f)
+    ssb = between - F.try_divide(t.cast("double") * t, n)
+    ssw = F.col("q").cast("double") - between
+    f_stat = F.round(
+        F.try_divide(
+            ssb / F.lit(2.0), F.try_divide(ssw, n - F.lit(3))
+        ),
+        9,
     )
     return g.select(
         "event_type",
@@ -17283,22 +17276,23 @@ def _cramers_v_report(cells: DataFrame) -> DataFrame:
         F.sum(cn).alias("chi2_nanos")
     )
     chi2 = F.col("chi2_nanos") / F.lit(1e9)
-    # Degenerate guard (lazy CaseWhen, q_events_anova_f pattern): a
-    # 1×c or r×1 table has min(r−1, c−1) = 0 — association is undefined
-    # there, so NULL both V and the strength label (an unguarded label
-    # would fall through to 'large' on garbage) instead of aborting
-    # under ANSI mode. Mirrored CASEs in the oracle.
+    # Degenerate guard, structurally safe (q_events_anova_f round-13
+    # pattern): a 1×c or r×1 table has min(r−1, c−1) = 0 — association
+    # is undefined there, so try_divide NULLs V and the NULL propagates
+    # into every banding condition, leaving the strength label NULL too
+    # (the old CaseWhen needed its dof branch FIRST or garbage fell
+    # through to 'large'; here no ordering is load-bearing — the final
+    # band carries its own ≥ 0.5 condition instead of an otherwise()).
     dof = F.least(F.col("nr") - 1, F.col("nc") - 1)
-    v = F.when(dof != F.lit(0), F.sqrt((chi2 / F.col("n")) / dof))
+    v = F.sqrt(F.try_divide(F.try_divide(chi2, F.col("n")), dof))
     return agg.select(
         "n",
         F.round(chi2, 9).alias("chi2"),
         F.round(v, 9).alias("cramers_v"),
-        F.when(dof == F.lit(0), F.lit(None).cast("string"))
-        .when(v < 0.1, F.lit("negligible"))
+        F.when(v < 0.1, F.lit("negligible"))
         .when(v < 0.3, F.lit("small"))
         .when(v < 0.5, F.lit("medium"))
-        .otherwise(F.lit("large"))
+        .when(v >= 0.5, F.lit("large"))
         .alias("strength"),
     )
 
@@ -17366,7 +17360,13 @@ def q_vocab_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one (doc, token) rollup, one token rollup (both partial-
     aggregable, vocabulary-bounded output), one 1-row doc count
-    broadcast, TakeOrdered 20."""
+    broadcast, then the O10 TakeOrdered-threshold idiom
+    (part_qty_topk_ties): TakeOrdered finds the 20th (burstiness,
+    token) boundary, the 1-row threshold broadcasts back as a filter,
+    and row_number runs only over the ≤ 20+ties survivors — the
+    earlier global rank window sorted the ENTIRE df≥5 vocabulary in
+    one task, a single-task sort over tens of millions of tokens at
+    100 TB (VERDICT r12 item 2)."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
     dtok = (
@@ -17400,9 +17400,26 @@ def q_vocab_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # Materialize the vocabulary-bounded scored frame once: it feeds
+    # both the TakeOrdered threshold probe and the survivor filter
+    # (the part_qty_topk_ties barrier idiom).
+    scored = scored.localCheckpoint(eager=True)
+    kth = (
+        scored.orderBy(F.desc("burstiness"), "token")
+        .limit(20)
+        .agg(F.min("burstiness").alias("cut"))
+    )
+    # burstiness >= cut keeps the top 20 plus any value-ties past the
+    # boundary — a bounded set — and row_number's (desc, token) order
+    # then reproduces the exact former global ranking on it. An empty
+    # scored frame gives cut = NULL, the join predicate is never true,
+    # and the result is empty exactly as before.
+    survivors = scored.join(
+        F.broadcast(kth), F.col("burstiness") >= F.col("cut")
+    ).drop("cut")
     w = Window.orderBy(F.desc("burstiness"), "token")
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        survivors.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 20)
         .orderBy("rnk")
     )
@@ -17621,15 +17638,15 @@ def q_events_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 2Uₐ = r2a − nₐ(nₐ+1)  (doubled ranks clear the midrank halves)
     u2 = F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1)
-    # Degenerate guard (lazy CaseWhen, q_events_anova_f pattern): an
-    # EMPTY variant makes the nₐ·n_b divisor 0 — effect size against no
-    # comparison group is undefined, so NULL cl/r AND the strength
-    # label (which would otherwise fall through to 'large' on garbage)
-    # instead of aborting under ANSI mode. Mirrored CASEs in the oracle.
-    any_empty = (F.col("n_a") == 0) | (F.col("n_b") == 0)
-    cl = F.when(
-        ~any_empty,
-        u2.cast("double") / (F.lit(2.0) * F.col("n_a") * F.col("n_b")),
+    # Degenerate guard, structurally safe (q_events_anova_f round-13
+    # pattern): an EMPTY variant makes the nₐ·n_b divisor 0 — effect
+    # size against no comparison group is undefined, and try_divide
+    # NULLs it without any branch whose position matters. The NULL
+    # propagates through r into every banding condition, so the
+    # strength label NULLs too (each band carries its own condition —
+    # no otherwise() for garbage to fall through to).
+    cl = F.try_divide(
+        u2.cast("double"), F.lit(2.0) * F.col("n_a") * F.col("n_b")
     )
     r = F.lit(1.0) - F.lit(2.0) * cl
     return stats.select(
@@ -17638,11 +17655,10 @@ def q_events_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.round(cl, 9).alias("common_language"),
         F.round(r, 9).alias("rank_biserial"),
-        F.when(any_empty, F.lit(None).cast("string"))
-        .when(F.abs(r) < 0.1, F.lit("negligible"))
+        F.when(F.abs(r) < 0.1, F.lit("negligible"))
         .when(F.abs(r) < 0.3, F.lit("small"))
         .when(F.abs(r) < 0.5, F.lit("medium"))
-        .otherwise(F.lit("large"))
+        .when(F.abs(r) >= 0.5, F.lit("large"))
         .alias("strength"),
     ).orderBy("event_type")
 
@@ -17670,19 +17686,22 @@ WITH g AS (
   FROM c GROUP BY 1
 ), o AS (
   SELECT event_type, n_a, n_b,
-         CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
-         ELSE CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
-           / (2e0 * n_a * n_b) END AS cl
+         -- structurally safe divisor (nullif ≍ Spark try_divide): an
+         -- empty variant NULLs cl, and the NULL propagates through r
+         -- into every banding condition — no guard branch order to
+         -- keep in sync with the Spark side
+         CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+           / nullif(2e0 * n_a * n_b, 0e0) AS cl
   FROM s
 )
 SELECT event_type, n_a, n_b,
        round(cl, 9) AS common_language,
        round(1e0 - 2e0 * cl, 9) AS rank_biserial,
-       CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
-            WHEN abs(1e0 - 2e0 * cl) < 0.1e0 THEN 'negligible'
+       CASE WHEN abs(1e0 - 2e0 * cl) < 0.1e0 THEN 'negligible'
             WHEN abs(1e0 - 2e0 * cl) < 0.3e0 THEN 'small'
             WHEN abs(1e0 - 2e0 * cl) < 0.5e0 THEN 'medium'
-            ELSE 'large' END AS strength
+            WHEN abs(1e0 - 2e0 * cl) >= 0.5e0 THEN 'large'
+            END AS strength
 FROM o ORDER BY event_type
 """
 
@@ -19178,9 +19197,13 @@ _EDIT_INVALIDATIONS: dict[str, int] = {
     "semantic_search_batch": 12,
     "ann_lsh_topk": 12,
     "doc_hybrid_rrf": 12,
-    "emb_semdedup": 12,
     "emb_mmr_rerank": 12,
     "ann_pq_topk": 12,
+    # Round-13 defensive id-dedup at the operators/clusters.semdedup
+    # seam (ROBUSTNESS.md duplicate-id contract): gated output is
+    # identical (driver ids are unique), but the r12 green hashed the
+    # pre-dedup plan, so re-enter the one consumer.
+    "emb_semdedup": 13,
     # Round-12 degenerate-divisor CASE guards; these queries ALSO carry
     # r7-era greens that predate FINGERPRINTS snapshots (the snapshot
     # diff already invalidates their r8+ checks, but the legacy rounds

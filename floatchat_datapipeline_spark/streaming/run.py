@@ -45,7 +45,15 @@ def materialize(
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt-{name}-")
+    # Harness checkpoints are throwaway (deleted in the finally below),
+    # so put them on tmpfs when the host has one: the state-store delta
+    # writes of a stream-stream join otherwise hit disk through the
+    # page cache, which measured as the DOMINANT and most VARIABLE cost
+    # of these queries (same-code spread 3.6-9.0 s on stream_error_clicks,
+    # PLANS.md round 13). Production checkpoints go to durable storage —
+    # this shortcut is valid precisely because the dir dies with the call.
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt-{name}-", dir=ckpt_base)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set(
