@@ -189,3 +189,47 @@ def ranged_cumsum(
         .withColumn(out_col, F.col("_loc") + F.col("_off"))
         .drop("_pid", "_loc", "_off")
     )
+
+
+def ranged_cummax_exclusive(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cummax",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Two-phase range-partitioned EXCLUSIVE running max — the 100 TB
+    form of `max() OVER (ORDER BY … ROWS UNBOUNDED PRECEDING TO 1
+    PRECEDING)`, the streaming-watermark recurrence ("the largest event
+    time seen before this row arrived"). Same construction as
+    ranged_cumsum (which see, including the determinism/total-order and
+    checkpoint-pins-the-boundaries notes): a within-partition exclusive
+    cummax in parallel, then each partition's carry-in = the exclusive
+    prefix max of per-partition maxima over the tiny _pid domain,
+    combined with `greatest` (which skips the NULL carry-in of the
+    first partition and the NULL local prefix of each partition's first
+    row — exactly the "no predecessor" semantics of the global window:
+    the overall first row comes out NULL)."""
+    from pyspark.sql import Window
+
+    local = _ranged_pid_frame(df, order_cols, n_partitions).localCheckpoint(
+        eager=True
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = local.withColumn("_loc", F.max(F.col(value_col)).over(w_local))
+    totals = local.groupBy("_pid").agg(F.max(value_col).alias("_tot"))
+    w_prev = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_pid", F.max("_tot").over(w_prev).alias("_carry")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.greatest(F.col("_loc"), F.col("_carry")))
+        .drop("_pid", "_loc", "_carry")
+    )

@@ -19153,6 +19153,308 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# Streaming-design / release-engineering audits (round 13: S22, L36, Z6)
+# ---------------------------------------------------------------------------
+
+# Watermark policies under audit, in seconds.
+_WATERMARK_POLICIES = (60, 600, 3600)
+
+# Deterministic ingest-jitter model for the watermark audit: each event
+# arrives `(event_id % 7200) * 4561 % 7200` seconds after its event
+# time (4561 = 2654435761 mod 7200 — Knuth's multiplicative constant
+# reduced first so the product NEVER exceeds 7200², overflow-safe for
+# any event_id under ANSI mode; gcd(4561, 7200) = 1 keeps the delay
+# uniform over 0..7199). The generator emits events already sorted by
+# time, so with arrival == event time the audit would report zero
+# lateness at every policy — the jitter makes the census a real
+# discriminator while staying bit-identical across engines.
+_WM_JITTER_MOD = 7200
+_WM_JITTER_MUL = 4561
+
+
+def q_events_watermark_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S22 — watermark policy census (the design input for every
+    streaming query's `withWatermark`): replay the events stream in
+    arrival order and, for each candidate watermark W ∈ {1 min, 10 min,
+    1 h}, count the events that would be DROPPED as too late — an
+    event is late by `(max event time already arrived) − (its own
+    event time)`, the exact recurrence Spark's watermark tracks.
+    Arrival order = event time + the deterministic bounded jitter
+    above (see _WM_JITTER_MOD). TS18's per-user disorder audit sizes
+    per-key buffers; this one prices the GLOBAL policy: pick W where
+    pct_dropped crosses the SLO.
+
+    Plan: the global exclusive running max is
+    plans/scale.ranged_cummax_exclusive — range-partition on arrival
+    order, partition-local window, 32-row carry window — never a
+    single-task global sort; then ONE partial-aggregable rollup and a
+    3-literal explode. Scale-safe at any fact size."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_seconds,
+    )
+    from floatchat_datapipeline_spark.plans.scale import (
+        ranged_cummax_exclusive,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", epoch_seconds(F.col("ts")).alias("ts_s")
+    )
+    ev = ev.withColumn(
+        "akey",
+        F.col("ts_s")
+        + (F.col("event_id") % _WM_JITTER_MOD)
+        * _WM_JITTER_MUL
+        % _WM_JITTER_MOD,
+    )
+    g = ranged_cummax_exclusive(ev, ["akey", "event_id"], "ts_s", "wm")
+    late = g.select(
+        F.greatest(
+            F.coalesce(F.col("wm") - F.col("ts_s"), F.lit(0)), F.lit(0)
+        ).alias("late_s")
+    )
+    agg = late.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("late_s").alias("max_late_s"),
+        *[
+            F.sum((F.col("late_s") > F.lit(w)).cast("long")).alias(f"d{w}")
+            for w in _WATERMARK_POLICIES
+        ],
+    )
+    pol = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(w).cast("long").alias("watermark_s"),
+                    F.col(f"d{w}").alias("n_dropped"),
+                )
+                for w in _WATERMARK_POLICIES
+            ]
+        )
+    ).alias("p")
+    return (
+        agg.select("n", "max_late_s", pol)
+        .select(
+            F.col("p.watermark_s").alias("watermark_s"),
+            F.col("p.n_dropped").alias("n_dropped"),
+            # exact-integer quotient — identical IEEE ops both engines
+            F.round(
+                F.lit(100.0) * F.col("p.n_dropped") / F.col("n"), 6
+            ).alias("pct_dropped"),
+            F.col("max_late_s").cast("long").alias("max_late_s"),
+        )
+        .orderBy("watermark_s")
+    )
+
+
+_EVENTS_WATERMARK_POLICY_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) // 1000000 AS ts_s,
+         epoch_us(ts) // 1000000
+           + (event_id % {_WM_JITTER_MOD}) * {_WM_JITTER_MUL}
+             % {_WM_JITTER_MOD} AS akey
+  FROM events
+), l AS (
+  SELECT greatest(coalesce(max(ts_s) OVER (
+      ORDER BY akey, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts_s, 0), 0)
+    AS late_s
+  FROM ev
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(max(late_s) AS BIGINT) AS max_late_s,
+         CAST(sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d60,
+         CAST(sum(CASE WHEN late_s > 600 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d600,
+         CAST(sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d3600
+  FROM l
+)
+SELECT * FROM (
+  SELECT CAST(60 AS BIGINT) AS watermark_s, d60 AS n_dropped,
+         round(100e0 * d60 / n, 6) AS pct_dropped, max_late_s FROM agg
+  UNION ALL
+  SELECT 600, d600, round(100e0 * d600 / n, 6), max_late_s FROM agg
+  UNION ALL
+  SELECT 3600, d3600, round(100e0 * d3600 / n, 6), max_late_s FROM agg
+) ORDER BY watermark_s
+"""
+
+
+def q_events_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L36 — temporal train/test split with an embargo gap (the
+    time-series twin of L1/L12's hash splits): train = days before the
+    70% cut of the observed day span, a 1-day embargo after the cut is
+    DROPPED (events whose influence straddles the boundary — the
+    finance-backtest rule, de Prado's purged split), test = the rest.
+    The report prices the split: per-segment event counts plus the
+    LEAKAGE readout — users_both counts users appearing on both sides,
+    exactly what a per-user-state model would leak through (uniform
+    synthetic traffic honestly reports every user on both sides; real
+    churn makes this the number you negotiate embargo length with).
+
+    Plan: one 1-row min/max broadcast, one user-grain partial agg, one
+    global rollup — no windows, no second fact scan."""
+    from floatchat_datapipeline_spark.functions.eventtime import (
+        epoch_micros,
+        long_div,
+    )
+
+    us_day = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", long_div(epoch_micros(F.col("ts")), us_day).alias("day")
+    )
+    bounds = ev.agg(
+        (
+            F.min("day")
+            + long_div(
+                (F.max("day") - F.min("day") + F.lit(1)) * F.lit(7), 10
+            )
+        ).alias("cut")
+    )
+    seg = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.when(F.col("day") < F.col("cut"), F.lit(0))
+            .when(F.col("day") < F.col("cut") + 1, F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("seg"),
+            "cut",
+        )
+    )
+    u = seg.groupBy("user_id", "cut").agg(
+        *[
+            F.sum((F.col("seg") == s).cast("long")).alias(c)
+            for s, c in ((0, "tr"), (1, "em"), (2, "te"))
+        ]
+    )
+    return u.groupBy(F.col("cut").alias("cut_day")).agg(
+        F.lit(1).cast("long").alias("embargo_days"),
+        F.sum("tr").alias("n_train"),
+        F.sum("em").alias("n_embargo"),
+        F.sum("te").alias("n_test"),
+        F.sum((F.col("tr") > 0).cast("long")).alias("users_train"),
+        F.sum((F.col("te") > 0).cast("long")).alias("users_test"),
+        F.sum(((F.col("tr") > 0) & (F.col("te") > 0)).cast("long")).alias(
+            "users_both"
+        ),
+    )
+
+
+_EVENTS_TEMPORAL_SPLIT_ORACLE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), b AS (
+  SELECT min(day) + ((max(day) - min(day) + 1) * 7) // 10 AS cut
+  FROM ev
+), u AS (
+  SELECT user_id, cut,
+         CAST(sum(CASE WHEN day < cut THEN 1 ELSE 0 END) AS BIGINT)
+           AS tr,
+         CAST(sum(CASE WHEN day >= cut AND day < cut + 1 THEN 1 ELSE 0
+                  END) AS BIGINT) AS em,
+         CAST(sum(CASE WHEN day >= cut + 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS te
+  FROM ev, b GROUP BY 1, 2
+)
+SELECT cut AS cut_day,
+       CAST(1 AS BIGINT) AS embargo_days,
+       CAST(sum(tr) AS BIGINT) AS n_train,
+       CAST(sum(em) AS BIGINT) AS n_embargo,
+       CAST(sum(te) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN tr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS users_train,
+       CAST(sum(CASE WHEN te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS users_test,
+       CAST(sum(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS users_both
+FROM u GROUP BY 1
+"""
+
+
+# Compaction bin target in characters (the n_bytes proxy this corpus
+# carries). Small enough to produce multi-bin plans from sf0.001 up.
+_COMPACTION_TARGET_CHARS = 4096
+
+
+def q_corpus_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z6 — small-file compaction plan (the lakehouse OPTIMIZE /
+    bin-packing step, Z4's shard planner pointed at the small-files
+    problem): within each source, documents are packed
+    largest-first into target-size bins by the sequential-fill rule —
+    a doc starts in bin ⌊(running total before it) / target⌋ — and the
+    report prices the layout: docs and bytes per bin, fill percentage.
+    Sequential fill is what table formats actually do for OPTIMIZE
+    (sort, then cut at the size boundary); first-fit-decreasing's
+    marginal packing win isn't worth losing the sort order.
+
+    Plan: ONE source-partitioned cumsum window over the doc listing
+    (file metadata scale, not content scale — at 100 TB this input is
+    the manifest, ~10⁶ rows/source) and one partial-aggregable rollup.
+    No global window, no joins."""
+    from pyspark.sql import Window
+
+    from floatchat_datapipeline_spark.functions.eventtime import long_div
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = docs.withColumn("cum", F.sum("n_chars").over(w)).select(
+        "source",
+        "n_chars",
+        long_div(
+            F.col("cum") - F.col("n_chars"), _COMPACTION_TARGET_CHARS
+        ).alias("bin_id"),
+    )
+    return (
+        binned.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("bin_chars"),
+        )
+        .select(
+            "source",
+            "bin_id",
+            "n_docs",
+            "bin_chars",
+            # exact-integer quotient — identical IEEE ops both engines
+            F.round(
+                F.lit(100.0)
+                * F.col("bin_chars")
+                / F.lit(_COMPACTION_TARGET_CHARS),
+                6,
+            ).alias("fill_pct"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+_CORPUS_COMPACTION_PLAN_ORACLE = f"""
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source
+           ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+SELECT source,
+       CAST((cum - n_chars) // {_COMPACTION_TARGET_CHARS} AS BIGINT)
+         AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS bin_chars,
+       round(100e0 * sum(n_chars) / {_COMPACTION_TARGET_CHARS}, 6)
+         AS fill_pct
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -19442,6 +19744,21 @@ def _base_registry() -> dict[str, QuerySpec]:
             q_orders_hill_tail,
             _ORDERS_HILL_TAIL_ORACLE,
             ("A68", "A52"),
+        ),
+        "events_watermark_policy": QuerySpec(
+            q_events_watermark_policy,
+            _EVENTS_WATERMARK_POLICY_ORACLE,
+            ("S22", "TS18"),
+        ),
+        "events_temporal_split": QuerySpec(
+            q_events_temporal_split,
+            _EVENTS_TEMPORAL_SPLIT_ORACLE,
+            ("L36", "L12"),
+        ),
+        "corpus_compaction_plan": QuerySpec(
+            q_corpus_compaction_plan,
+            _CORPUS_COMPACTION_PLAN_ORACLE,
+            ("Z6", "Z4"),
         ),
         "purchase_hits": QuerySpec(
             q_purchase_hits, _PURCHASE_HITS_ORACLE, ("G11",)

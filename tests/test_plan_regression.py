@@ -57,6 +57,9 @@ UNPART_WINDOW_WHITELIST = frozenset(
         "rfm_segments",
         "spend_rank_correlation",
         "whale_revenue_share",
+        # ranged_cummax_exclusive carry window (same ≤ 32-row _pid
+        # domain as the cumsum offset window above)
+        "events_watermark_policy",
         # CCDF rank over the degree HISTOGRAM — domain = distinct degrees
         "degree_distribution",
         # Kaplan-Meier day curve — domain = observation days

@@ -426,6 +426,12 @@ SURVEY_IDS = [
     "L35",
     # Hill tail index (TakeOrdered probe, quantized log-spreads)
     "A68",
+    # watermark policy census (ranged exclusive cummax, drop pricing)
+    "S22",
+    # temporal split with embargo (purged cut + leakage readout)
+    "L36",
+    # compaction plan (sequential-fill bin packing over the manifest)
+    "Z6",
 ]
 
 # North-star families (BASELINE.json) that must also be present.
