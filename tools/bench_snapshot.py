@@ -32,11 +32,45 @@ MAX_LOAD = 2.0
 MAX_PROBE = 0.5
 
 
+def _cpu_probe() -> float:
+    import time
+
+    t0 = time.time()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    return round(time.time() - t0, 3)
+
+
+def _wait_for_healthy_cpu(max_wait_s: int = 1800) -> float:
+    """Block until the steal probe clears MAX_PROBE (round-13 lesson:
+    this host runs sustained >1 h windows at ~2.5× slowdown — probing
+    only AFTER run 1 wastes a full bench pass per refusal). Returns the
+    last probe; gives up after max_wait_s and lets the per-run gate
+    decide."""
+    import time
+
+    waited = 0
+    probe = _cpu_probe()
+    while probe > MAX_PROBE and waited < max_wait_s:
+        print(
+            f"cpu probe {probe} s > {MAX_PROBE} s — steal window, "
+            f"waiting ({waited}/{max_wait_s} s)",
+            flush=True,
+        )
+        time.sleep(60)
+        waited += 60
+        probe = _cpu_probe()
+    return probe
+
+
 def main() -> None:
     import time
 
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     force = os.environ.get("BENCH_SNAPSHOT_FORCE") == "1"
+    if not force:
+        _wait_for_healthy_cpu()
     merged: dict | None = None
     probes: list[float] = []
     loads: list[float] = []
@@ -58,6 +92,9 @@ def main() -> None:
                 "(BENCH_SNAPSHOT_FORCE=1 to override)"
             )
             sys.exit(1)
+        if i > 0 and not force:
+            # a steal window can open mid-snapshot; don't burn a run on it
+            _wait_for_healthy_cpu(max_wait_s=900)
         rc = subprocess.run(
             [sys.executable, os.path.join(ROOT, "bench.py")],
             cwd=ROOT,
