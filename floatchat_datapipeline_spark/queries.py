@@ -5521,8 +5521,21 @@ def q_vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens("text")).alias("token"))
-    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
-    sketch = cms_build(tok)
+    # Tokenize ONCE: the sketch built from the pre-aggregated
+    # (token, exact) rollup with weight_col is bit-identical to one
+    # built from the raw stream (sum of weights = count of
+    # occurrences), and the seeded md5 coordinates are now computed
+    # per DISTINCT token instead of per token occurrence. cnt feeds
+    # three consumers (sketch build, estimate probes, final join), so
+    # it is eagerly checkpointed — it is vocabulary-bounded, never
+    # corpus-sized (r13; previously the raw tokenize ran again for the
+    # sketch branch).
+    cnt = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .localCheckpoint(eager=True)
+    )
+    sketch = cms_build(cnt, weight_col="exact")
     est = cms_estimate(cnt, sketch)
     return (
         cnt.join(est, "token")
@@ -7789,9 +7802,17 @@ def q_doc_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.levenshtein(F.col("a.pre"), F.col("b.pre")).alias("dist"),
+            # Threshold form: banded O(len·24) DP that bails out early
+            # (returns -1) instead of the full 48×48 matrix per pair —
+            # most candidate pairs sit at the random-text noise floor
+            # (>= 26), so they abandon the band without finishing it.
+            # For surviving pairs (dist <= 24) the value is the exact
+            # distance, identical to the 2-arg form the oracle keeps.
+            F.levenshtein(F.col("a.pre"), F.col("b.pre"), 24).alias(
+                "dist"
+            ),
         )
-        .filter(F.col("dist") <= 24)
+        .filter(F.col("dist") >= 0)
     )
 
 
@@ -11086,67 +11107,29 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte histogram is replaced by decoded perceptual features
     (operators/multimodal.decode_image, env-gated PIL — reference
     embeddings/embed.py:22-44's media path); the SPARK PLUMBING —
-    binary column, JVM-side hex explode (no UDF), banded self-join,
-    packed-word Hamming — is exactly what ships.
+    binary column, Arrow-batched numpy signature pass, banded
+    self-join, packed-word Hamming — is exactly what ships.
 
-    Scale: signature build is one partial-agg histogram + one packing
-    agg; the banded join is bucketed, never all-pairs, and the cap
-    bounds any degenerate band."""
+    Scale: signature build is one map-side Arrow pass (no byte rows
+    ever shuffle — the r13 fix; the old per-byte hex explode carried
+    each blob's full hex string on every byte row, a quadratic
+    materialization); the banded join is bucketed, never all-pairs,
+    and the cap bounds any degenerate band."""
     from floatchat_datapipeline_spark.operators.multimodal import (
+        phash_signatures,
         synth_media,
     )
     from pyspark.sql import Window
 
     media = synth_media(load_table(spark, sf_dir, "documents"))
-    hexed = media.select(
-        "doc_id",
-        F.hex("content").alias("hx"),
-        F.length("content").alias("nb"),
-    )
-    bytes_ = hexed.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.col("nb"))).alias("i"),
-        "hx",
-    ).select(
-        "doc_id",
-        F.conv(
-            F.expr("substring(hx, cast(2 * i - 1 as int), 2)"), 16, 10
-        )
-        .cast("long")
-        .alias("byte"),
-    )
-    hist = bytes_.groupBy(
-        "doc_id", F.expr("byte div 4").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("mass"))
-    # Per-doc total via a window over the hist rollup — one pass, no
-    # self-join (a hist↔tot join would re-execute the byte explode on
-    # both branches).
-    bits = hist.withColumn(
-        "total",
-        F.sum("mass").over(Window.partitionBy("doc_id")),
-    ).select(
-        "doc_id",
-        "bucket",
-        (64 * F.col("mass") > F.col("total")).cast("long").alias("bit"),
-    )
-    # The signature table is N rows × 3 BIGINTs; localCheckpoint it so
-    # the band explode and BOTH sides of the candidate self-join reuse
-    # the materialized sigs instead of re-running the hex explode
-    # (two-branch rule; measured 12.9 s → ~2 s at sf0.1).
-    sig = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.expr(
-                "case when bucket < 32 then "
-                "bit * shiftleft(1L, cast(bucket as int)) else 0 end"
-            )
-        ).alias("w0"),
-        F.sum(
-            F.expr(
-                "case when bucket >= 32 then "
-                "bit * shiftleft(1L, cast(bucket - 32 as int)) else 0 end"
-            )
-        ).alias("w1"),
-    ).localCheckpoint(eager=True)
+    # Signature build is ONE Arrow-batched numpy pass (see
+    # operators/multimodal.phash_signatures — replaces the per-byte JVM
+    # explode that materialized each blob's full hex string once per
+    # byte row, plus its two histogram shuffles). The signature table is
+    # N rows × 3 BIGINTs; localCheckpoint it so the band explode and
+    # BOTH sides of the candidate self-join reuse the materialized sigs
+    # instead of re-running the Python pass (two-branch rule).
+    sig = phash_signatures(media).localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id",
         "w0",
@@ -15562,11 +15545,15 @@ def _discord_report(
         F.col("h").alias("h2"),
         F.col("v").alias("v2"),
     )
-    dist2 = F.aggregate(
-        F.zip_with("v", "v2", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # Unrolled Σ(aₖ−bₖ)²: HOF folds (zip_with + aggregate) never enter
+    # whole-stage codegen, so at ~1.2M candidate pairs the interpreted
+    # fold dominated the query (guide §4.1 — prefer builtin expression
+    # trees; same associativity/order, bit-identical BIGINT sum).
+    dist2 = None
+    for i in range(1, window + 1):
+        d = F.element_at("v", i) - F.element_at("v2", i)
+        term = d * d
+        dist2 = term if dist2 is None else dist2 + term
     nn = (
         win.join(
             b,
@@ -16613,13 +16600,14 @@ def q_media_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplied integers). On real video the histogram is
     replaced by decoded frame features (operators/multimodal.
     decode_image, env-gated); the Spark plumbing — JVM-side frame
-    slicing, dense histogram columns, consecutive-frame equi-join,
+    slicing, dense histogram vectors, consecutive-frame lead window,
     integer threshold — is exactly what ships.
 
     Scale: one map-side pass builds the per-frame histograms as pure
     string ops on ≤ 7 frame-sliced rows per doc (NO per-byte explode —
-    see _shot_boundaries_from_media); the consecutive-frame join is
-    per-doc bounded (≤ 7 frames), never a self-join over the corpus."""
+    see _shot_boundaries_from_media); consecutive frames pair via a
+    lead() window on the same doc_id partitioning the final rollup
+    uses — one exchange total, never a self-join over the corpus."""
     from floatchat_datapipeline_spark.operators.multimodal import (
         synth_media,
     )
@@ -16667,34 +16655,34 @@ def _shot_boundaries_from_media(
             "      - (frame * nb + nf - 1) div nf as int))"
         ).alias("fs"),
     )
+    # One dense 16-long histogram ARRAY per frame row (no 16-way
+    # explode): consecutive frames pair via a lead() window on the SAME
+    # doc_id partitioning the final rollup needs, so the whole distance
+    # pass costs one exchange — the r13 rewrite of the exploded
+    # dense↔next equi-join (explode + join shuffle + extra groupBy).
+    from pyspark.sql import Window
+
     digits = F.transform(
         F.split(F.lit("0,1,2,3,4,5,6,7,8,9,A,B,C,D,E,F"), ","),
-        lambda d: F.struct(
-            d.alias("bucket"),
-            (
-                F.length("fs")
-                - F.length(F.replace(F.col("fs"), d, F.lit("")))
-            )
-            .cast("long")
-            .alias("mass"),
-        ),
+        lambda d: (
+            F.length("fs") - F.length(F.replace(F.col("fs"), d, F.lit("")))
+        ).cast("long"),
     )
-    dense = frames.select(
-        "doc_id", "frame", F.explode(digits).alias("bm")
-    ).select("doc_id", "frame", "bm.bucket", "bm.mass")
-    nxt = dense.select(
-        "doc_id",
-        (F.col("frame") - 1).alias("frame"),
-        "bucket",
-        F.col("mass").alias("mass2"),
+    hists = frames.select("doc_id", "frame", digits.alias("hist"))
+    w_next = Window.partitionBy("doc_id").orderBy("frame")
+    paired = hists.withColumn("h2", F.lead("hist").over(w_next)).filter(
+        F.col("h2").isNotNull()
     )
-    steps = (
-        dense.join(nxt, ["doc_id", "frame", "bucket"])
-        .groupBy("doc_id", "frame")
-        .agg(
-            F.sum(F.abs(F.col("mass") - F.col("mass2"))).alias("l1"),
-            F.sum(F.col("mass") + F.col("mass2")).alias("tm"),
-        )
+    # Unrolled 16-term sums (HOF folds don't codegen — the discord rule).
+    l1 = None
+    tm = None
+    for k in range(1, 17):
+        d = F.element_at("hist", k) - F.element_at("h2", k)
+        s = F.element_at("hist", k) + F.element_at("h2", k)
+        l1 = F.abs(d) if l1 is None else l1 + F.abs(d)
+        tm = s if tm is None else tm + s
+    steps = paired.select(
+        "doc_id", "frame", l1.alias("l1"), tm.alias("tm")
     )
     return (
         steps.groupBy("doc_id")
