@@ -6930,8 +6930,18 @@ def q_events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hx"),
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
     x0 = hourly.agg(F.min("hx").alias("x0"))
-    h = hourly.crossJoin(F.broadcast(x0)).select(
-        "event_type", (F.col("hx") - F.col("x0")).alias("x"), "y"
+    # The rebased hourly frame feeds BOTH sides of the pair self-join,
+    # and each side would otherwise re-run the raw scan + hourly rollup
+    # + x0 scalar (4 full scans in the r12 plan — no exchange reuse
+    # across the differently-projected sides). It is hour-spine-bounded
+    # (n_types × n_hours rows), so eager-checkpoint it (two-branch
+    # rule) and let the pair join read the materialized frame twice.
+    h = (
+        hourly.crossJoin(F.broadcast(x0))
+        .select(
+            "event_type", (F.col("hx") - F.col("x0")).alias("x"), "y"
+        )
+        .localCheckpoint(eager=True)
     )
     h2 = h.select(
         "event_type", F.col("x").alias("x2"), F.col("y").alias("y2")
@@ -18163,81 +18173,97 @@ def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE broadcasts the dim-sized parent sides. One IEEE division per
     edge for row coverage, NULL-guarded for the empty-child edge."""
 
-    def edge(
-        fk: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str
-    ) -> DataFrame:
-        ck = (
-            child.select(F.col(ckey).cast("string").alias("k"))
-            .groupBy("k")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        pk = parent.select(
-            F.col(pkey).cast("string").alias("pk")
-        ).distinct()
-        orphan = F.col("pk").isNull()
-        return (
-            ck.join(pk, ck["k"] == pk["pk"], "left")
-            .agg(
-                F.lit(fk).alias("fk"),
-                F.coalesce(F.sum("c"), F.lit(0)).alias("n_child_rows"),
-                F.count(F.lit(1)).alias("n_child_keys"),
-                F.coalesce(
-                    F.sum(F.when(orphan, F.col("c"))), F.lit(0)
-                ).alias("n_orphan_rows"),
-                F.count(F.when(orphan, 1)).alias("n_orphan_keys"),
-            )
-        )
-
+    # Melted audit (r13): ONE lineitem scan feeds its three FK edges
+    # via stack() and all five edges share one (fk, k) rollup + one
+    # left join + one per-edge aggregation — the exact shape of the
+    # oracle's child/parent CTEs (the r12 per-edge form scanned
+    # lineitem three times and ran five separate join+agg subplans; it
+    # also emitted a zero row for an EMPTY child table where the
+    # oracle's GROUP BY fk emits none — a latent parity hole on
+    # degenerate input, closed by mirroring the melt).
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    parts = [
-        edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
-        edge(
-            "lineitem->part",
-            li,
-            "l_partkey",
-            load_table(spark, sf_dir, "part"),
-            "p_partkey",
-        ),
-        edge(
-            "lineitem->supplier",
-            li,
-            "l_suppkey",
-            load_table(spark, sf_dir, "supplier"),
-            "s_suppkey",
-        ),
-        edge(
-            "orders->customer",
-            orders,
-            "o_custkey",
-            load_table(spark, sf_dir, "customer"),
-            "c_custkey",
-        ),
-        edge(
-            "events.user->supplier",
-            load_table(spark, sf_dir, "events"),
-            "user_id",
-            load_table(spark, sf_dir, "supplier"),
-            "s_suppkey",
-        ),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    # degenerate guard: an empty child table has no coverage to report
-    return out.select(
-        "fk",
-        "n_child_rows",
-        "n_child_keys",
-        "n_orphan_rows",
-        "n_orphan_keys",
-        F.when(
-            F.col("n_child_rows") != F.lit(0),
-            F.lit(1.0)
-            - F.col("n_orphan_rows").cast("double")
-            / F.col("n_child_rows"),
-        ).alias("row_coverage"),
-    ).orderBy("fk")
+
+    def tagged(df: DataFrame, fk: str, col: str, out: str) -> DataFrame:
+        return df.select(
+            F.lit(fk).alias("fk"), F.col(col).cast("string").alias(out)
+        )
+
+    child = (
+        li.selectExpr(
+            "stack(3,"
+            " 'lineitem->orders', cast(l_orderkey as string),"
+            " 'lineitem->part', cast(l_partkey as string),"
+            " 'lineitem->supplier', cast(l_suppkey as string)"
+            ") as (fk, k)"
+        )
+        .unionByName(tagged(orders, "orders->customer", "o_custkey", "k"))
+        .unionByName(
+            tagged(
+                load_table(spark, sf_dir, "events"),
+                "events.user->supplier",
+                "user_id",
+                "k",
+            )
+        )
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    parent = (
+        tagged(orders, "lineitem->orders", "o_orderkey", "pk")
+        .unionByName(
+            tagged(
+                load_table(spark, sf_dir, "part"),
+                "lineitem->part",
+                "p_partkey",
+                "pk",
+            )
+        )
+        .unionByName(tagged(supplier, "lineitem->supplier", "s_suppkey", "pk"))
+        .unionByName(
+            tagged(
+                load_table(spark, sf_dir, "customer"),
+                "orders->customer",
+                "c_custkey",
+                "pk",
+            )
+        )
+        .unionByName(
+            tagged(supplier, "events.user->supplier", "s_suppkey", "pk")
+        )
+    )
+    ck = child.groupBy("fk", "k").agg(F.count(F.lit(1)).alias("c"))
+    pk = parent.distinct().withColumnRenamed("fk", "pfk")
+    orphan = F.col("pk").isNull()
+    joined = ck.join(
+        pk,
+        (ck["fk"] == F.col("pfk")) & (ck["k"] == F.col("pk")),
+        "left",
+    )
+    return (
+        joined.groupBy("fk")
+        .agg(
+            F.sum("c").alias("n_child_rows"),
+            F.count(F.lit(1)).alias("n_child_keys"),
+            F.coalesce(F.sum(F.when(orphan, F.col("c"))), F.lit(0)).alias(
+                "n_orphan_rows"
+            ),
+            F.count(F.when(orphan, 1)).alias("n_orphan_keys"),
+        )
+        .select(
+            "fk",
+            "n_child_rows",
+            "n_child_keys",
+            "n_orphan_rows",
+            "n_orphan_keys",
+            F.when(
+                F.col("n_child_rows") != F.lit(0),
+                F.lit(1.0)
+                - F.col("n_orphan_rows").cast("double")
+                / F.col("n_child_rows"),
+            ).alias("row_coverage"),
+        )
+        .orderBy("fk")
+    )
 
 
 _FK_ORPHAN_AUDIT_ORACLE = """
