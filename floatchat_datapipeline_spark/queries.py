@@ -16522,8 +16522,14 @@ def q_doc_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    docbi = bi.groupBy("doc_id", "w1", "w2").agg(
-        F.count(F.lit(1)).alias("m")
+    # docbi feeds BOTH the corpus-stat chain and the final scored join;
+    # checkpoint it so the raw bigram explode runs once (r13, two-branch
+    # rule). It is doc×distinct-bigram-bounded — the same order as the
+    # query's own output lineage, never wider than the corpus.
+    docbi = (
+        bi.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=True)
     )
     c12 = docbi.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
     c12 = c12.localCheckpoint(eager=True)  # four stat consumers
@@ -18993,9 +18999,17 @@ def q_doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("phrase"),
         F.count(F.lit(1)).alias("plen"),
     )
-    wstats = (
+    # The phrase-membership frame (one row per non-stop token) feeds
+    # BOTH the word-stats rollup and the phrase-score rollup; eagerly
+    # checkpoint it once (two-branch rule) instead of re-running the
+    # two windows + phrase groupBy + join per branch (r13).
+    members = (
         chunked.join(phrases, ["doc_id", "island", "chunk"])
-        .groupBy("tok")
+        .select("doc_id", "island", "chunk", "tok", "phrase", "plen")
+        .localCheckpoint(eager=True)
+    )
+    wstats = (
+        members.groupBy("tok")
         .agg(
             F.count(F.lit(1)).alias("freq"),
             F.sum("plen").alias("deg"),
@@ -19010,8 +19024,7 @@ def q_doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pscore = (
-        chunked.join(phrases, ["doc_id", "island", "chunk"])
-        .join(F.broadcast(wstats), "tok")
+        members.join(F.broadcast(wstats), "tok")
         .groupBy("doc_id", "island", "chunk", "phrase")
         .agg(F.sum("nanos").alias("score_nanos"))
     )
