@@ -6903,7 +6903,8 @@ WHERE a.v = 0 AND b.v = 1
 
 def q_events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A32 — Theil–Sen robust trend per event_type: the median of all
-    pairwise hourly slopes (y in exact cents, x a rebased hour index),
+    pairwise hourly slopes (y in exact cents, x the raw hour index —
+    slopes depend only on index differences, so no rebase is needed),
     immune to the outlier hours that tilt the A25 OLS fit. Each slope is
     ONE IEEE division of two exact BIGINTs, rounded 1e-9 (the parity
     convention for derived floats), and the median is the exact lower
@@ -6929,20 +6930,15 @@ def q_events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             epoch_micros(F.date_trunc("hour", F.col("ts"))), 3_600_000_000
         ).alias("hx"),
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
-    x0 = hourly.agg(F.min("hx").alias("x0"))
-    # The rebased hourly frame feeds BOTH sides of the pair self-join,
-    # and each side would otherwise re-run the raw scan + hourly rollup
-    # + x0 scalar (4 full scans in the r12 plan — no exchange reuse
-    # across the differently-projected sides). It is hour-spine-bounded
-    # (n_types × n_hours rows), so eager-checkpoint it (two-branch
-    # rule) and let the pair join read the materialized frame twice.
-    h = (
-        hourly.crossJoin(F.broadcast(x0))
-        .select(
-            "event_type", (F.col("hx") - F.col("x0")).alias("x"), "y"
-        )
-        .localCheckpoint(eager=True)
-    )
+    # No x0 rebase: the slope uses only DIFFERENCES, and
+    # (x2−x0)−(x−x0) = x2−x exactly (integers), so the min-hour scalar
+    # join the r12 form carried on both sides of the self-join was
+    # mathematically inert — its only effect was defeating exchange
+    # reuse, which made each join side re-run the raw scan + hourly
+    # rollup + x0 (4 full scans). With both sides now pure renames of
+    # the SAME rollup, the pair join reuses one exchange and one scan
+    # (oracle unchanged — its rebase cancels identically).
+    h = hourly.select("event_type", F.col("hx").alias("x"), "y")
     h2 = h.select(
         "event_type", F.col("x").alias("x2"), F.col("y").alias("y2")
     )
@@ -16522,14 +16518,8 @@ def q_doc_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    # docbi feeds BOTH the corpus-stat chain and the final scored join;
-    # checkpoint it so the raw bigram explode runs once (r13, two-branch
-    # rule). It is doc×distinct-bigram-bounded — the same order as the
-    # query's own output lineage, never wider than the corpus.
-    docbi = (
-        bi.groupBy("doc_id", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .localCheckpoint(eager=True)
+    docbi = bi.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
     )
     c12 = docbi.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
     c12 = c12.localCheckpoint(eager=True)  # four stat consumers
@@ -18179,97 +18169,81 @@ def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE broadcasts the dim-sized parent sides. One IEEE division per
     edge for row coverage, NULL-guarded for the empty-child edge."""
 
-    # Melted audit (r13): ONE lineitem scan feeds its three FK edges
-    # via stack() and all five edges share one (fk, k) rollup + one
-    # left join + one per-edge aggregation — the exact shape of the
-    # oracle's child/parent CTEs (the r12 per-edge form scanned
-    # lineitem three times and ran five separate join+agg subplans; it
-    # also emitted a zero row for an EMPTY child table where the
-    # oracle's GROUP BY fk emits none — a latent parity hole on
-    # degenerate input, closed by mirroring the melt).
+    def edge(
+        fk: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str
+    ) -> DataFrame:
+        ck = (
+            child.select(F.col(ckey).cast("string").alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pk = parent.select(
+            F.col(pkey).cast("string").alias("pk")
+        ).distinct()
+        orphan = F.col("pk").isNull()
+        return (
+            ck.join(pk, ck["k"] == pk["pk"], "left")
+            .agg(
+                F.lit(fk).alias("fk"),
+                F.coalesce(F.sum("c"), F.lit(0)).alias("n_child_rows"),
+                F.count(F.lit(1)).alias("n_child_keys"),
+                F.coalesce(
+                    F.sum(F.when(orphan, F.col("c"))), F.lit(0)
+                ).alias("n_orphan_rows"),
+                F.count(F.when(orphan, 1)).alias("n_orphan_keys"),
+            )
+        )
+
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-
-    def tagged(df: DataFrame, fk: str, col: str, out: str) -> DataFrame:
-        return df.select(
-            F.lit(fk).alias("fk"), F.col(col).cast("string").alias(out)
-        )
-
-    child = (
-        li.selectExpr(
-            "stack(3,"
-            " 'lineitem->orders', cast(l_orderkey as string),"
-            " 'lineitem->part', cast(l_partkey as string),"
-            " 'lineitem->supplier', cast(l_suppkey as string)"
-            ") as (fk, k)"
-        )
-        .unionByName(tagged(orders, "orders->customer", "o_custkey", "k"))
-        .unionByName(
-            tagged(
-                load_table(spark, sf_dir, "events"),
-                "events.user->supplier",
-                "user_id",
-                "k",
-            )
-        )
-    )
-    supplier = load_table(spark, sf_dir, "supplier")
-    parent = (
-        tagged(orders, "lineitem->orders", "o_orderkey", "pk")
-        .unionByName(
-            tagged(
-                load_table(spark, sf_dir, "part"),
-                "lineitem->part",
-                "p_partkey",
-                "pk",
-            )
-        )
-        .unionByName(tagged(supplier, "lineitem->supplier", "s_suppkey", "pk"))
-        .unionByName(
-            tagged(
-                load_table(spark, sf_dir, "customer"),
-                "orders->customer",
-                "c_custkey",
-                "pk",
-            )
-        )
-        .unionByName(
-            tagged(supplier, "events.user->supplier", "s_suppkey", "pk")
-        )
-    )
-    ck = child.groupBy("fk", "k").agg(F.count(F.lit(1)).alias("c"))
-    pk = parent.distinct().withColumnRenamed("fk", "pfk")
-    orphan = F.col("pk").isNull()
-    joined = ck.join(
-        pk,
-        (ck["fk"] == F.col("pfk")) & (ck["k"] == F.col("pk")),
-        "left",
-    )
-    return (
-        joined.groupBy("fk")
-        .agg(
-            F.sum("c").alias("n_child_rows"),
-            F.count(F.lit(1)).alias("n_child_keys"),
-            F.coalesce(F.sum(F.when(orphan, F.col("c"))), F.lit(0)).alias(
-                "n_orphan_rows"
-            ),
-            F.count(F.when(orphan, 1)).alias("n_orphan_keys"),
-        )
-        .select(
-            "fk",
-            "n_child_rows",
-            "n_child_keys",
-            "n_orphan_rows",
-            "n_orphan_keys",
-            F.when(
-                F.col("n_child_rows") != F.lit(0),
-                F.lit(1.0)
-                - F.col("n_orphan_rows").cast("double")
-                / F.col("n_child_rows"),
-            ).alias("row_coverage"),
-        )
-        .orderBy("fk")
-    )
+    parts = [
+        edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        edge(
+            "lineitem->part",
+            li,
+            "l_partkey",
+            load_table(spark, sf_dir, "part"),
+            "p_partkey",
+        ),
+        edge(
+            "lineitem->supplier",
+            li,
+            "l_suppkey",
+            load_table(spark, sf_dir, "supplier"),
+            "s_suppkey",
+        ),
+        edge(
+            "orders->customer",
+            orders,
+            "o_custkey",
+            load_table(spark, sf_dir, "customer"),
+            "c_custkey",
+        ),
+        edge(
+            "events.user->supplier",
+            load_table(spark, sf_dir, "events"),
+            "user_id",
+            load_table(spark, sf_dir, "supplier"),
+            "s_suppkey",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # degenerate guard: an empty child table has no coverage to report
+    return out.select(
+        "fk",
+        "n_child_rows",
+        "n_child_keys",
+        "n_orphan_rows",
+        "n_orphan_keys",
+        F.when(
+            F.col("n_child_rows") != F.lit(0),
+            F.lit(1.0)
+            - F.col("n_orphan_rows").cast("double")
+            / F.col("n_child_rows"),
+        ).alias("row_coverage"),
+    ).orderBy("fk")
 
 
 _FK_ORPHAN_AUDIT_ORACLE = """
@@ -18999,17 +18973,23 @@ def q_doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("phrase"),
         F.count(F.lit(1)).alias("plen"),
     )
-    # The phrase-membership frame (one row per non-stop token) feeds
-    # BOTH the word-stats rollup and the phrase-score rollup; eagerly
-    # checkpoint it once (two-branch rule) instead of re-running the
-    # two windows + phrase groupBy + join per branch (r13).
-    members = (
-        chunked.join(phrases, ["doc_id", "island", "chunk"])
-        .select("doc_id", "island", "chunk", "tok", "phrase", "plen")
-        .localCheckpoint(eager=True)
+    # A phrase's token multiset IS split(phrase, ' ') (phrases are the
+    # space-join of their collected tokens, tokens contain no spaces),
+    # so BOTH the word-stats rollup and the per-phrase score derive
+    # from `phrases` alone — the r12 form re-joined `chunked` back to
+    # `phrases` on the chunk key in each branch, re-executing the two
+    # windows + rollup + join twice (r13: join eliminated from both
+    # branches; plen = size of the split).
+    pw = phrases.select(
+        "doc_id",
+        "island",
+        "chunk",
+        "phrase",
+        "plen",
+        F.explode(F.split("phrase", " ")).alias("tok"),
     )
     wstats = (
-        members.groupBy("tok")
+        pw.groupBy("tok")
         .agg(
             F.count(F.lit(1)).alias("freq"),
             F.sum("plen").alias("deg"),
@@ -19024,7 +19004,7 @@ def q_doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pscore = (
-        members.join(F.broadcast(wstats), "tok")
+        pw.join(F.broadcast(wstats), "tok")
         .groupBy("doc_id", "island", "chunk", "phrase")
         .agg(F.sum("nanos").alias("score_nanos"))
     )
