@@ -18192,6 +18192,15 @@ def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("n_orphan_rows"),
                 F.count(F.when(orphan, 1)).alias("n_orphan_keys"),
             )
+            # empty-child parity: an ungrouped agg over an empty input
+            # fabricates one all-zero row where the oracle's GROUP BY fk
+            # emits none; n_child_keys = count(*) = 0 happens ONLY on an
+            # empty child, so this filter drops exactly that row — a
+            # Filter node, not the extra exchange a grouped agg (literal
+            # or tagged key) was measured to add (plan audit 15 -> 16:
+            # grouping breaks the single-partition shape that lets the
+            # final orderBy skip its range exchange).
+            .filter(F.col("n_child_keys") > 0)
         )
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -19513,6 +19522,14 @@ _EDIT_INVALIDATIONS: dict[str, int] = {
     # identical (driver ids are unique), but the r12 green hashed the
     # pre-dedup plan, so re-enter the one consumer.
     "emb_semdedup": 13,
+    # Round-13 unroll of the per-pair HOF distance fold inside the
+    # shared helper _discord_report: value-equivalent (the
+    # size(v)==window filter pins the array length, making the 24-term
+    # unroll bit-identical to the fold; oracle-verified at
+    # sf0.001/sf0.01), but the consumer's own fingerprint did not move
+    # (seam-only change), so its r10 green hashed the old fold —
+    # re-enter per the documented convention.
+    "events_discord": 13,
     # Round-12 degenerate-divisor CASE guards; these queries ALSO carry
     # r7-era greens that predate FINGERPRINTS snapshots (the snapshot
     # diff already invalidates their r8+ checks, but the legacy rounds

@@ -1,4 +1,5 @@
-"""Dump .explain("formatted") for named queries to plans/r13/<name>_<tag>.txt.
+"""Dump .explain("formatted") for named queries to
+plans/$PLANS_ROUND/<name>_<tag>.txt (PLANS_ROUND default r14).
 
 Usage: python tools/explain_dump.py <tag> q1,q2[,...]
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
@@ -20,7 +21,9 @@ def main() -> None:
     tag = sys.argv[1]
     names = [n for n in sys.argv[2].split(",") if n]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(ROOT, "plans", "r13")
+    out_dir = os.path.join(
+        ROOT, "plans", os.environ.get("PLANS_ROUND", "r14")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     from floatchat_datapipeline_spark.session import get_spark
