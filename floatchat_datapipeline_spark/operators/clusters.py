@@ -248,8 +248,19 @@ def semdedup(
     base = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )
-    assigned = base.withColumn(
-        "cluster", nearest_centroid(f"`{vec_col}`", cents)
+    # The √N-centroid argmax is this operator's dominant per-row cost
+    # (k·d interpreted fold per vector) and `assigned` feeds TWO
+    # consumers that keep the cluster column (the pair generator and
+    # the final is_kept join), so without a barrier the argmax runs
+    # twice over the corpus. Materialize (id, vec, cluster, ‖v‖) once:
+    # the checkpoint job pays one argmax + one norm pass, and every
+    # consumer — including va/vb, which previously re-derived the norm
+    # per side — reads the materialized frame. (Round-14 A/B at sf0.1;
+    # values bit-identical, same expressions evaluated once.)
+    assigned = (
+        base.withColumn("cluster", nearest_centroid(f"`{vec_col}`", cents))
+        .withColumn("_n", norm(F.col(vec_col), dim))
+        .localCheckpoint(eager=True)
     )
     # Pair generation collects IDS only (vectors stay out of the lists —
     # an id list is ~8 B/member, a vector list ~100×that), explodes once,
@@ -265,7 +276,7 @@ def semdedup(
     # cosine(a,b) ≡ dot(a,b)/(norm(a)·norm(b)) with the identical fold
     # arithmetic, so scores stay bit-identical — measured ~3× on the pair
     # stage (the fold is the whole cost; see functions/vector.py).
-    withn = assigned.withColumn("_n", norm(F.col(vec_col), dim))
+    withn = assigned
     va = withn.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
@@ -279,11 +290,15 @@ def semdedup(
     pairable = _cap_key_frequency(
         assigned.select(id_col, "cluster"), ["cluster"], max_cluster
     )
+    # No explicit repartition before the va join: the planner broadcasts
+    # the (id_a, ids) side, so a repartition(id_a) here only added a
+    # wasted exchange feeding a BroadcastExchange (round-14 plan audit);
+    # when the side outgrows the broadcast threshold at scale,
+    # ENSURE_REQUIREMENTS inserts the id_a shuffle the join then needs.
     cand = (
         pairable.groupBy("cluster")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .select(F.explode("ids").alias("id_a"), "ids")
-        .repartition(F.col("id_a"))
         .join(va, "id_a")
     )
     # `dim` selects the fixed-dim cosine expansion — bit-identical

@@ -172,6 +172,11 @@ def phash_signatures(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, w0s, w1s = [], [], []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                # NULL blob: the replaced JVM hex-explode pipeline and
+                # the oracle's unnest both silently drop it; bytes(None)
+                # would raise instead (round-13 advice)
+                if content is None:
+                    continue
                 arr = np.frombuffer(bytes(content), dtype="uint8")
                 if len(arr) == 0:
                     continue

@@ -5505,10 +5505,13 @@ FROM t LEFT JOIN agg USING (doc_id)
 
 def q_vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 — count-min-sketch heavy hitters: build the d×w sketch from
-    the raw token stream (one hash agg, output bounded by the sketch
-    size, not the corpus), point-query every vocabulary term, and return
-    the top 20 by estimate with the exact count alongside as the audit
-    twin (est ≥ exact always; at 100 TB only the sketch path runs).
+    the pre-aggregated (token, exact-count) vocabulary rollup via
+    weighted updates (bit-identical to a raw-stream build — sum of
+    weights ≡ count of occurrences; one hash agg, output bounded by the
+    sketch size, not the corpus), point-query every vocabulary term,
+    and return the top 20 by estimate with the exact count alongside as
+    the audit twin (est ≥ exact always; at 100 TB only the sketch path
+    runs).
 
     The sketch is deterministic (seeded 60-bit md5 buckets), so unlike
     HLL/t-digest this approximate operator has a full value-level DuckDB
@@ -6908,21 +6911,20 @@ def q_events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     immune to the outlier hours that tilt the A25 OLS fit. Each slope is
     ONE IEEE division of two exact BIGINTs, rounded 1e-9 (the parity
     convention for derived floats), and the median is the exact lower
-    weighted median over the collapsed slope domain — the
-    operators/aggregate.weighted_median machinery, so tie order can
-    never matter. The pair stage is an equi-join on event_type over the
+    weighted median (smallest v with 2·cumw(v) ≥ W — the
+    operators/aggregate.weighted_median semantics, read off the sorted
+    raw slope rows at last-of-ties positions so tie order can never
+    matter). The pair stage is an equi-join on event_type over the
     HOURLY rollup (≤ n_hours² pairs per type, never the raw log); at
     horizons where n_hours² is too big, Theil–Sen's standard remedies —
     pair sampling or the repeated-median variant — drop in without
     changing this plan's shape."""
+    from pyspark.sql import Window
+
     from floatchat_datapipeline_spark.functions.eventtime import (
         epoch_micros,
         long_div,
     )
-    from floatchat_datapipeline_spark.operators.aggregate import (
-        weighted_median,
-    )
-
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type",
@@ -6943,7 +6945,7 @@ def q_events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("x").alias("x2"), F.col("y").alias("y2")
     )
     slopes = (
-        h.join(h2, "event_type")
+        h.join(F.broadcast(h2), "event_type")
         .filter(F.col("x") < F.col("x2"))
         .select(
             "event_type",
@@ -6954,16 +6956,39 @@ def q_events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope"),
         )
     )
-    med = weighted_median(
-        slopes.withColumn("_w", F.lit(1).cast("bigint")),
-        ["event_type"],
-        "slope",
-        "_w",
-    )
-    return med.select(
+    # Median tail on the RAW slope rows, not the (event_type, slope)
+    # collapsed rollup: slopes are 9dp-rounded quotients of ~unique
+    # pairs, so the collapse barely collapses (1,278,592 distinct of
+    # 1,294,200 pairs at sf0.1) and weighted_median's byval groupBy
+    # paid a full 1.3M-key hash agg + exchange for nothing. Instead
+    # sort once per event_type and read the weighted median off the
+    # row domain: cumw(v) = count of rows <= v = row_number at the
+    # LAST row of each tied value (last-of-ties = lead(slope) differs
+    # or is NULL), so filtering those rows on 2·rn >= W and taking
+    # min(slope) is exactly weighted_median's "smallest v with
+    # 2·cumw(v) >= W" (parity-probed against weighted_median at sf0.1
+    # and oracle-verified; -0.0 cannot arise — the numerator is a
+    # BIGINT difference). One exchange + one sort replaces two
+    # exchanges + hash agg + sort: A/B 3.3-3.9 s -> 2.1-2.6 s.
+    w_ord = Window.partitionBy("event_type").orderBy("slope")
+    w_all = Window.partitionBy("event_type")
+    ranked = slopes.select(
         "event_type",
-        F.col("total_weight").alias("n_pairs"),
-        F.col("w_median").alias("ts_slope"),
+        "slope",
+        F.row_number().over(w_ord).alias("_rn"),
+        F.lead("slope").over(w_ord).alias("_nxt"),
+        F.count(F.lit(1)).over(w_all).alias("_W"),
+    )
+    return (
+        ranked.filter(
+            (F.col("_nxt").isNull() | (F.col("_nxt") != F.col("slope")))
+            & (2 * F.col("_rn") >= F.col("_W"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("_W").alias("n_pairs"),
+            F.min("slope").alias("ts_slope"),
+        )
     )
 
 
