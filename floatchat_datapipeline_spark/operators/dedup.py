@@ -655,6 +655,15 @@ def ppjoin_pairs(
             )
         ).alias("tok"),
     )
+    # The exploded (id, tok) view feeds FOUR consumers (the df-count
+    # rollup, the prefix ranking, and both sides of the verification
+    # join), and its lineage — split + shingle + one md5 per shingle —
+    # is the operator's per-row hot loop; un-materialized, that loop
+    # runs four times over the corpus. Checkpoint the narrow 16 B/row
+    # frame once (r14 A/B at sf0.1: three saved md5 passes ≈ 1.6 s vs
+    # ~1.1 s materialization; the saving scales with corpus size, the
+    # materialization with the shingle-set size).
+    sh = sh.localCheckpoint(eager=True)
     # Global df per shingle — the prefix-ordering statistic. One extra
     # pass over the exploded view; partial-aggregated map-side.
     dfreq = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("df_c"))

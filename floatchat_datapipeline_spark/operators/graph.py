@@ -424,16 +424,23 @@ def link_prediction_scores(
     WITNESSED through some pivot's capped adjacency). Existing edges
     drop via a left-anti join; degrees stay exact; top_k is
     TakeOrdered on the total order (jaccard DESC, user_a, user_b)."""
-    from pyspark.sql import Window
-
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    w_cap = Window.partitionBy("src").orderBy("dst")
-    adj = (
-        edges.withColumn("_rn", F.row_number().over(w_cap))
-        .filter(F.col("_rn") <= pivot_cap)
-        .groupBy("src")
-        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    # First `pivot_cap` neighbors by ascending id WITHOUT a window: dst
+    # is unique per src (edges are distinct), so slice(array_sort(
+    # collect_list), 1, cap) is exactly the row_number-capped list —
+    # one hash aggregate replaces the r13 plan's two sorts +
+    # WindowGroupLimit pair + row_number pass over the edge list.
+    adj = edges.groupBy("src").agg(
+        F.slice(
+            F.array_sort(F.collect_list("dst")), 1, pivot_cap
+        ).alias("nbrs")
     )
+    # Respread the node-cardinality adjacency before the cap²/2 pair
+    # explode (§2.6): AQE coalesces the tiny post-agg output to 1-2
+    # partitions, which serializes the ~6.8M-pair explode + anti-probe
+    # + partial agg — the dominant stage (A/B: cn stage 4.3 s -> 1.8 s
+    # at sf0.1 with the respread; scale-adaptive width).
+    adj = adj.repartition(edges.sparkSession.sparkContext.defaultParallelism)
     pair_arr = F.flatten(
         F.transform(
             F.col("nbrs"),
@@ -443,6 +450,9 @@ def link_prediction_scores(
             ),
         )
     )
+    # (Catalyst pushes the existing-edge anti-join below this aggregate
+    # either way — every exploded pair probes the broadcast edge hash,
+    # and the partial agg then runs on the survivors.)
     cn = (
         adj.select(F.explode(pair_arr).alias("p"))
         .select("p.u", "p.v")
@@ -454,9 +464,13 @@ def link_prediction_scores(
     )
     du = deg.withColumnRenamed("src", "u").withColumnRenamed("deg", "du")
     dv = deg.withColumnRenamed("src", "v").withColumnRenamed("deg", "dv")
+    # Broadcast the node-cardinality degree sides explicitly: the
+    # planner's post-agg size estimate otherwise picked the PAIR rollup
+    # as the build side (collecting ~200k pair rows to broadcast two
+    # dim-sized lookups).
     return (
-        pred.join(du, "u")
-        .join(dv, "v")
+        pred.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
         .select(
             F.col("u").alias("user_a"),
             F.col("v").alias("user_b"),
